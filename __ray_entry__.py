@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      : flagship entity-resolution pipeline on sf0.001.
+queries()    : one entry per implemented operator/pipeline
+               (SURVEY.md §2 + training-data ops).
+oracle_sql() : DuckDB equivalents for the SQL-expressible subset;
+               ER/sketch pipelines are rows-only by design (the
+               pytest suite covers them via planted ground truth:
+               tests/test_linkage.py, tests/test_dedup.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/ray.shutdown() here or in bern_ray library code.
 """
 
 from __future__ import annotations
@@ -20,25 +19,93 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: pages(sf0.001) -> extract -> normalize ->
+    block -> score -> connected components -> clusters."""
+    from bern_ray.pipelines.linkage import linkage_pipeline
+
+    return linkage_pipeline("/root/testdata/sf0.001")
+
+
+def _er_mentions(sf_dir: str):
+    from bern_ray.pipelines.linkage import extract_mentions
+    from bern_ray.sources.pages import read_pages
+
+    return extract_mentions(read_pages(sf_dir))
+
+
+def _er_normalized(sf_dir: str):
+    from bern_ray.pipelines.linkage import (
+        extract_mentions,
+        normalize_mentions,
+    )
+    from bern_ray.sources.pages import read_pages
+
+    return normalize_mentions(extract_mentions(read_pages(sf_dir)))
+
+
+def _er_scored_pairs(sf_dir: str):
+    from bern_ray.pipelines.linkage import (
+        extract_mentions,
+        normalize_mentions,
+        score_pairs,
+    )
+    from bern_ray.sources.pages import read_pages
+    from bern_ray.stages.blocking import candidate_pairs
+
+    normalized = normalize_mentions(
+        extract_mentions(read_pages(sf_dir))
+    ).materialize()
+    return score_pairs(candidate_pairs(normalized))
+
+
+def _er_clusters(sf_dir: str):
+    from bern_ray.pipelines.linkage import linkage_pipeline
+
+    return linkage_pipeline(sf_dir)
+
+
+def _media_features(sf_dir: str):
+    import ray.data
+
+    from bern_ray.functions.multimodal import featurize_media, synth_media
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return featurize_media(synth_media(docs))
+
+
+def _ann_lsh_topk(sf_dir: str):
+    import ray.data
+
+    from bern_ray.functions.ann import ann_lsh_topk
+    from bern_ray.pipelines.relational import _query_vectors
+
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    Q, qids = _query_vectors(sf_dir)
+    return ann_lsh_topk(embs, Q, qids, k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from bern_ray.pipelines.relational import REGISTRY
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in REGISTRY.items()
+    }
+    out.update(
+        {
+            "er_mentions": _er_mentions,
+            "er_normalized": _er_normalized,
+            "er_scored_pairs": _er_scored_pairs,
+            "er_clusters": _er_clusters,
+            "media_features": _media_features,
+            "ann_lsh_topk": _ann_lsh_topk,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bern_ray.pipelines.relational import REGISTRY
+
+    return {
+        name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None
+    }

@@ -1,0 +1,253 @@
+"""Vectorized pairwise string-similarity kernels.
+
+These are the numeric core of the pair-scoring stage (SURVEY.md §7.2
+step 4) — the Ray-native analog of the reference's per-span scoring and
+cross-type score duel (biobert_ner/ops.py:214-476). All kernels operate
+on *arrays of pairs*: the only Python-level loops run over character
+positions (bounded by `max_len`, default 48), never over rows, so a
+batch of 100k pairs is a few hundred numpy passes.
+
+Algorithms are the standard public definitions (Jaro 1989 /
+Winkler 1990; Wagner-Fischer Levenshtein; hashed character-n-gram
+count vectors + cosine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEN = 48  # surfaces are truncated to this many UTF-8 bytes for scoring
+_PAD = 0
+
+
+def encode_padded(strs, max_len: int = MAX_LEN) -> tuple[np.ndarray, np.ndarray]:
+    """Encode strings to a (n, max_len) uint8 matrix (NUL-padded) + lengths.
+
+    The per-row Python work is a single encode+copy; all O(len^2)
+    similarity math downstream is vectorized.
+    """
+    n = len(strs)
+    buf = bytearray(n * max_len)
+    lens = np.empty(n, dtype=np.int32)
+    for i, s in enumerate(strs):
+        b = s.encode("utf-8")[:max_len] if s is not None else b""
+        lens[i] = len(b)
+        off = i * max_len
+        buf[off : off + len(b)] = b
+    mat = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(n, max_len)
+    return mat, lens
+
+
+def levenshtein(a_strs, b_strs, max_len: int = MAX_LEN) -> np.ndarray:
+    """Pairwise Levenshtein distance; vectorized Wagner-Fischer.
+
+    Python loop runs over positions of `a` only (<= max_len iterations),
+    each iteration a handful of numpy ops over all pairs.
+    """
+    A, la = encode_padded(a_strs, max_len)
+    B, lb = encode_padded(b_strs, max_len)
+    n = A.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    # crop to the batch's true max lengths — the DP cost is O(maxA*maxB)
+    A = A[:, : max(int(la.max()), 1)]
+    B = B[:, : max(int(lb.max()), 1)]
+    Lb = B.shape[1]
+    prev = np.broadcast_to(np.arange(Lb + 1, dtype=np.int32), (n, Lb + 1)).copy()
+    out = np.empty(n, dtype=np.int32)
+    done_at_zero = la == 0
+    out[done_at_zero] = lb[done_at_zero]
+    max_la = int(la.max()) if n else 0
+    col = np.arange(n)
+    for i in range(1, max_la + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        mismatch = (B != A[:, i - 1 : i]).astype(np.int32)
+        sub = prev[:, :-1] + mismatch
+        dele = prev[:, 1:] + 1
+        np.minimum(sub, dele, out=sub)
+        # insertion needs a left-to-right scan: cur[j] = min(g[j], cur[j-1]+1)
+        # with g = min(sub, del)  =>  cur[j] = j + min_{k<=j}(g[k]-k),
+        # a cumulative minimum over (g[k]-k) seeded with g[0]=cur[:,0]=i.
+        j = np.arange(1, Lb + 1, dtype=np.int32)
+        tmp = sub - j
+        tmp[:, 0] = np.minimum(tmp[:, 0], cur[:, 0])
+        np.minimum.accumulate(tmp, axis=1, out=tmp)
+        cur[:, 1:] = tmp + j
+        sel = la == i
+        if sel.any():
+            out[sel] = cur[sel, lb[sel]]
+        prev = cur
+    return out
+
+
+def levenshtein_sim(a_strs, b_strs, max_len: int = MAX_LEN) -> np.ndarray:
+    """1 - dist / max_len_pair, in [0, 1]."""
+    A_l = np.array([min(len(s.encode("utf-8")), max_len) for s in a_strs])
+    B_l = np.array([min(len(s.encode("utf-8")), max_len) for s in b_strs])
+    d = levenshtein(a_strs, b_strs, max_len).astype(np.float64)
+    denom = np.maximum(np.maximum(A_l, B_l), 1)
+    return 1.0 - d / denom
+
+
+def jaro(a_strs, b_strs, max_len: int = MAX_LEN) -> np.ndarray:
+    """Pairwise Jaro similarity, vectorized over pairs.
+
+    The greedy match loop runs over positions of `a` (<= max_len
+    iterations); matched-flag bookkeeping and the transposition count
+    are pure numpy.
+    """
+    A, la = encode_padded(a_strs, max_len)
+    B, lb = encode_padded(b_strs, max_len)
+    n = A.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    L = max(int(la.max()), int(lb.max()), 1)
+    A = A[:, :L]
+    B = B[:, :L]
+    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # match window
+    jidx = np.arange(L, dtype=np.int32)
+    matched_b = np.zeros((n, L), dtype=bool)
+    match_a = np.zeros((n, L), dtype=bool)  # which a-positions matched, in order
+    rows = np.arange(n)
+    max_la = int(la.max())
+    for i in range(max_la):
+        active = la > i
+        lo = i - win
+        hi = i + win
+        cand = (
+            (B == A[:, i : i + 1])
+            & (jidx >= lo[:, None])
+            & (jidx <= hi[:, None])
+            & (jidx < lb[:, None])
+            & ~matched_b
+            & active[:, None]
+        )
+        has = cand.any(axis=1)
+        first_j = cand.argmax(axis=1)
+        sel = rows[has]
+        matched_b[sel, first_j[has]] = True
+        match_a[sel, i] = True
+    m = match_a.sum(axis=1).astype(np.float64)
+    # chars of a at matched positions, in a-order; chars of b at matched
+    # positions, in b-order. argsort(~mask, stable) packs matched first.
+    orderA = np.argsort(~match_a, axis=1, kind="stable")
+    orderB = np.argsort(~matched_b, axis=1, kind="stable")
+    packedA = np.take_along_axis(A, orderA, axis=1)
+    packedB = np.take_along_axis(B, orderB, axis=1)
+    k = np.arange(L)
+    valid = k[None, :] < m[:, None]
+    trans = ((packedA != packedB) & valid).sum(axis=1).astype(np.float64) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = (
+            m / np.maximum(la, 1)
+            + m / np.maximum(lb, 1)
+            + (m - trans) / np.where(m > 0, m, 1)
+        ) / 3.0
+    j = np.where(m > 0, j, 0.0)
+    both_empty = (la == 0) & (lb == 0)
+    j = np.where(both_empty, 1.0, j)
+    return j
+
+
+def jaro_winkler(
+    a_strs, b_strs, p: float = 0.1, max_prefix: int = 4, max_len: int = MAX_LEN
+) -> np.ndarray:
+    """Jaro-Winkler: Jaro boosted by the length of the common prefix."""
+    jj = jaro(a_strs, b_strs, max_len)
+    A, la = encode_padded(a_strs, max_prefix)
+    B, lb = encode_padded(b_strs, max_prefix)
+    lim = np.minimum(np.minimum(la, lb), max_prefix)
+    eq = A == B
+    k = np.arange(max_prefix)
+    eq &= k[None, :] < lim[:, None]
+    # common prefix length = count of leading True
+    cp = np.where(eq.all(axis=1), lim, eq.argmin(axis=1))
+    return jj + cp * p * (1.0 - jj)
+
+
+def ngram_hash_vectors(
+    strs, dim: int = 128, n: int = 3, max_len: int = MAX_LEN
+) -> np.ndarray:
+    """Hashed character-n-gram count vectors, L2-normalized.
+
+    This is the deterministic 'embedding' used by the pair scorer's
+    cosine component (north_star: embedding-cosine ensemble) and by the
+    embedding-near-dup / ANN helpers when no learned embedding column
+    exists. Fully vectorized: trigram codes via shifted byte matrices,
+    scatter via one flat bincount.
+    """
+    A, la = encode_padded(strs, max_len)
+    nrows = A.shape[0]
+    if nrows == 0:
+        return np.zeros((0, dim), dtype=np.float32)
+    L = max(int(la.max()), n)
+    A = A[:, :L]
+    a = A.astype(np.int64)
+    codes = np.zeros((nrows, L - n + 1), dtype=np.int64)
+    for k in range(n):
+        codes = codes * 256 + a[:, k : L - n + 1 + k]
+    pos = np.arange(L - n + 1)
+    valid = pos[None, :] < np.maximum(la[:, None] - n + 1, 0)
+    h = (codes * 2654435761) % dim
+    flat = (np.arange(nrows)[:, None] * dim + h)[valid]
+    vec = np.bincount(flat, minlength=nrows * dim).astype(np.float32)
+    vec = vec.reshape(nrows, dim)
+    norms = np.linalg.norm(vec, axis=1, keepdims=True)
+    np.divide(vec, norms, out=vec, where=norms > 0)
+    return vec
+
+
+def cosine_pairs(E1: np.ndarray, E2: np.ndarray) -> np.ndarray:
+    """Row-wise cosine of two equal-shape (n, d) matrices."""
+    return np.einsum("ij,ij->i", E1, E2)
+
+
+# --- slow scalar references, used only by the unit tests ---------------
+
+
+def _jaro_scalar(s1: str, s2: str) -> float:
+    a, b = s1.encode(), s2.encode()
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    win = max(max(la, lb) // 2 - 1, 0)
+    mb = [False] * lb
+    ma = []
+    for i in range(la):
+        lo, hi = max(0, i - win), min(lb - 1, i + win)
+        for j in range(lo, hi + 1):
+            if not mb[j] and b[j] == a[i]:
+                mb[j] = True
+                ma.append(i)
+                break
+    m = len(ma)
+    if m == 0:
+        return 0.0
+    bm = [b[j] for j in range(lb) if mb[j]]
+    am = [a[i] for i in ma]
+    t = sum(x != y for x, y in zip(am, bm)) / 2.0
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def _jaro_winkler_scalar(s1: str, s2: str, p: float = 0.1) -> float:
+    j = _jaro_scalar(s1, s2)
+    cp = 0
+    for x, y in zip(s1.encode()[:4], s2.encode()[:4]):
+        if x != y:
+            break
+        cp += 1
+    return j + cp * p * (1 - j)
+
+
+def _levenshtein_scalar(s1: str, s2: str) -> int:
+    a, b = s1.encode(), s2.encode()
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+            )
+        prev = cur
+    return prev[len(b)]

@@ -1,0 +1,213 @@
+"""Similarity search over the `embeddings` table.
+
+- `ann_topk`     : brute-force cosine top-k — per-batch matmul against
+  a broadcast query matrix (`ray.put` once, read per actor/task), then
+  per-batch PARTIAL top-k, then a tiny global top-k per query. Exact;
+  the DuckDB `list_cosine_similarity` oracle agrees bit-for-bit after
+  rounding.
+- `ann_lsh_topk` : random-hyperplane LSH bucketed variant — the
+  10^12-row scale path: each vector lands in one bucket per table;
+  queries probe their own bucket (+ multi-probe by flipping the
+  lowest-margin bits). Approximate; recall measured in tests.
+
+Both compute in float64 so numpy and DuckDB agree to ~1e-15.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _mat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    return ids, M
+
+
+def _norm(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def ann_topk(
+    embs: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """-> (query_id, vec_id, cos_sim) with exactly k rows per query.
+
+    Ties broken by ascending vec_id (deterministic, matches the SQL
+    ORDER BY cos_sim DESC, vec_id).
+    """
+    Q = _norm(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    ref = ray.put((Q, qids))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        Qm, qi = ray.get(ref)
+        ids, M = _mat(t)
+        Mn = _norm(M)
+        S = Qm @ Mn.T  # (nq, batch)
+        if exclude_self:
+            mask = qi[:, None] == ids[None, :]
+            S = np.where(mask, -np.inf, S)
+        nq, nb = S.shape
+        kk = min(k, nb)
+        # partial top-k per query within this batch
+        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(nq), kk)
+        cols = idx.ravel()
+        sims = S[rows, cols]
+        keep = np.isfinite(sims)
+        return pa.table(
+            {
+                "query_id": pa.array(qi[rows][keep], type=pa.int64()),
+                "vec_id": pa.array(ids[cols][keep], type=pa.int64()),
+                "cos_sim": pa.array(sims[keep], type=pa.float64()),
+            }
+        )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g["cos_sim"] = g["cos_sim"].round(6)
+        return g
+
+    partial = embs.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=8192
+    )
+    return partial.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas"
+    )
+
+
+def hyperplane_bucket(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket id per row (random-hyperplane LSH)."""
+    bits = (M @ planes.T) >= 0
+    weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
+    return (bits * weights[None, :]).sum(axis=1).astype(np.int64)
+
+
+def ann_lsh_topk(
+    embs: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> "ray.data.Dataset":
+    """Approximate top-k: only vectors whose hyperplane bucket matches
+    one of the query's probed buckets are scored. Scale path: the
+    bucket column becomes the partition key; each query touches
+    n_probes/2^n_planes of the data instead of all of it.
+    """
+    Q = _norm(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    d = dim or Q.shape[1]
+    rs = np.random.RandomState(seed)
+    planes = rs.standard_normal((n_planes, d))
+    # multi-probe: query bucket + buckets with the lowest-margin bits flipped
+    margins = Q @ planes.T
+    base = hyperplane_bucket(Q, planes)
+    probe_sets = []
+    for qi in range(len(Q)):
+        order = np.argsort(np.abs(margins[qi]))
+        buckets = {int(base[qi])}
+        for bit in order[: max(n_probes - 1, 0)]:
+            buckets.add(int(base[qi]) ^ (1 << int(bit)))
+        probe_sets.append(buckets)
+    ref = ray.put((Q, qids, planes, probe_sets))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        Qm, qi, pl, probes = ray.get(ref)
+        ids, M = _mat(t)
+        Mn = _norm(M)
+        vb = hyperplane_bucket(Mn, pl)
+        out_q, out_v, out_s = [], [], []
+        for i in range(len(Qm)):
+            sel = np.fromiter(
+                (b in probes[i] for b in vb), dtype=bool, count=len(vb)
+            )
+            sel &= ids != qi[i]
+            if not sel.any():
+                continue
+            sims = Mn[sel] @ Qm[i]
+            sub_ids = ids[sel]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([int(qi[i])] * kk)
+            out_v.extend(sub_ids[idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cos_sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g["cos_sim"] = g["cos_sim"].round(6)
+        return g
+
+    partial = embs.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=8192
+    )
+    return partial.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas"
+    )
+
+
+def centroids_by_label(embs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-label centroid — partial sums inside map_batches, then a tiny
+    groupby over (label, component) partials. -> (label, n, centroid)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids, M = _mat(t)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(labels)
+        rows = []
+        for u in uniq:
+            sel = labels == u
+            rows.append((int(u), int(sel.sum()), M[sel].sum(axis=0)))
+        return pa.table(
+            {
+                "label": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n": pa.array([r[1] for r in rows], type=pa.int64()),
+                "vsum": pa.array(
+                    [r[2].tolist() for r in rows],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        v = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+        return pd.DataFrame(
+            {
+                "label": [g["label"].iloc[0]],
+                "n": [n],
+                "centroid": [np.round(v / n, 6).tolist()],
+            }
+        )
+
+    return (
+        embs.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("label")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -1,0 +1,273 @@
+"""Deduplication operators over the `documents` table.
+
+Training-data-pipeline dedup family (task brief), all Ray-Data-first:
+
+- exact          : content-hash -> groupby(hash) -> keep min doc_id
+- minhash-LSH    : shingle -> minhash -> band keys -> groupby(band)
+                   -> candidate pairs -> EXACT token-Jaccard verify
+- simhash        : 64-bit simhash -> 4x16-bit band blocking (pigeonhole
+                   guarantees recall for hamming <= 3) -> hamming verify
+- ngram-jaccard  : the minhash path with the verify threshold exposed
+- embedding      : brute-force cosine near-dup over the `embeddings`
+                   table against a broadcast matrix (scale path: the
+                   LSH-bucketed variant in functions/ann.py)
+
+Pair outputs use (a < b) ordering and are exact-deduplicated, so the
+LSH candidate multiplicity never leaks into results. Shuffle costs:
+one groupby per operator on a pre-reduced key set (partial combines
+inside map_batches), per SURVEY.md §7.4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..core.minhash import (
+    band_keys,
+    minhash_signatures,
+    simhash,
+    token_shingles,
+)
+from .textstats import fingerprint_batch
+
+MINHASH_PERMS = 128
+MINHASH_BANDS = 32
+MINHASH_ROWS = 4
+
+
+def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> (content_md5, rep_doc_id, n_dups); rep = min doc_id."""
+    hashed = docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+    agg = hashed.groupby("content_md5").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="rep_doc_id"),
+        ray.data.aggregate.Count(alias_name="n_dups"),
+    )
+    return agg
+
+
+def _shingle_sets(texts: list[str], k: int) -> list[np.ndarray]:
+    """Sorted unique k-token shingle-hash sets for exact verification.
+
+    Docs with fewer than k tokens get an empty set (no near-dup pairs),
+    matching the SQL oracle's guard. 64-bit hashes make hash-set
+    Jaccard equal string-set Jaccard up to negligible collisions.
+    """
+    import re
+
+    tok_re = re.compile("[0-9a-zA-Z]+")
+    n_toks = [len(tok_re.findall(t.lower())) if t else 0 for t in texts]
+    flat, starts = token_shingles(texts, k=k)
+    out = []
+    for i in range(len(texts)):
+        if n_toks[i] < k:
+            out.append(np.empty(0, dtype=np.int64))
+        else:
+            seg = flat[starts[i] : starts[i + 1]]
+            out.append(np.unique(seg).view(np.int64))
+    return out
+
+
+def _minhash_band_rows(t: pa.Table, k: int) -> pa.Table:
+    texts = t["text"].to_pylist()
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    flat, starts = token_shingles(texts, k=k)
+    sig = minhash_signatures(flat, starts, num_perm=MINHASH_PERMS)
+    bands = band_keys(sig, bands=MINHASH_BANDS, rows=MINHASH_ROWS)
+    tok_sets = _shingle_sets(texts, k)
+    n = len(texts)
+    rep = np.repeat(np.arange(n), MINHASH_BANDS)
+    return pa.table(
+        {
+            "band": pa.array(bands.ravel().tolist(), type=pa.string()),
+            "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
+            "tok": pa.array(
+                [tok_sets[i] for i in rep], type=pa.list_(pa.int64())
+            ),
+        }
+    )
+
+
+def _band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.drop_duplicates("doc_id").sort_values("doc_id")
+    n = len(g)
+    if n < 2:
+        return pd.DataFrame(
+            {
+                "doc_id_a": pd.Series(dtype="int64"),
+                "doc_id_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    ids = g["doc_id"].to_numpy()
+    toks = g["tok"].to_numpy(dtype=object)
+    ai, bi = np.triu_indices(n, k=1)
+    jac = np.empty(len(ai))
+    for x, (i, j) in enumerate(zip(ai, bi)):
+        sa, sb = toks[i], toks[j]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac[x] = inter / union if union else 0.0
+    return pd.DataFrame(
+        {"doc_id_a": ids[ai], "doc_id_b": ids[bi], "jaccard": jac}
+    )
+
+
+def minhash_neardup(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.9,
+    shingle_k: int = 3,
+) -> "ray.data.Dataset":
+    """LSH candidates verified by EXACT shingle-set Jaccard >= threshold.
+
+    Similarity space = distinct 3-token shingles (sequences, not token
+    sets — token sets are degenerate on small-vocabulary corpora).
+    With 32 bands x 4 rows, detection probability at j=0.9 is
+    1-(1-0.9^4)^32 ≈ 1-4e-16 — effectively exhaustive at the verify
+    threshold, which is what lets the DuckDB all-pairs oracle agree.
+    """
+    band_rows = docs.map_batches(
+        lambda t: _minhash_band_rows(t, shingle_k), batch_format="pyarrow"
+    )
+    pairs = band_rows.groupby("band").map_groups(
+        _band_pairs, batch_format="pandas"
+    )
+    verified = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
+        batch_format="pyarrow",
+    )
+    # dedupe candidate multiplicity across bands
+    uniq = verified.groupby(["doc_id_a", "doc_id_b"]).max("jaccard")
+    return uniq.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id_a": t["doc_id_a"],
+                "doc_id_b": t["doc_id_b"],
+                "jaccard": pc.round(t["max(jaccard)"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _simhash_rows(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    flat, starts = token_shingles(texts, k=2)
+    sh = simhash(flat, starts)
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(texts)
+    # 4 x 16-bit bands: hamming<=3 implies at least one identical band
+    rows = {"band": [], "doc_id": [], "sim": []}
+    for b in range(4):
+        band_val = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        rows["band"].extend(
+            [f"{b}:{int(v):04x}" for v in band_val]
+        )
+        rows["doc_id"].extend(doc_ids.tolist())
+        rows["sim"].extend(sh.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "band": pa.array(rows["band"], type=pa.string()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "sim": pa.array(rows["sim"], type=pa.int64()),
+        }
+    )
+
+
+def _simhash_pairs(max_hamming: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "doc_id_a": pd.Series(dtype="int64"),
+                    "doc_id_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
+        ids = g["doc_id"].to_numpy()
+        sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
+        ai, bi = np.triu_indices(n, k=1)
+        x = np.bitwise_xor(sims[ai], sims[bi])
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_id_a": ids[ai][keep],
+                "doc_id_b": ids[bi][keep],
+                "hamming": ham[keep],
+            }
+        )
+
+    return fn
+
+
+def simhash_neardup(
+    docs: "ray.data.Dataset", max_hamming: int = 3
+) -> "ray.data.Dataset":
+    rows = docs.map_batches(_simhash_rows, batch_format="pyarrow")
+    pairs = rows.groupby("band").map_groups(
+        _simhash_pairs(max_hamming), batch_format="pandas"
+    )
+    uniq = pairs.groupby(["doc_id_a", "doc_id_b"]).min("hamming")
+    return uniq.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id_a": t["doc_id_a"],
+                "doc_id_b": t["doc_id_b"],
+                "hamming": t["min(hamming)"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def embedding_neardup(
+    embs: "ray.data.Dataset", threshold: float = 0.95
+) -> "ray.data.Dataset":
+    """Brute-force cosine near-dup: each batch against the broadcast
+    full matrix (`ray.put` once). O(n^2) flops but vectorized matmul;
+    the IVF/LSH variants in functions/ann.py are the 10^12-scale path.
+    """
+    all_tbl = pa.concat_tables(
+        b for b in embs.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    ids = all_tbl["vec_id"].to_numpy(zero_copy_only=False)
+    M = np.stack(
+        all_tbl["embedding"].to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, M))
+
+    def fn(t: pa.Table) -> pa.Table:
+        bids_all, bM_all = ray.get(ref)
+        bid = t["vec_id"].to_numpy(zero_copy_only=False)
+        E = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        S = E @ bM_all.T
+        ii, jj = np.nonzero(S >= threshold)
+        a = bid[ii]
+        b = bids_all[jj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a[keep], type=pa.int64()),
+                "vec_id_b": pa.array(b[keep], type=pa.int64()),
+                "cos_sim": pa.array(
+                    np.round(S[ii, jj][keep], 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return embs.map_batches(fn, batch_format="pyarrow", batch_size=4096)

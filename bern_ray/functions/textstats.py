@@ -1,0 +1,217 @@
+"""Text-analysis operators over the `documents` table.
+
+Large-scale training-data-pipeline ops (task brief): language ID,
+quality scoring, token counting, content fingerprinting. Every
+operator is a vectorized `map_batches` stage; each has a matching
+DuckDB oracle expression (RE2 regex semantics on both sides — pyarrow
+and DuckDB both use RE2, so `\\b` word boundaries agree).
+
+Tokenization rule (frozen, shared with minhash shingling and the
+token-frequency builder): tokens = maximal runs of [0-9a-zA-Z],
+lowercased.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+TOKEN_RE = "[0-9a-zA-Z]+"
+
+# tiny deterministic stopword inventories for the n-gram-free langid
+# heuristic; overlaps are fine — scoring is deterministic on both sides
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "las", "de", "y"],
+    "fr": ["le", "les", "et", "dans", "pour"],
+}
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "is", "in"]
+
+
+def _word_re(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def doc_stats_batch(t: pa.Table) -> pa.Table:
+    """Per-doc token/quality statistics (all pyarrow.compute kernels)."""
+    text = t["text"]
+    lower = pc.utf8_lower(text)
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.count_substring_regex(lower, TOKEN_RE)
+    alnum_chars = pc.count_substring_regex(lower, "[0-9a-z]")
+    punct_chars = pc.count_substring_regex(lower, "[^0-9a-zA-Z ]")
+    n_stop = pc.count_substring_regex(lower, _word_re(EN_STOPWORDS))
+    nt = pc.cast(n_tokens, pa.float64())
+    nc = pc.max_element_wise(pc.cast(n_chars, pa.float64()), 1.0)
+    mean_tok_len = pc.round(
+        pc.divide(
+            pc.cast(alnum_chars, pa.float64()),
+            pc.max_element_wise(nt, 1.0),
+        ),
+        ndigits=6,
+    )
+    stop_ratio = pc.round(
+        pc.divide(pc.cast(n_stop, pa.float64()), pc.max_element_wise(nt, 1.0)),
+        ndigits=6,
+    )
+    punct_ratio = pc.round(
+        pc.divide(pc.cast(punct_chars, pa.float64()), nc), ndigits=6
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "mean_tok_len": mean_tok_len,
+            "stop_ratio": stop_ratio,
+            "punct_ratio": punct_ratio,
+        }
+    )
+
+
+def doc_stats_sql() -> str:
+    return f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT AS n_tokens,
+       round(len(regexp_extract_all(lower(text), '[0-9a-z]'))::DOUBLE
+             / greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1), 6) AS mean_tok_len,
+       round(len(regexp_extract_all(lower(text), '\\b({"|".join(EN_STOPWORDS)})\\b'))::DOUBLE
+             / greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1), 6) AS stop_ratio,
+       round(len(regexp_extract_all(lower(text), '[^0-9a-zA-Z ]'))::DOUBLE
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def langid_batch(t: pa.Table) -> pa.Table:
+    """Stopword-vote language ID; deterministic fixed tie-break order."""
+    lower = pc.utf8_lower(t["text"])
+    scores = {
+        lang: pc.count_substring_regex(lower, _word_re(ws))
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    n = t.num_rows
+    best = np.full(n, "und", dtype=object)
+    best_score = np.zeros(n, dtype=np.int64)
+    for lang in ["en", "de", "es", "fr"]:  # fixed priority order
+        sc = scores[lang].to_numpy(zero_copy_only=False).astype(np.int64)
+        take = sc > best_score
+        best[take] = lang
+        best_score[take] = sc[take]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "pred_lang": pa.array(best.tolist(), type=pa.string()),
+            "vote_score": pa.array(best_score, type=pa.int64()),
+        }
+    )
+
+
+def langid_sql() -> str:
+    def cnt(lang):
+        return (
+            f"len(regexp_extract_all(lower(text), "
+            f"'\\b({'|'.join(LANG_STOPWORDS[lang])})\\b'))"
+        )
+
+    return f"""
+SELECT doc_id,
+       CASE
+         WHEN {cnt('en')} >= {cnt('de')} AND {cnt('en')} >= {cnt('es')}
+              AND {cnt('en')} >= {cnt('fr')} AND {cnt('en')} > 0 THEN 'en'
+         WHEN {cnt('de')} >= {cnt('es')} AND {cnt('de')} >= {cnt('fr')}
+              AND {cnt('de')} > 0 THEN 'de'
+         WHEN {cnt('es')} >= {cnt('fr')} AND {cnt('es')} > 0 THEN 'es'
+         WHEN {cnt('fr')} > 0 THEN 'fr'
+         ELSE 'und'
+       END AS pred_lang,
+       greatest({cnt('en')}, {cnt('de')}, {cnt('es')}, {cnt('fr')})::BIGINT
+         AS vote_score
+FROM documents
+"""
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    """Content fingerprint: md5 of the folded text (exact-dup key).
+
+    Per-row hashlib on bytes — IO-bound stages dominate this cost; a
+    rolling-hash shingle fingerprint lives in core/minhash.simhash.
+    """
+    from ..core.fold import fold_text
+
+    folded = fold_text(t["text"])
+    fps = [
+        hashlib.md5(s.encode("utf-8")).hexdigest()
+        for s in folded.to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "content_md5": pa.array(fps, type=pa.string()),
+        }
+    )
+
+
+def token_freq(
+    docs: "ray.data.Dataset", min_count: int = 50
+) -> "ray.data.Dataset":
+    """Token frequency with threshold — the reference's freq-dict
+    builder (gene_auxiliary_normalizer.py:46-60: groupby mention ->
+    count -> threshold) at corpus scale.
+
+    Pre-aggregates counts per batch (partial combine) so the shuffle
+    moves one row per (batch, token), not one per occurrence.
+    """
+    import re
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in pc.utf8_lower(t["text"]).to_pylist():
+            c.update(tok_re.findall(s))
+        if not c:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "partial": pa.array([], type=pa.int64()),
+                }
+            )
+        toks, cnts = zip(*c.items())
+        return pa.table(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "partial": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "token"
+    ).sum("partial")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"token": t["token"], "cnt": t["sum(partial)"]}
+        ).filter(pc.greater_equal(t["sum(partial)"], min_count)),
+        batch_format="pyarrow",
+    )
+
+
+def token_freq_sql(min_count: int = 50) -> str:
+    return f"""
+SELECT token, count(*)::BIGINT AS cnt
+FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents
+)
+GROUP BY token
+HAVING count(*) >= {min_count}
+"""

@@ -1,0 +1,167 @@
+"""Flagship end-to-end entity-resolution pipeline (north_star).
+
+pages (url, warc_ts, html, text, lang)
+  -> extract   : actor-pool map_batches -> mentions (flat table)
+  -> normalize : actor-pool map_batches, broadcast dict fallback chain
+  -> block     : explode keys -> groupby(block_key) -> candidate pairs
+                 (the ONE wide shuffle; salted + capped, SURVEY.md §7.4)
+  -> score     : actor-pool map_batches, vectorized JW/Lev/cosine
+                 ensemble -> edges above threshold
+  -> cluster   : connected components (union-find stream / distributed
+                 label propagation) -> cluster_id per mention
+
+Output schema (expected_clusters shape, FIXTURES.md §4):
+  url, mention_id, etype, start, end, surface, oid, ids(list<string>),
+  cluster_id
+
+Every stage is expressible through `checkpointed(...)` for
+resume-by-existence (state/checkpoint.py). No stage materializes the
+full dataset on the driver except the CC label map (documented in
+stages/cc.py with the distributed alternative).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..sources.pages import read_pages
+from ..stages.blocking import DEFAULT_SALT_THRESHOLD, candidate_pairs
+from ..stages.cc import components
+from ..stages.extract import MentionExtractor
+from ..stages.normalize import MentionNormalizer, build_lookup_tables
+from ..stages.scoring import PairScorer, edges_only
+from ..state.checkpoint import checkpointed
+
+
+def extract_mentions(
+    pages: "ray.data.Dataset",
+    concurrency: int | tuple = (2, 8),
+    batch_size: int = 2048,
+    from_html: bool = False,
+) -> "ray.data.Dataset":
+    return pages.map_batches(
+        MentionExtractor,
+        fn_constructor_kwargs={"extract_from_html": from_html},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def normalize_mentions(
+    mentions: "ray.data.Dataset",
+    concurrency: int | tuple = (2, 8),
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    tables_ref = ray.put(build_lookup_tables())
+    return mentions.map_batches(
+        MentionNormalizer,
+        fn_constructor_kwargs={"tables_ref": tables_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def score_pairs(
+    pairs: "ray.data.Dataset",
+    concurrency: int | tuple = (2, 8),
+    batch_size: int = 16384,
+) -> "ray.data.Dataset":
+    return pairs.map_batches(
+        PairScorer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _assign_clusters_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per component: cluster_id = min resolved oid, else the shared
+    fold key (CUI-less cluster) — deterministic, order-insensitive."""
+    oids = g["oid"].dropna()
+    if len(oids):
+        cid = "BERN:" + oids.min()
+    else:
+        cid = "SURF:" + str(g["fold_key"].min())
+    out = g.drop(columns=["root"]).copy()
+    out["cluster_id"] = cid
+    return out
+
+
+def cluster_mentions(
+    normalized: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    cc_mode: str = "auto",
+) -> "ray.data.Dataset":
+    """Attach cluster_id via CC roots + per-component id assignment."""
+    labels = components(edges, mode=cc_mode)
+    labels_ref = ray.put(labels)
+
+    def attach_root(t: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        mids = t["mention_id"].to_pylist()
+        roots = [lab.get(m, m) for m in mids]
+        return t.append_column("root", pa.array(roots, type=pa.int64()))
+
+    with_root = normalized.map_batches(attach_root, batch_format="pyarrow")
+    return with_root.groupby("root").map_groups(
+        _assign_clusters_group, batch_format="pandas"
+    )
+
+
+def linkage_pipeline(
+    sf_dir: str,
+    checkpoint_root: str | None = None,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    cc_mode: str = "auto",
+    from_html: bool = False,
+    concurrency: int | tuple = (1, 8),
+) -> "ray.data.Dataset":
+    """pages(sf_dir) -> clusters Dataset.
+
+    `normalized` and `scored_pairs` are each consumed by MULTIPLE
+    downstream stages (hot-key count + pair-gen + cluster attach;
+    edge filter + metrics), so they are pinned — to Parquet when a
+    checkpoint_root is given (the scale path: resumable, spillable),
+    else to the object store with ``materialize()`` (mentions/pairs
+    are orders of magnitude smaller than the pages input). Without
+    pinning, Ray's lazy re-execution would re-run extraction once per
+    consumer.
+    """
+    normalized = checkpointed(
+        "normalized",
+        lambda: normalize_mentions(
+            extract_mentions(
+                read_pages(sf_dir), concurrency=concurrency, from_html=from_html
+            ),
+            concurrency=concurrency,
+        ),
+        checkpoint_root,
+        lineage=["pages"],
+    )
+    if checkpoint_root is None:
+        normalized = normalized.materialize()
+    scored = checkpointed(
+        "scored_pairs",
+        lambda: score_pairs(
+            candidate_pairs(normalized, salt_threshold=salt_threshold),
+            concurrency=concurrency,
+        ),
+        checkpoint_root,
+        lineage=["normalized"],
+    )
+    if checkpoint_root is None:
+        scored = scored.materialize()
+    edges = scored.map_batches(edges_only, batch_format="pyarrow")
+    clusters = checkpointed(
+        "clusters",
+        lambda: cluster_mentions(normalized, edges, cc_mode=cc_mode),
+        checkpoint_root,
+        lineage=["normalized", "scored_pairs"],
+    )
+    return clusters

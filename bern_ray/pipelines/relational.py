@@ -1,0 +1,500 @@
+"""Query registry: every implemented operator as a `queries()` entry
+with (where SQL-expressible) a DuckDB oracle — the driver's
+correctness gate (see __ray_entry__.py).
+
+Each Ray implementation is Dataset-native (map_batches over Arrow,
+partial aggregation before shuffles, broadcast joins for small sides)
+and column names match the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..core.fold import fold_sql, fold_text, tmchem_key, tmchem_sql
+from ..functions import dedup as fdedup
+from ..functions import textstats as fts
+from ..functions.ann import ann_topk, centroids_by_label
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- text
+
+
+def q_fold_docs(sf_dir: str):
+    """Canonical fold (M1-M3) over documents -> (doc_id, folded)."""
+    return _docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "folded": fold_text(t["text"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FOLD_DOCS = f"SELECT doc_id, {fold_sql('text')} AS folded FROM documents"
+
+
+def q_doc_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        fts.doc_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_langid(sf_dir: str):
+    return _docs(sf_dir).map_batches(fts.langid_batch, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        fts.fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+SQL_FINGERPRINT = (
+    f"SELECT doc_id, md5({fold_sql('text')}) AS content_md5 FROM documents"
+)
+
+
+def q_token_freq(sf_dir: str):
+    return fts.token_freq(_docs(sf_dir), min_count=50)
+
+
+def q_blocking_keys(sf_dir: str):
+    """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
+    the blocking-cardinality profile. Partial-combines per batch."""
+
+    def keys(t: pa.Table) -> pa.Table:
+        k = tmchem_key(pc.utf8_slice_codeunits(t["text"], 0, 32))
+        vc = k.value_counts()
+        return pa.table(
+            {"bkey": vc.field("values"), "partial": vc.field("counts")}
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(keys, batch_format="pyarrow")
+        .groupby("bkey")
+        .sum("partial")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "bkey": t["bkey"],
+                "n_docs": pc.cast(t["sum(partial)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BLOCKING_KEYS = f"""
+SELECT {tmchem_sql('substr(text, 1, 32)')} AS bkey,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- dedup
+
+
+def q_exact_dedup(sf_dir: str):
+    agg = fdedup.exact_dedup(_docs(sf_dir))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "content_md5": t["content_md5"],
+                "rep_doc_id": t["rep_doc_id"],
+                "n_dups": pc.cast(t["n_dups"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT md5({fold_sql('text')}) AS content_md5,
+       min(doc_id) AS rep_doc_id,
+       count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# The all-pairs SQL oracle is O(n^2) in list ops; the driver runs it at
+# sf0.01, so the CHECKED variant restricts both sides to doc_id <
+# MINHASH_MAX_DOC (covers all of sf0.001). The unrestricted operator is
+# exercised by bench.py and tests/test_dedup.py.
+MINHASH_MAX_DOC = 1500
+
+
+def q_minhash_neardup(sf_dir: str):
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.minhash_neardup(docs, threshold=0.9)
+
+
+SQL_MINHASH_NEARDUP = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-zA-Z]+') AS ts
+  FROM documents WHERE doc_id < {MINHASH_MAX_DOC}
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(ts) - 2),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+              ELSE [] END AS ss
+  FROM tok
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(len(list_intersect(a.ss, b.ss))::DOUBLE
+             / len(list_distinct(list_concat(a.ss, b.ss))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.ss) > 0 AND len(b.ss) > 0
+  AND least(len(a.ss), len(b.ss))::DOUBLE
+      / greatest(len(a.ss), len(b.ss)) >= 0.9
+  AND len(list_intersect(a.ss, b.ss))::DOUBLE
+      / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.9
+"""
+
+
+def q_simhash_neardup(sf_dir: str):
+    return fdedup.simhash_neardup(_docs(sf_dir), max_hamming=3)
+
+
+# synthetic embeddings are near-orthogonal (max pair cosine ~0.51), so
+# the near-dup threshold is 0.4 here; a production corpus would use
+# ~0.9 — the operator is threshold-parametric.
+EMB_NEARDUP_THRESHOLD = 0.4
+
+
+def q_embedding_neardup(sf_dir: str):
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return fdedup.embedding_neardup(embs, threshold=EMB_NEARDUP_THRESHOLD)
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding)
+      >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+# ----------------------------------------------------------------- ann
+
+
+N_ANN_QUERIES = 5
+ANN_K = 10
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.less(t["vec_id"], N_ANN_QUERIES))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)
+    return Q[order], ids[order]
+
+
+def q_ann_topk(sf_dir: str):
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    Q, qids = _query_vectors(sf_dir)
+    return ann_topk(embs, Q, qids, k=ANN_K, exclude_self=True)
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < {N_ANN_QUERIES})
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cos_sim
+FROM q CROSS JOIN embeddings e
+WHERE e.vec_id != q.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+) <= {ANN_K}
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return centroids_by_label(embs)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH flat AS (
+  SELECT label,
+         unnest(embedding) AS e,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, i, round(avg(e), 6) AS av FROM flat GROUP BY label, i
+),
+cnt AS (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY label)
+SELECT p.label, any_value(c.n) AS n, list(p.av ORDER BY p.i) AS centroid
+FROM per_dim p JOIN cnt c USING (label)
+GROUP BY p.label
+"""
+
+
+# ---------------------------------------------------- relational / agg
+
+
+def q_events_agg(sf_dir: str):
+    """Sum/count/mean per event_type (M12 / SURVEY §2.5 analogs).
+    Pre-aggregated inside map_batches before the tiny groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            t.select(["event_type", "value"])
+            .to_pandas()
+            .groupby("event_type", as_index=False)
+            .agg(n=("value", "size"), s=("value", "sum"))
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_events": pc.cast(t["n"], pa.int64()),
+                "sum_value": pc.round(t["s"], ndigits=4),
+                "avg_value": pc.round(
+                    pc.divide(t["s"], pc.cast(t["n"], pa.float64())),
+                    ndigits=6,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_AGG = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_user_topk(sf_dir: str):
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    agg = ev.groupby("user_id").aggregate(
+        Sum("value", alias_name="total"), Count(alias_name="n")
+    )
+    top = agg.sort(["total", "user_id"], descending=[True, False]).limit(20)
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "total_value": pc.round(t["total"], ndigits=4),
+                "n_events": pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_USER_TOPK = """
+SELECT user_id, round(sum(value), 4) AS total_value,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+ORDER BY sum(value) DESC, user_id LIMIT 20
+"""
+
+
+def q_running_count(sf_dir: str):
+    """Per-(user, event_type) occurrence index ordered by (ts,
+    event_id) — the reference's n-th-occurrence counter
+    (convert.py:431-447) as a grouped window."""
+
+    def occ(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g["occ_idx"] = g.groupby("event_type").cumcount() + 1
+        return g[["event_id", "occ_idx"]]
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return ev.groupby("user_id").map_groups(occ, batch_format="pandas")
+
+
+SQL_RUNNING_COUNT = """
+SELECT event_id,
+       row_number() OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, event_id
+       )::BIGINT AS occ_idx
+FROM events
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """orders x customer broadcast hash join -> revenue per market
+    segment. customer is the small side: `ray.put` once, dict lookup
+    per batch (SURVEY §2.4 — all reference joins are map-side)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(
+        zip(
+            cust["c_custkey"].to_pylist(),
+            cust["c_mktsegment"].to_pylist(),
+        )
+    )
+    ref = ray.put(seg_map)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        seg = [m.get(k) for k in t["o_custkey"].to_pylist()]
+        df = pd.DataFrame(
+            {"c_mktsegment": seg, "price": t["o_totalprice"].to_numpy()}
+        )
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n=("price", "size"), s=("price", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": pc.cast(t["n"], pa.int64()),
+                "revenue": pc.round(t["s"], ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary — grouped aggregate with
+    pre-combine (the §2.5 aggregate family at lineitem scale)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "qty": t["l_quantity"].to_numpy(),
+                "rev": rev.to_numpy(),
+            }
+        )
+        g = df.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).agg(n=("qty", "size"), sq=("qty", "sum"), sr=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sq", alias_name="sq"),
+            Sum("sr", alias_name="sr"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "n_rows": pc.cast(t["n"], pa.int64()),
+                "sum_qty": pc.round(t["sq"], ndigits=4),
+                "sum_revenue": pc.round(t["sr"], ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------ registry
+
+# name -> (ray_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    "fold_docs": (q_fold_docs, SQL_FOLD_DOCS),
+    "doc_stats": (q_doc_stats, fts.doc_stats_sql()),
+    "langid": (q_langid, fts.langid_sql()),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "token_freq": (q_token_freq, fts.token_freq_sql(min_count=50)),
+    "blocking_keys": (q_blocking_keys, SQL_BLOCKING_KEYS),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
+    "simhash_neardup": (q_simhash_neardup, None),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "events_agg": (q_events_agg, SQL_EVENTS_AGG),
+    "user_topk": (q_user_topk, SQL_USER_TOPK),
+    "running_count": (q_running_count, SQL_RUNNING_COUNT),
+    "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
+}

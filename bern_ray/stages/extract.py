@@ -1,0 +1,190 @@
+"""Extract stage: html -> byte-identical text + candidate entity mentions.
+
+The Ray-native analog of the reference's ingest + NER front half
+(SURVEY.md §7.0): deterministic text extraction replaces the XML
+flattening (download.py:179-424), and a gazetteer + pattern taggers
+replace BioBERT span proposal. Runs as a STATEFUL ACTOR POOL —
+compiled alternation regexes and dictionaries are built once per actor
+in ``__init__`` (the reference loads its dictionaries once per server
+process, normalize.py:16-166), and each ``__call__`` processes one
+Arrow batch.
+
+Output schema (flat mentions table; explicit mention_id replaces the
+reference's positional identity, SURVEY.md §2.4):
+    url:string, mention_id:int64, etype:string,
+    start:int64, end:int64 (exclusive), surface:string
+
+Semantics reproduced from the reference:
+- stoplist filter: species surfaces in the human-synonym stoplist are
+  dropped (utils.py:269-308).
+- span-conflict resolution: when two taggers propose overlapping
+  spans, the higher-priority (longer, then etype-ranked) span wins —
+  the deterministic analog of merge_results' mean-logit duel
+  (biobert_ner/ops.py:232-476).
+- surface invariant: surface == text[start:end] always
+  (convert.py:453); spans use the EXCLUSIVE-end convention, fixing the
+  reference's inclusive/exclusive split (ops.py:55-58 vs
+  normalize.py:206) once.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.fold import SPECIES_STOPLIST, fold_text
+from ..sources import dicts
+
+# etype priority for the span-conflict duel (higher wins ties of equal
+# span length) — mirrors the pairwise type preferences in
+# biobert_ner/ops.py:232-476.
+_ETYPE_RANK = {
+    "mutation": 7, "gene": 6, "disease": 5, "drug": 4,
+    "species": 3, "mirna": 2, "pathway": 1,
+}
+
+_MIRNA_RE = re.compile(
+    r"\b(hsa|mmu|rno)-(mir|miR|let)-(\d+)([a-z]?)(-[35]p)?\b"
+)
+
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_text_from_html(html_bytes: bytes) -> str:
+    """Deterministic html -> folded text (the byte-identical invariant)."""
+    s = html_bytes.decode("utf-8")
+    m = re.search(r"<body>(.*)</body>", s, re.DOTALL)
+    body = m.group(1) if m else s
+    stripped = _TAG_RE.sub("", body)
+    raw = _html.unescape(stripped)
+    return fold_text(pa.array([raw])).to_pylist()[0]
+
+
+def extract_texts(html_col) -> pa.Array:
+    """Vectorized variant over an Arrow binary array."""
+    decoded = [b.decode("utf-8") for b in html_col.to_pylist()]
+    bodies = []
+    for s in decoded:
+        m = re.search(r"<body>(.*)</body>", s, re.DOTALL)
+        body = m.group(1) if m else s
+        bodies.append(_html.unescape(_TAG_RE.sub("", body)))
+    return fold_text(pa.array(bodies, type=pa.string()))
+
+
+def _fnv64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def mention_id_of(url: str, start: int) -> int:
+    """Stable per-(url, start) 63-bit id (FIXTURES.md §4)."""
+    return _fnv64(f"{url}#{start}") >> 1
+
+
+def normalize_mirna(prefix: str, mid: str, num: str, letter: str) -> str:
+    """Rule-based miRNA normalization: case-fold 'miR', drop -3p/-5p arm
+    (reference rule set: normalizers/miRNA_normalizer.py:60-151)."""
+    stem = "let" if mid.lower() == "let" else "mir"
+    return f"MI:{prefix}-{stem}-{num}{letter}"
+
+
+class MentionExtractor:
+    """Actor-pool callable: pages batch -> mentions batch.
+
+    State built once per actor: the gazetteer alternation regex over
+    all dictionary surfaces (longest-first so the leftmost-longest
+    alias wins) plus the stoplist words tagged as species (so the
+    stoplist filter has real work to do, as in the reference where the
+    NER model emits them and filter_entities drops them).
+    """
+
+    def __init__(self, extract_from_html: bool = False):
+        t = dicts.build_mention_dict()
+        surfaces = t["surface"].to_pylist()
+        oids = t["oid"].to_pylist()
+        etypes = t["etype"].to_pylist()
+        self.surface_etype = dict(zip(surfaces, etypes))
+        self.surface_oid = dict(zip(surfaces, oids))
+        # stoplist words are taggable species surfaces that must then
+        # be filtered — reference behavior (utils.py:279-308)
+        for w in SPECIES_STOPLIST:
+            self.surface_etype.setdefault(w, "species")
+        pats = sorted(self.surface_etype, key=len, reverse=True)
+        self.gazetteer = re.compile(
+            r"(?<![0-9A-Za-z])("
+            + "|".join(re.escape(p) for p in pats)
+            + r")(?![0-9A-Za-z])"
+        )
+        self.extract_from_html = extract_from_html
+
+    def _tag_one(self, url: str, text: str):
+        rows = []
+        taken: list[tuple[int, int, int, int]] = []  # start,end,rank,idx
+        for m in self.gazetteer.finditer(text):
+            surf = m.group(1)
+            et = self.surface_etype[surf]
+            if et == "species" and surf in SPECIES_STOPLIST:
+                continue  # stoplist filter (M11)
+            rows.append((url, m.start(1), m.end(1), surf, et))
+        for m in _MIRNA_RE.finditer(text):
+            rows.append((url, m.start(), m.end(), m.group(0), "mirna"))
+        if not rows:
+            return rows
+        # span-conflict duel: sort by (length desc, rank desc), greedily
+        # keep non-overlapping spans
+        rows.sort(
+            key=lambda r: (-(r[2] - r[1]), -_ETYPE_RANK.get(r[4], 0), r[1])
+        )
+        kept = []
+        occupied: list[tuple[int, int]] = []
+        for r in rows:
+            if any(not (r[2] <= s or r[1] >= e) for s, e in occupied):
+                continue
+            occupied.append((r[1], r[2]))
+            kept.append(r)
+        kept.sort(key=lambda r: r[1])
+        return kept
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.extract_from_html:
+            texts = extract_texts(batch["html"]).to_pylist()
+        else:
+            texts = batch["text"].to_pylist()
+        urls = batch["url"].to_pylist()
+        out_url, out_mid, out_et, out_s, out_e, out_surf = [], [], [], [], [], []
+        for url, text in zip(urls, texts):
+            for (u, s, e, surf, et) in self._tag_one(url, text):
+                assert text[s:e] == surf  # invariant convert.py:453
+                out_url.append(u)
+                out_mid.append(mention_id_of(u, s))
+                out_et.append(et)
+                out_s.append(s)
+                out_e.append(e)
+                out_surf.append(surf)
+        return pa.table(
+            {
+                "url": pa.array(out_url, type=pa.string()),
+                "mention_id": pa.array(out_mid, type=pa.int64()),
+                "etype": pa.array(out_et, type=pa.string()),
+                "start": pa.array(out_s, type=pa.int64()),
+                "end": pa.array(out_e, type=pa.int64()),
+                "surface": pa.array(out_surf, type=pa.string()),
+            }
+        )
+
+
+class TextExtractionChecker:
+    """Actor-pool callable verifying the byte-identical invariant:
+    re-extracted text from `html` equals the `text` column, per url.
+    Emits (url, ok:bool) — consumed by tests and the entry smoke."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ex = extract_texts(batch["html"])
+        ok = pa.compute.equal(ex, batch["text"])
+        return pa.table({"url": batch["url"], "ok": ok})

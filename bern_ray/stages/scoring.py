@@ -1,0 +1,93 @@
+"""Pair-scoring stage: candidate pairs -> scored edges.
+
+Ray-native analog of the reference's span scoring + cross-type duel
+(biobert_ner/ops.py:214-476) and of the north_star's "batched
+Jaro-Winkler/Levenshtein plus embedding-cosine ensemble". Runs as an
+actor pool over Arrow batches of pairs; every kernel is vectorized
+over the whole batch (core/similarity.py) — the per-batch cost is a
+few numpy passes, GPU-replaceable by swapping the cosine component.
+
+Ensemble semantics (frozen; reproduced by the fixtures' ground truth):
+
+    base = 1.0  if both oids resolved and equal      (dictionary hit)
+         = 0.9  if both unresolved and folds equal   (CUI-less twins)
+         = 0.0  otherwise
+    sim  = 0.3*jaro_winkler + 0.3*levenshtein_sim + 0.4*ngram_cosine
+    score = 0.8*base + 0.2*sim
+
+With EDGE_THRESHOLD = 0.75, only dictionary/fold agreement can cross
+the threshold (sim alone maxes at 0.2) — mirroring the reference,
+where linkage is decided by normalization identity while the neural
+score orders candidates (ops.py:232-476 keeps the higher-scored type
+rather than linking across types).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.fold import tmchem_key
+from ..core.similarity import (
+    cosine_pairs,
+    jaro_winkler,
+    levenshtein_sim,
+    ngram_hash_vectors,
+)
+
+EDGE_THRESHOLD = 0.75
+
+
+class PairScorer:
+    """Actor-pool callable: pair batch -> pair batch + score column."""
+
+    def __init__(self, threshold: float = EDGE_THRESHOLD):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(
+                "score", pa.array([], type=pa.float64())
+            ).append_column("is_edge", pa.array([], type=pa.bool_()))
+        a = batch["a_surface"].to_pylist()
+        b = batch["b_surface"].to_pylist()
+        a_oid = batch["a_oid"].to_pylist()
+        b_oid = batch["b_oid"].to_pylist()
+        jw = jaro_winkler(a, b)
+        lv = levenshtein_sim(a, b)
+        Ea = ngram_hash_vectors(a)
+        Eb = ngram_hash_vectors(b)
+        cos = cosine_pairs(Ea, Eb)
+        sim = 0.3 * jw + 0.3 * lv + 0.4 * cos
+        same_oid = np.array(
+            [x is not None and x == y for x, y in zip(a_oid, b_oid)]
+        )
+        both_miss = np.array(
+            [x is None and y is None for x, y in zip(a_oid, b_oid)]
+        )
+        if both_miss.any():
+            fa = tmchem_key(batch["a_surface"]).to_numpy(zero_copy_only=False)
+            fb = tmchem_key(batch["b_surface"]).to_numpy(zero_copy_only=False)
+            fold_eq = both_miss & (fa == fb)
+        else:
+            fold_eq = np.zeros(n, dtype=bool)
+        base = np.where(same_oid, 1.0, np.where(fold_eq, 0.9, 0.0))
+        score = 0.8 * base + 0.2 * sim
+        return batch.append_column(
+            "score", pa.array(score, type=pa.float64())
+        ).append_column(
+            "is_edge", pa.array(score >= self.threshold, type=pa.bool_())
+        )
+
+
+def edges_only(batch: pa.Table) -> pa.Table:
+    """Project scored pairs down to the edge list fed to CC."""
+    t = batch.filter(batch["is_edge"])
+    return pa.table(
+        {
+            "src": t["a_mid"],
+            "dst": t["b_mid"],
+            "score": t["score"],
+        }
+    )

@@ -1,0 +1,90 @@
+"""Per-stage Parquet checkpoints with lineage + metrics sidecars.
+
+The reference has NO checkpoint/resume (outputs are deleted at server
+start, server.py:641-649); the north_rule requires it. Model:
+
+- each stage may be wrapped in ``checkpointed(name, factory, root)``;
+- a completed stage lives at ``{root}/{name}/`` as partitioned Parquet
+  plus ``_MANIFEST.json`` recording row count, schema, wall time and
+  the upstream stage names (lineage);
+- resume-by-existence: if the manifest is present the stage is NOT
+  recomputed — the parquet is read back and streaming continues from
+  there (FIXTURES.md §6 test 5);
+- writes are atomic: data goes to ``{root}/.tmp-{name}`` and is
+  renamed into place after the manifest is written.
+
+Partition layout: Ray Data writes one file per block, so a stage's
+directory is naturally partitioned by input shard; a failed run leaves
+only the tmp dir, which is ignored and overwritten on rerun.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+import ray.data
+
+
+def manifest_path(root: str, name: str) -> str:
+    return os.path.join(root, name, "_MANIFEST.json")
+
+
+def is_complete(root: str, name: str) -> bool:
+    return os.path.exists(manifest_path(root, name))
+
+
+def checkpointed(
+    name: str,
+    factory: Callable[[], "ray.data.Dataset"],
+    root: str | None,
+    lineage: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Run (or resume) a stage through a Parquet checkpoint.
+
+    With ``root=None`` checkpointing is disabled and the factory's
+    lazy Dataset is returned unchanged (pure streaming).
+    """
+    if root is None:
+        return factory()
+    stage_dir = os.path.join(root, name)
+    if is_complete(root, name):
+        return ray.data.read_parquet(stage_dir)
+    tmp_dir = os.path.join(root, f".tmp-{name}")
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
+    t0 = time.monotonic()
+    ds = factory()
+    ds.write_parquet(tmp_dir)
+    elapsed = time.monotonic() - t0
+    written = ray.data.read_parquet(tmp_dir)
+    n = written.count()
+    schema = written.schema()
+    if os.path.exists(stage_dir):
+        shutil.rmtree(stage_dir)
+    os.rename(tmp_dir, stage_dir)
+    with open(manifest_path(root, name), "w") as f:
+        json.dump(
+            {
+                "stage": name,
+                "rows": n,
+                "schema": [
+                    [fname, str(ftype)]
+                    for fname, ftype in zip(schema.names, schema.types)
+                ],
+                "wall_sec": round(elapsed, 3),
+                "lineage": lineage or [],
+            },
+            f,
+            indent=1,
+        )
+    return ray.data.read_parquet(stage_dir)
+
+
+def read_manifest(root: str, name: str) -> dict:
+    with open(manifest_path(root, name)) as f:
+        return json.load(f)

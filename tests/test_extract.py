@@ -1,0 +1,87 @@
+"""Extraction invariants (FIXTURES.md §6 item 1 + §5 edge cases)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from bern_ray.core.fold import SPECIES_STOPLIST
+from bern_ray.sources import dicts
+from bern_ray.sources.pages import (
+    pages_table,
+    planted_mentions,
+    planted_mirna,
+    url_of,
+)
+from bern_ray.stages.extract import (
+    MentionExtractor,
+    extract_texts,
+    mention_id_of,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_html_extraction_byte_identical():
+    t = pages_table(SF)
+    ex = extract_texts(t["html"].combine_chunks())
+    assert pc.all(pc.equal(ex, t["text"].combine_chunks())).as_py()
+
+
+def test_extractor_finds_planted_mentions():
+    t = pages_table(SF)
+    out = MentionExtractor()(t)
+    df = out.to_pandas()
+    by_url = {u: g for u, g in df.groupby("url")}
+    missing = 0
+    for doc_id in range(200):
+        url = url_of(doc_id)
+        got = set(by_url[url]["surface"]) if url in by_url else set()
+        for _, surf in planted_mentions(doc_id):
+            # the fold may rewrite whitespace inside the alias
+            from bern_ray.core.fold import fold_text_str
+
+            if fold_text_str(surf) not in got:
+                missing += 1
+    assert missing == 0
+
+
+def test_surface_equals_text_slice():
+    t = pages_table(SF)
+    out = MentionExtractor()(t)
+    texts = dict(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    for r in out.to_pylist():
+        assert texts[r["url"]][r["start"] : r["end"]] == r["surface"]
+        assert r["mention_id"] == mention_id_of(r["url"], r["start"])
+
+
+def test_stoplist_species_filtered():
+    t = pages_table(SF)
+    out = MentionExtractor()(t)
+    surfaces = set(out["surface"].to_pylist())
+    assert not (surfaces & SPECIES_STOPLIST)
+
+
+def test_mirna_pattern_tagged():
+    t = pages_table(SF)
+    out = MentionExtractor()(t)
+    df = out.to_pandas()
+    for doc_id in range(500):
+        mir = planted_mirna(doc_id)
+        if mir is None:
+            continue
+        g = df[df.url == url_of(doc_id)]
+        assert mir in set(g.surface), (doc_id, mir)
+
+
+def test_span_conflict_duel_longest_wins():
+    # two overlapping candidates: dict alias inside a longer alias
+    ex = MentionExtractor()
+    # synthesize text containing a dict surface with a ' gene' suffix;
+    # gazetteer must emit the longest alternative only
+    i = next(
+        j for j in range(dicts.N_OIDS) if j % 7 == 0 and j % 3 == 0
+    )  # gene with ' gene' alias
+    long_alias = [a for a in dicts.aliases_of(i) if a.endswith(" gene")][0]
+    text = f"prefix {long_alias} suffix"
+    rows = ex._tag_one("u", text)
+    assert len(rows) == 1
+    assert rows[0][3] == long_alias
