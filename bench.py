@@ -1,0 +1,167 @@
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+
+    {"metric": "e2e_linkage_sec", "value": N, "unit": "sec",
+     "queries": {...}, "pairs_per_sec": ..., "sf": ..., "num_cpus": N}
+
+`python bench.py --scaling` runs the headline pipeline in two fresh
+processes (num_cpus=8 then 32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox rendering of the north
+rule's N vs 4N cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# corpus scale-up for the linkage headline (pages = docs x REPLICATE)
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "8"))
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from bern_ray.functions.ann import ann_topk
+    from bern_ray.functions.dedup import exact_dedup, minhash_neardup
+    from bern_ray.pipelines.linkage import (
+        extract_mentions,
+        normalize_mentions,
+        score_pairs,
+        cluster_mentions,
+    )
+    from bern_ray.pipelines.relational import (
+        _query_vectors,
+        q_events_agg,
+        q_lineitem_pricing,
+        q_token_freq,
+    )
+    from bern_ray.sources.pages import read_pages
+    from bern_ray.stages.blocking import candidate_pairs
+    from bern_ray.stages.scoring import edges_only
+
+    queries: dict[str, float] = {}
+
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    # --- headline: end-to-end linkage -------------------------------
+    t0 = time.monotonic()
+    normalized = normalize_mentions(
+        extract_mentions(read_pages(SF_DIR, replicate=REPLICATE))
+    ).materialize()
+    n_mentions = normalized.count()
+    t_extract = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    scored = score_pairs(candidate_pairs(normalized)).materialize()
+    n_pairs = scored.count()
+    t_score = time.monotonic() - t1
+
+    t2 = time.monotonic()
+    edges = scored.map_batches(edges_only, batch_format="pyarrow")
+    clusters = cluster_mentions(normalized, edges)
+    n_rows = clusters.count()
+    t_cluster = time.monotonic() - t2
+    e2e = time.monotonic() - t0
+
+    queries["extract_normalize"] = round(t_extract, 3)
+    queries["block_score"] = round(t_score, 3)
+    queries["cluster"] = round(t_cluster, 3)
+
+    # --- secondary pipelines ---------------------------------------
+    for name, fn in (
+        ("exact_dedup", lambda: exact_dedup(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet")).count()),
+        ("minhash_neardup", lambda: minhash_neardup(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet")).count()),
+        ("token_freq", lambda: q_token_freq(SF_DIR).count()),
+        ("events_agg", lambda: q_events_agg(SF_DIR).count()),
+        ("lineitem_pricing", lambda: q_lineitem_pricing(SF_DIR).count()),
+    ):
+        t = time.monotonic()
+        fn()
+        queries[name] = round(time.monotonic() - t, 3)
+
+    t = time.monotonic()
+    embs = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    Q, qids = _query_vectors(SF_DIR)
+    ann_topk(embs, Q, qids, k=10).count()
+    queries["ann_topk"] = round(time.monotonic() - t, 3)
+
+    result = {
+        "metric": "e2e_linkage_sec",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": queries,
+        "n_mentions": n_mentions,
+        "n_candidate_pairs": n_pairs,
+        "pairs_per_sec": round(n_pairs / max(t_score, 1e-9), 1),
+        "n_cluster_rows": n_rows,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    thr_lo = r_lo["n_candidate_pairs"] / r_lo["value"]
+    thr_hi = r_hi["n_candidate_pairs"] / r_hi["value"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "throughput_8": round(thr_lo, 1),
+        "throughput_32": round(thr_hi, 1),
+        "pairs_per_sec_8": r_lo["pairs_per_sec"],
+        "pairs_per_sec_32": r_hi["pairs_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -80,17 +80,40 @@ def score_pairs(
     )
 
 
-def _assign_clusters_group(g: pd.DataFrame) -> pd.DataFrame:
+def _assign_clusters_group(g: pd.DataFrame) -> pa.Table:
     """Per component: cluster_id = min resolved oid, else the shared
-    fold key (CUI-less cluster) — deterministic, order-insensitive."""
+    fold key (CUI-less cluster) — deterministic, order-insensitive.
+
+    Returns an explicit Arrow table (list<string> ids) so the output
+    block is parquet-writable regardless of pandas object dtypes.
+    """
     oids = g["oid"].dropna()
     if len(oids):
         cid = "BERN:" + oids.min()
     else:
         cid = "SURF:" + str(g["fold_key"].min())
-    out = g.drop(columns=["root"]).copy()
-    out["cluster_id"] = cid
-    return out
+    n = len(g)
+    return pa.table(
+        {
+            "url": pa.array(g["url"].tolist(), type=pa.string()),
+            "mention_id": pa.array(
+                g["mention_id"].tolist(), type=pa.int64()
+            ),
+            "etype": pa.array(g["etype"].tolist(), type=pa.string()),
+            "start": pa.array(g["start"].tolist(), type=pa.int64()),
+            "end": pa.array(g["end"].tolist(), type=pa.int64()),
+            "surface": pa.array(g["surface"].tolist(), type=pa.string()),
+            "oid": pa.array(
+                [x if isinstance(x, str) else None for x in g["oid"]],
+                type=pa.string(),
+            ),
+            "ids": pa.array(
+                [list(x) for x in g["ids"]], type=pa.list_(pa.string())
+            ),
+            "fold_key": pa.array(g["fold_key"].tolist(), type=pa.string()),
+            "cluster_id": pa.array([cid] * n, type=pa.string()),
+        }
+    )
 
 
 def cluster_mentions(

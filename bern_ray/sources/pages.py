@@ -93,10 +93,18 @@ def url_of(doc_id: int) -> str:
     return f"https://site{doc_id % 50}.example/p/{doc_id}"
 
 
-def _make_pages_batch(batch: pa.Table) -> pa.Table:
+def _make_pages_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     langs = batch["lang"].to_pylist()
+    if replicate > 1:
+        # deterministic scale-up: each copy gets a disjoint doc_id band,
+        # so planted mentions/edge cases differ per copy (not clones)
+        doc_ids = [
+            d + j * 1_000_000 for j in range(replicate) for d in doc_ids
+        ]
+        texts = texts * replicate
+        langs = langs * replicate
     urls = [url_of(d) for d in doc_ids]
     raws = [raw_page_text(d, t) for d, t in zip(doc_ids, texts)]
     htmls = [
@@ -121,12 +129,21 @@ def _make_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str) -> "ray.data.Dataset":
-    """documents.parquet -> pages Dataset (lazy, streaming)."""
+def read_pages(sf_dir: str, replicate: int = 1) -> "ray.data.Dataset":
+    """documents.parquet -> pages Dataset (lazy, streaming).
+
+    ``replicate`` scales the corpus deterministically (bench knob):
+    each copy occupies a disjoint doc_id band with its own planted
+    mentions, so blocking/scoring work grows linearly with it.
+    """
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return ds.map_batches(_make_pages_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: _make_pages_batch(t, replicate),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
 
 
 def pages_table(sf_dir: str) -> pa.Table:

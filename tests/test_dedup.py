@@ -1,0 +1,94 @@
+"""Dedup family: planted near-dups recovered; LSH+verify == exact."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_matches_duckdb(docs):
+    import duckdb
+
+    from bern_ray.functions.dedup import exact_dedup
+
+    got = exact_dedup(docs).to_pandas().sort_values("content_md5")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(
+        "SELECT md5(text) AS content_md5, min(doc_id) rep_doc_id, "
+        "count(*) n_dups FROM documents GROUP BY 1"
+    ).df().sort_values("content_md5")
+    assert got.content_md5.tolist() == exp.content_md5.tolist()
+    assert got.rep_doc_id.tolist() == exp.rep_doc_id.tolist()
+    assert got.n_dups.tolist() == exp.n_dups.tolist()
+
+
+def test_minhash_neardup_equals_exact_jaccard(docs):
+    """LSH candidates + exact verify reproduces the brute-force shingle
+    Jaccard pair set at threshold 0.9 (recall ~1-4e-16)."""
+    import duckdb
+
+    from bern_ray.functions.dedup import minhash_neardup
+
+    got = (
+        minhash_neardup(docs, threshold=0.9)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(
+        """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[0-9a-zA-Z]+') ts
+             FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(ts)>=3 THEN list_distinct(
+        list_transform(generate_series(1,len(ts)-2),
+                       i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]))
+       ELSE [] END AS ss FROM tok)
+SELECT a.doc_id doc_id_a, b.doc_id doc_id_b,
+ round(len(list_intersect(a.ss,b.ss))::DOUBLE
+       / len(list_distinct(list_concat(a.ss,b.ss))),6) jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.ss)>0 AND len(b.ss)>0
+ AND len(list_intersect(a.ss,b.ss))::DOUBLE
+     / len(list_distinct(list_concat(a.ss,b.ss))) >= 0.9
+"""
+    ).df().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    assert len(got) > 10, "expected planted near-dups"
+    assert got.doc_id_a.tolist() == exp.doc_id_a.tolist()
+    assert got.doc_id_b.tolist() == exp.doc_id_b.tolist()
+    assert np.allclose(got.jaccard, exp.jaccard, atol=1e-6)
+
+
+def test_simhash_neardup_finds_planted(docs):
+    from bern_ray.functions.dedup import minhash_neardup, simhash_neardup
+
+    sh = simhash_neardup(docs, max_hamming=3).to_pandas()
+    mh = minhash_neardup(docs, threshold=0.9).to_pandas()
+    sh_pairs = set(zip(sh.doc_id_a, sh.doc_id_b))
+    mh_pairs = set(zip(mh.doc_id_a, mh.doc_id_b))
+    # simhash at hamming<=3 should recover most strong near-dups
+    assert len(sh_pairs & mh_pairs) >= len(mh_pairs) * 0.3
+    # and every simhash pair must be a genuinely similar doc pair
+    assert (sh.hamming <= 3).all()
+
+
+def test_embedding_neardup_symmetric_threshold(ray_session):
+    import ray.data
+
+    from bern_ray.functions.dedup import embedding_neardup
+
+    embs = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    out = embedding_neardup(embs, threshold=0.4).to_pandas()
+    assert (out.vec_id_a < out.vec_id_b).all()
+    assert (out.cos_sim >= 0.4 - 1e-9).all()
+    assert not out.duplicated(["vec_id_a", "vec_id_b"]).any()
