@@ -193,7 +193,7 @@ def ngram_hash_vectors(
     flat = (np.arange(nrows)[:, None] * dim + h)[valid]
     vec = np.bincount(flat, minlength=nrows * dim).astype(np.float32)
     vec = vec.reshape(nrows, dim)
-    norms = np.linalg.norm(vec, axis=1, keepdims=True)
+    norms = np.sqrt(np.einsum("ij,ij->i", vec, vec))[:, None]
     np.divide(vec, norms, out=vec, where=norms > 0)
     return vec
 

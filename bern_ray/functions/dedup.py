@@ -74,47 +74,71 @@ def _shingle_sets(texts: list[str], k: int) -> list[np.ndarray]:
 
 
 def _minhash_band_rows(t: pa.Table, k: int) -> pa.Table:
+    """(band, doc_id) rows only — token sets are NOT shipped through
+    the shuffle (carrying them per band row multiplied shuffle volume
+    by the band count)."""
     texts = t["text"].to_pylist()
     doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
     flat, starts = token_shingles(texts, k=k)
     sig = minhash_signatures(flat, starts, num_perm=MINHASH_PERMS)
     bands = band_keys(sig, bands=MINHASH_BANDS, rows=MINHASH_ROWS)
-    tok_sets = _shingle_sets(texts, k)
     n = len(texts)
     rep = np.repeat(np.arange(n), MINHASH_BANDS)
     return pa.table(
         {
             "band": pa.array(bands.ravel().tolist(), type=pa.string()),
             "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
-            "tok": pa.array(
-                [tok_sets[i] for i in rep], type=pa.list_(pa.int64())
-            ),
         }
     )
 
 
-def _band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.drop_duplicates("doc_id").sort_values("doc_id")
+_DEDUP_BUCKETS = 128
+
+
+def _band_bucket(t: pa.Table) -> pa.Table:
+    from zlib import crc32
+
+    return t.append_column(
+        "bucket",
+        pa.array(
+            [crc32(b.encode()) % _DEDUP_BUCKETS for b in t["band"].to_pylist()],
+            type=pa.int64(),
+        ),
+    )
+
+
+def _band_pairs_bucket(g: pd.DataFrame) -> pa.Table:
+    """Vectorized all-pairs within every band group of one bucket
+    (cap=None: the oracle is the full pair set, and oversized groups
+    are exact-duplicate classes whose output is quadratic by
+    definition)."""
+    from ..stages.blocking import segment_pairs
+
+    g = g.drop_duplicates(["band", "doc_id"])
+    g = g.sort_values(["band", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    bands = g["band"].to_numpy(dtype=object)
     n = len(g)
-    if n < 2:
-        return pd.DataFrame(
+    if n == 0:
+        return pa.table(
             {
-                "doc_id_a": pd.Series(dtype="int64"),
-                "doc_id_b": pd.Series(dtype="int64"),
-                "jaccard": pd.Series(dtype="float64"),
+                "doc_id_a": pa.array([], type=pa.int64()),
+                "doc_id_b": pa.array([], type=pa.int64()),
             }
         )
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = bands[1:] != bands[:-1]
+    starts = np.flatnonzero(new_run)
+    sizes = np.diff(np.append(starts, n))
+    ai, bi = segment_pairs(starts, sizes, cap=None)
     ids = g["doc_id"].to_numpy()
-    toks = g["tok"].to_numpy(dtype=object)
-    ai, bi = np.triu_indices(n, k=1)
-    jac = np.empty(len(ai))
-    for x, (i, j) in enumerate(zip(ai, bi)):
-        sa, sb = toks[i], toks[j]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        jac[x] = inter / union if union else 0.0
-    return pd.DataFrame(
-        {"doc_id_a": ids[ai], "doc_id_b": ids[bi], "jaccard": jac}
+    return pa.table(
+        {
+            "doc_id_a": pa.array(ids[ai], type=pa.int64()),
+            "doc_id_b": pa.array(ids[bi], type=pa.int64()),
+        }
     )
 
 
@@ -130,29 +154,64 @@ def minhash_neardup(
     With 32 bands x 4 rows, detection probability at j=0.9 is
     1-(1-0.9^4)^32 ≈ 1-4e-16 — effectively exhaustive at the verify
     threshold, which is what lets the DuckDB all-pairs oracle agree.
+
+    Execution shape: (1) one pass emits (band, doc_id) rows; (2) one
+    bucketed groupby generates candidate pairs vectorized; (3) pairs
+    are deduped by a groupby on the pair key; (4) exact verification
+    reads both docs' shingle sets from a BROADCAST map (`ray.put`
+    once). At 10^12-doc scale step 4 becomes a bucketed hash join on
+    doc_id instead of a broadcast — the pair set shape is identical.
     """
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        sets = _shingle_sets(texts, shingle_k)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tok": pa.array(
+                    [s.tolist() for s in sets], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    # broadcast verification table (doc_id -> sorted shingle hash set)
+    shingle_map: dict[int, np.ndarray] = {}
+    for b in docs.map_batches(
+        shingle_rows, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for d, s in zip(b["doc_id"].to_pylist(), b["tok"].to_pylist()):
+            shingle_map[d] = np.asarray(s, dtype=np.int64)
+    ref = ray.put(shingle_map)
+
     band_rows = docs.map_batches(
         lambda t: _minhash_band_rows(t, shingle_k), batch_format="pyarrow"
+    ).map_batches(_band_bucket, batch_format="pyarrow")
+    pairs = band_rows.groupby("bucket").map_groups(
+        _band_pairs_bucket, batch_format="pandas"
     )
-    pairs = band_rows.groupby("band").map_groups(
-        _band_pairs, batch_format="pandas"
-    )
-    verified = pairs.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
-        batch_format="pyarrow",
-    )
-    # dedupe candidate multiplicity across bands
-    uniq = verified.groupby(["doc_id_a", "doc_id_b"]).max("jaccard")
-    return uniq.map_batches(
-        lambda t: pa.table(
+    uniq = pairs.groupby(["doc_id_a", "doc_id_b"]).count()
+
+    def verify(t: pa.Table) -> pa.Table:
+        smap = ray.get(ref)
+        a = t["doc_id_a"].to_pylist()
+        b = t["doc_id_b"].to_pylist()
+        jac = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            sa, sb = smap[x], smap[y]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= threshold
+        return pa.table(
             {
-                "doc_id_a": t["doc_id_a"],
-                "doc_id_b": t["doc_id_b"],
-                "jaccard": pc.round(t["max(jaccard)"], ndigits=6),
+                "doc_id_a": pa.array(np.asarray(a)[keep], type=pa.int64()),
+                "doc_id_b": pa.array(np.asarray(b)[keep], type=pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6)),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
 
 
 def _simhash_rows(t: pa.Table) -> pa.Table:
@@ -179,32 +238,46 @@ def _simhash_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def _simhash_pairs(max_hamming: int):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+def _simhash_pairs_bucket(max_hamming: int):
+    def fn(g: pd.DataFrame) -> pa.Table:
+        from ..stages.blocking import segment_pairs
+
+        g = g.drop_duplicates(["band", "doc_id"])
+        g = g.sort_values(["band", "doc_id"], kind="mergesort").reset_index(
+            drop=True
+        )
         n = len(g)
+        empty = pa.table(
+            {
+                "doc_id_a": pa.array([], type=pa.int64()),
+                "doc_id_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
         if n < 2:
-            return pd.DataFrame(
-                {
-                    "doc_id_a": pd.Series(dtype="int64"),
-                    "doc_id_b": pd.Series(dtype="int64"),
-                    "hamming": pd.Series(dtype="int64"),
-                }
-            )
+            return empty
+        bands = g["band"].to_numpy(dtype=object)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = bands[1:] != bands[:-1]
+        starts = np.flatnonzero(new_run)
+        sizes = np.diff(np.append(starts, n))
+        ai, bi = segment_pairs(starts, sizes, cap=None)
+        if len(ai) == 0:
+            return empty
         ids = g["doc_id"].to_numpy()
         sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
-        ai, bi = np.triu_indices(n, k=1)
         x = np.bitwise_xor(sims[ai], sims[bi])
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x = x >> np.uint64(1)
         keep = ham <= max_hamming
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id_a": ids[ai][keep],
-                "doc_id_b": ids[bi][keep],
-                "hamming": ham[keep],
+                "doc_id_a": pa.array(ids[ai][keep], type=pa.int64()),
+                "doc_id_b": pa.array(ids[bi][keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
             }
         )
 
@@ -214,9 +287,23 @@ def _simhash_pairs(max_hamming: int):
 def simhash_neardup(
     docs: "ray.data.Dataset", max_hamming: int = 3
 ) -> "ray.data.Dataset":
-    rows = docs.map_batches(_simhash_rows, batch_format="pyarrow")
-    pairs = rows.groupby("band").map_groups(
-        _simhash_pairs(max_hamming), batch_format="pandas"
+    from zlib import crc32
+
+    rows = docs.map_batches(_simhash_rows, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "bucket",
+            pa.array(
+                [
+                    crc32(b.encode()) % _DEDUP_BUCKETS
+                    for b in t["band"].to_pylist()
+                ],
+                type=pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = rows.groupby("bucket").map_groups(
+        _simhash_pairs_bucket(max_hamming), batch_format="pandas"
     )
     uniq = pairs.groupby(["doc_id_a", "doc_id_b"]).min("hamming")
     return uniq.map_batches(

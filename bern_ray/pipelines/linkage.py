@@ -39,10 +39,14 @@ from ..state.checkpoint import checkpointed
 
 def extract_mentions(
     pages: "ray.data.Dataset",
-    concurrency: int | tuple = (2, 8),
-    batch_size: int = 2048,
+    concurrency: int | tuple = (1, 16),
+    batch_size: int | None = None,
     from_html: bool = False,
 ) -> "ray.data.Dataset":
+    """batch_size=None processes one upstream block per actor call —
+    no batch coalescing, so task count == block count and the pool can
+    scale out (a numeric batch_size larger than the block size bundles
+    many blocks into few tasks and serializes the stage)."""
     return pages.map_batches(
         MentionExtractor,
         fn_constructor_kwargs={"extract_from_html": from_html},
@@ -54,8 +58,8 @@ def extract_mentions(
 
 def normalize_mentions(
     mentions: "ray.data.Dataset",
-    concurrency: int | tuple = (2, 8),
-    batch_size: int = 8192,
+    concurrency: int | tuple = (1, 16),
+    batch_size: int | None = None,
 ) -> "ray.data.Dataset":
     tables_ref = ray.put(build_lookup_tables())
     return mentions.map_batches(
@@ -69,8 +73,8 @@ def normalize_mentions(
 
 def score_pairs(
     pairs: "ray.data.Dataset",
-    concurrency: int | tuple = (2, 8),
-    batch_size: int = 16384,
+    concurrency: int | tuple = (1, 16),
+    batch_size: int | None = None,
 ) -> "ray.data.Dataset":
     return pairs.map_batches(
         PairScorer,

@@ -142,7 +142,9 @@ def read_pages(sf_dir: str, replicate: int = 1) -> "ray.data.Dataset":
     return ds.map_batches(
         lambda t: _make_pages_batch(t, replicate),
         batch_format="pyarrow",
-        batch_size=1024,
+        # small batches => many output blocks => downstream actor-pool
+        # stages get enough tasks to use the whole cluster
+        batch_size=128,
     )
 
 
