@@ -96,14 +96,9 @@ _DEDUP_BUCKETS = 128
 
 
 def _band_bucket(t: pa.Table) -> pa.Table:
-    from zlib import crc32
-
+    h = pd.util.hash_array(np.asarray(t["band"].to_pylist(), dtype=object))
     return t.append_column(
-        "bucket",
-        pa.array(
-            [crc32(b.encode()) % _DEDUP_BUCKETS for b in t["band"].to_pylist()],
-            type=pa.int64(),
-        ),
+        "bucket", pa.array((h % _DEDUP_BUCKETS).astype(np.int64), type=pa.int64())
     )
 
 
@@ -287,20 +282,8 @@ def _simhash_pairs_bucket(max_hamming: int):
 def simhash_neardup(
     docs: "ray.data.Dataset", max_hamming: int = 3
 ) -> "ray.data.Dataset":
-    from zlib import crc32
-
     rows = docs.map_batches(_simhash_rows, batch_format="pyarrow").map_batches(
-        lambda t: t.append_column(
-            "bucket",
-            pa.array(
-                [
-                    crc32(b.encode()) % _DEDUP_BUCKETS
-                    for b in t["band"].to_pylist()
-                ],
-                type=pa.int64(),
-            ),
-        ),
-        batch_format="pyarrow",
+        _band_bucket, batch_format="pyarrow"
     )
     pairs = rows.groupby("bucket").map_groups(
         _simhash_pairs_bucket(max_hamming), batch_format="pandas"

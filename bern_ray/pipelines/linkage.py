@@ -22,6 +22,7 @@ stages/cc.py with the distributed alternative).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -84,18 +85,22 @@ def score_pairs(
     )
 
 
-def _assign_clusters_group(g: pd.DataFrame) -> pa.Table:
-    """Per component: cluster_id = min resolved oid, else the shared
-    fold key (CUI-less cluster) — deterministic, order-insensitive.
+def _assign_clusters_bucket(g: pd.DataFrame) -> pa.Table:
+    """Vectorized cluster-id assignment for ALL components hashed into
+    one bucket (components are numerous and tiny — one Python call per
+    component would dominate; this is one pandas groupby-transform).
 
+    cluster_id = min resolved oid in the component, else the shared
+    fold key (CUI-less cluster) — deterministic, order-insensitive.
     Returns an explicit Arrow table (list<string> ids) so the output
     block is parquet-writable regardless of pandas object dtypes.
     """
-    oids = g["oid"].dropna()
-    if len(oids):
-        cid = "BERN:" + oids.min()
-    else:
-        cid = "SURF:" + str(g["fold_key"].min())
+    grp = g.groupby("root", sort=False)
+    min_oid = grp["oid"].transform("min")  # NaN-safe: skips missing
+    min_fold = grp["fold_key"].transform("min")
+    cid = np.where(
+        min_oid.notna(), "BERN:" + min_oid.fillna(""), "SURF:" + min_fold
+    )
     n = len(g)
     return pa.table(
         {
@@ -115,7 +120,7 @@ def _assign_clusters_group(g: pd.DataFrame) -> pa.Table:
                 [list(x) for x in g["ids"]], type=pa.list_(pa.string())
             ),
             "fold_key": pa.array(g["fold_key"].tolist(), type=pa.string()),
-            "cluster_id": pa.array([cid] * n, type=pa.string()),
+            "cluster_id": pa.array(cid.tolist(), type=pa.string()),
         }
     )
 
@@ -132,13 +137,20 @@ def cluster_mentions(
     def attach_root(t: pa.Table) -> pa.Table:
         lab = ray.get(labels_ref)
         mids = t["mention_id"].to_pylist()
-        roots = [lab.get(m, m) for m in mids]
-        return t.append_column("root", pa.array(roots, type=pa.int64()))
+        roots = np.asarray([lab.get(m, m) for m in mids], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = (roots * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "root", pa.array(roots.astype(np.int64), type=pa.int64())
+        ).append_column(
+            "bucket", pa.array((h % 256).astype(np.int64), type=pa.int64())
+        )
 
     with_root = normalized.map_batches(attach_root, batch_format="pyarrow")
-    return with_root.groupby("root").map_groups(
-        _assign_clusters_group, batch_format="pandas"
+    out = with_root.groupby("bucket").map_groups(
+        _assign_clusters_bucket, batch_format="pandas"
     )
+    return out
 
 
 def linkage_pipeline(
