@@ -55,7 +55,7 @@ def _er_scored_pairs(sf_dir: str):
     normalized = normalize_mentions(
         extract_mentions(read_pages(sf_dir))
     ).materialize()
-    return score_pairs(candidate_pairs(normalized))
+    return score_pairs(candidate_pairs(normalized), normalized)
 
 
 def _er_clusters(sf_dir: str):

@@ -30,12 +30,54 @@ import ray
 import ray.data
 
 from ..sources.pages import read_pages
-from ..stages.blocking import DEFAULT_SALT_THRESHOLD, candidate_pairs
+from ..stages.blocking import (
+    DEFAULT_SALT_THRESHOLD,
+    attach_pair_attrs,
+    build_attr_map,
+    candidate_pairs,
+)
 from ..stages.cc import components
 from ..stages.extract import MentionExtractor
 from ..stages.normalize import MentionNormalizer, build_lookup_tables
 from ..stages.scoring import PairScorer, edges_only
 from ..state.checkpoint import checkpointed
+
+
+class FusedExtractNormalize:
+    """One actor = extraction + normalization (fused).
+
+    Fusing the two stateful stages into one pool removes an
+    object-store hop and, critically, halves the number of actor pools
+    so low-CPU configurations keep a free slot for read tasks (two
+    pools' minimum actors can otherwise reserve every CPU and starve
+    the pipeline).
+    """
+
+    def __init__(self, tables_ref=None, extract_from_html: bool = False):
+        self.extract = MentionExtractor(extract_from_html=extract_from_html)
+        self.normalize = MentionNormalizer(tables_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.normalize(self.extract(batch))
+
+
+def extract_normalize_mentions(
+    pages: "ray.data.Dataset",
+    concurrency: int | tuple = (1, 16),
+    batch_size: int | None = None,
+    from_html: bool = False,
+) -> "ray.data.Dataset":
+    tables_ref = ray.put(build_lookup_tables())
+    return pages.map_batches(
+        FusedExtractNormalize,
+        fn_constructor_kwargs={
+            "tables_ref": tables_ref,
+            "extract_from_html": from_html,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def extract_mentions(
@@ -74,9 +116,14 @@ def normalize_mentions(
 
 def score_pairs(
     pairs: "ray.data.Dataset",
+    normalized: "ray.data.Dataset" = None,
     concurrency: int | tuple = (1, 16),
     batch_size: int | None = None,
 ) -> "ray.data.Dataset":
+    """Attach mention attributes (broadcast) to the int-only pair
+    stream, then run the scorer actor pool."""
+    if normalized is not None and "a_surface" not in pairs.schema().names:
+        pairs = attach_pair_attrs(pairs, build_attr_map(normalized))
     return pairs.map_batches(
         PairScorer,
         batch_format="pyarrow",
@@ -174,11 +221,8 @@ def linkage_pipeline(
     """
     normalized = checkpointed(
         "normalized",
-        lambda: normalize_mentions(
-            extract_mentions(
-                read_pages(sf_dir), concurrency=concurrency, from_html=from_html
-            ),
-            concurrency=concurrency,
+        lambda: extract_normalize_mentions(
+            read_pages(sf_dir), concurrency=concurrency, from_html=from_html
         ),
         checkpoint_root,
         lineage=["pages"],
@@ -189,6 +233,7 @@ def linkage_pipeline(
         "scored_pairs",
         lambda: score_pairs(
             candidate_pairs(normalized, salt_threshold=salt_threshold),
+            normalized,
             concurrency=concurrency,
         ),
         checkpoint_root,

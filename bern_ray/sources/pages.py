@@ -144,7 +144,7 @@ def read_pages(sf_dir: str, replicate: int = 1) -> "ray.data.Dataset":
         batch_format="pyarrow",
         # small batches => many output blocks => downstream actor-pool
         # stages get enough tasks to use the whole cluster
-        batch_size=64,
+        batch_size=16,
     )
 
 
