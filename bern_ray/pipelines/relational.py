@@ -476,6 +476,32 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_species_taxid(sf_dir: str):
+    """The reference's species-oid -> NCBI taxid projection
+    (normalize.py:488-493: oid//100 -> 'NCBI:txid{}') applied over the
+    part table's keys — exercises core.fold.species_taxid."""
+    from ..core.fold import species_taxid
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "taxid": species_taxid(t["p_partkey"].combine_chunks()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_SPECIES_TAXID = """
+SELECT p_partkey,
+       'NCBI:txid' || (p_partkey // 100)::VARCHAR AS taxid
+FROM part
+"""
+
+
 # ------------------------------------------------------------ registry
 
 # name -> (ray_fn, oracle_sql | None)
@@ -497,4 +523,5 @@ REGISTRY: dict[str, tuple] = {
     "running_count": (q_running_count, SQL_RUNNING_COUNT),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
+    "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),
 }
