@@ -64,6 +64,88 @@ def _er_clusters(sf_dir: str):
     return linkage_pipeline(sf_dir)
 
 
+def _er_mention_counts(sf_dir: str):
+    """Entity counts per document (reference count_entities,
+    server.py:526-538) — partial per-batch counts then a tiny groupby."""
+    import pyarrow as pa
+
+    from bern_ray.pipelines.linkage import extract_normalize_mentions
+    from bern_ray.sources.pages import read_pages
+
+    m = extract_normalize_mentions(read_pages(sf_dir))
+
+    def partial(t):
+        vc = t["url"].value_counts()
+        return pa.table(
+            {"url": vc.field("values"), "partial": vc.field("counts")}
+        )
+
+    agg = (
+        m.map_batches(partial, batch_format="pyarrow")
+        .groupby("url")
+        .sum("partial")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "n_mentions": pa.compute.cast(
+                    t["sum(partial)"], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _er_cuiless_ratio(sf_dir: str):
+    """CUI-less ratio per entity type (reference normalize.py:626-635:
+    conditional count / count)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from bern_ray.pipelines.linkage import extract_normalize_mentions
+    from bern_ray.sources.pages import read_pages
+
+    m = extract_normalize_mentions(read_pages(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "etype": t["etype"].to_pylist(),
+                "miss": [o is None for o in t["oid"].to_pylist()],
+            }
+        )
+        g = df.groupby("etype", as_index=False).agg(
+            n=("miss", "size"), n_miss=("miss", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        m.map_batches(partial, batch_format="pyarrow")
+        .groupby("etype")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_miss", alias_name="nm"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "etype": t["etype"],
+                "n_mentions": pa.compute.cast(t["n"], pa.int64()),
+                "cuiless_ratio": pa.compute.round(
+                    pa.compute.divide(
+                        pa.compute.cast(t["nm"], pa.float64()),
+                        pa.compute.cast(t["n"], pa.float64()),
+                    ),
+                    ndigits=6,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _media_features(sf_dir: str):
     import ray.data
 
@@ -96,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "er_normalized": _er_normalized,
             "er_scored_pairs": _er_scored_pairs,
             "er_clusters": _er_clusters,
+            "er_mention_counts": _er_mention_counts,
+            "er_cuiless_ratio": _er_cuiless_ratio,
             "media_features": _media_features,
             "ann_lsh_topk": _ann_lsh_topk,
         }
