@@ -170,6 +170,20 @@ WHERE len(a.ss) > 0 AND len(b.ss) > 0
 """
 
 
+def q_ngram_jaccard_neardup(sf_dir: str):
+    """n-gram Jaccard dedup at the looser 0.8 threshold — the same
+    LSH-candidates + exact-verify machinery with the threshold exposed
+    (detection prob at j=0.8: 1-(1-0.8^4)^32 ≈ 1-5e-7)."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.minhash_neardup(docs, threshold=0.8)
+
+
+SQL_NGRAM_JACCARD = SQL_MINHASH_NEARDUP.replace("0.9", "0.8")
+
+
 def q_simhash_neardup(sf_dir: str):
     return fdedup.simhash_neardup(_docs(sf_dir), max_hamming=3)
 
@@ -514,6 +528,7 @@ REGISTRY: dict[str, tuple] = {
     "blocking_keys": (q_blocking_keys, SQL_BLOCKING_KEYS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
+    "ngram_jaccard_neardup": (q_ngram_jaccard_neardup, SQL_NGRAM_JACCARD),
     "simhash_neardup": (q_simhash_neardup, None),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
