@@ -10,7 +10,9 @@
   queries probe their own bucket (+ multi-probe by flipping the
   lowest-margin bits). Approximate; recall measured in tests.
 
-Both compute in float64 so numpy and DuckDB agree to ~1e-15.
+Both compute in float64; the DuckDB oracles must cast their
+list<float> embeddings to DOUBLE[] to agree (float32 similarity
+differs in the 6th decimal and flips top-k boundary rows).
 """
 
 from __future__ import annotations

@@ -199,11 +199,15 @@ def q_embedding_neardup(sf_dir: str):
     return fdedup.embedding_neardup(embs, threshold=EMB_NEARDUP_THRESHOLD)
 
 
+# embedding is list<float>; cast to DOUBLE[] so DuckDB computes the
+# cosine in float64 exactly like the numpy kernel (float32 similarity
+# disagrees in the 6th decimal and flips threshold-boundary rows).
 SQL_EMBEDDING_NEARDUP = f"""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+       round(list_cosine_similarity(
+             a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding)
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= {EMB_NEARDUP_THRESHOLD}
 """
 
@@ -234,16 +238,20 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(embs, Q, qids, k=ANN_K, exclude_self=True)
 
 
+# same float64 cast rationale as SQL_EMBEDDING_NEARDUP: without it the
+# float32 similarity reorders near-tied top-k boundary rows.
 SQL_ANN_TOPK = f"""
-WITH q AS (SELECT vec_id, embedding FROM embeddings
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
            WHERE vec_id < {N_ANN_QUERIES})
 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-       round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cos_sim
+       round(list_cosine_similarity(q.emb, e.embedding::DOUBLE[]), 6)
+         AS cos_sim
 FROM q CROSS JOIN embeddings e
 WHERE e.vec_id != q.vec_id
 QUALIFY row_number() OVER (
   PARTITION BY q.vec_id
-  ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+  ORDER BY list_cosine_similarity(q.emb, e.embedding::DOUBLE[]) DESC,
+           e.vec_id
 ) <= {ANN_K}
 """
 

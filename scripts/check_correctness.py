@@ -102,8 +102,10 @@ def main():
             try:
                 import pandas as pd
 
+                # exact: the driver hashes values, so any bit-level
+                # divergence after the shared round-6 rule must fail here
                 pd.testing.assert_frame_equal(
-                    a, b, check_dtype=False, check_exact=False, atol=1e-6
+                    a, b, check_dtype=False, check_exact=True
                 )
             except AssertionError as e:
                 status = "VALUES MISMATCH: " + str(e).split("\n")[0]
