@@ -55,7 +55,11 @@ def _er_scored_pairs(sf_dir: str):
     normalized = normalize_mentions(
         extract_mentions(read_pages(sf_dir))
     ).materialize()
-    return score_pairs(candidate_pairs(normalized), normalized)
+    return score_pairs(
+        candidate_pairs(normalized, dedup=False),
+        normalized,
+        dedup_in_attach=True,
+    )
 
 
 def _er_clusters(sf_dir: str):

@@ -80,7 +80,10 @@ def run_bench() -> dict:
 
     t1 = time.monotonic()
     scored = score_pairs(
-        candidate_pairs(normalized), normalized, concurrency=heavy
+        candidate_pairs(normalized, dedup=False),
+        normalized,
+        concurrency=heavy,
+        dedup_in_attach=True,
     ).materialize()
     n_pairs = scored.count()
     t_score = time.monotonic() - t1

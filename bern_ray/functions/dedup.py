@@ -34,6 +34,7 @@ from ..core.minhash import (
     simhash,
     token_shingles,
 )
+from ..stages.join import SHUFFLE_PREP_ROWS
 from .textstats import fingerprint_batch
 
 MINHASH_PERMS = 128
@@ -153,10 +154,13 @@ def minhash_neardup(
     Execution shape: (1) one pass emits (band, doc_id) rows; (2) one
     bucketed groupby generates candidate pairs vectorized; (3) pairs
     are deduped by a groupby on the pair key; (4) exact verification
-    reads both docs' shingle sets from a BROADCAST map (`ray.put`
-    once). At 10^12-doc scale step 4 becomes a bucketed hash join on
-    doc_id instead of a broadcast — the pair set shape is identical.
+    attaches both docs' shingle sets with two DISTRIBUTED bucketed
+    hash joins on doc_id (stages/join.py) — the shingle table never
+    funnels through the driver, so the verify holds at 10^12-doc
+    scale. The shingle Dataset is pinned once (object store,
+    spillable) because both joins consume it.
     """
+    from ..stages.join import bucket_join
 
     def shingle_rows(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -170,43 +174,75 @@ def minhash_neardup(
             }
         )
 
-    # broadcast verification table (doc_id -> sorted shingle hash set)
-    shingle_map: dict[int, np.ndarray] = {}
-    for b in docs.map_batches(
+    shingles = docs.map_batches(
         shingle_rows, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        for d, s in zip(b["doc_id"].to_pylist(), b["tok"].to_pylist()):
-            shingle_map[d] = np.asarray(s, dtype=np.int64)
-    ref = ray.put(shingle_map)
+    ).materialize()
 
     band_rows = docs.map_batches(
         lambda t: _minhash_band_rows(t, shingle_k), batch_format="pyarrow"
-    ).map_batches(_band_bucket, batch_format="pyarrow")
+    ).map_batches(
+        _band_bucket, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
+    )
     pairs = band_rows.groupby("bucket").map_groups(
         _band_pairs_bucket, batch_format="pandas"
     )
-    uniq = pairs.groupby(["doc_id_a", "doc_id_b"]).count()
+
+    def side(name: str):
+        return shingles.map_batches(
+            lambda t, n=name: pa.table(
+                {"doc_id": t["doc_id"], n: t["tok"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    tok_t = pa.list_(pa.int64())
+    pair_schema = {"doc_id_a": pa.int64(), "doc_id_b": pa.int64()}
+    # global pair dedup folded into join1's bucket (a pair's bucket is
+    # determined by doc_id_a alone) — saves a standalone sort barrier
+    j1 = bucket_join(
+        pairs,
+        side("tok_a"),
+        left_on="doc_id_a",
+        right_on="doc_id",
+        left_schema=pair_schema,
+        right_schema={"doc_id": pa.int64(), "tok_a": tok_t},
+        how="left",
+        left_prepare=lambda df: df.drop_duplicates(
+            ["doc_id_a", "doc_id_b"]
+        ),
+    )
+    j2 = bucket_join(
+        j1,
+        side("tok_b"),
+        left_on="doc_id_b",
+        right_on="doc_id",
+        left_schema={**pair_schema, "tok_a": tok_t},
+        right_schema={"doc_id": pa.int64(), "tok_b": tok_t},
+        how="left",
+    )
 
     def verify(t: pa.Table) -> pa.Table:
-        smap = ray.get(ref)
-        a = t["doc_id_a"].to_pylist()
-        b = t["doc_id_b"].to_pylist()
+        a = t["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_id_b"].to_numpy(zero_copy_only=False)
+        ta = t["tok_a"].to_pylist()
+        tb = t["tok_b"].to_pylist()
         jac = np.empty(len(a))
-        for i, (x, y) in enumerate(zip(a, b)):
-            sa, sb = smap[x], smap[y]
+        for i, (sa, sb) in enumerate(zip(ta, tb)):
+            sa = np.asarray(sa if sa is not None else [], dtype=np.int64)
+            sb = np.asarray(sb if sb is not None else [], dtype=np.int64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac[i] = inter / union if union else 0.0
         keep = jac >= threshold
         return pa.table(
             {
-                "doc_id_a": pa.array(np.asarray(a)[keep], type=pa.int64()),
-                "doc_id_b": pa.array(np.asarray(b)[keep], type=pa.int64()),
+                "doc_id_a": pa.array(a[keep], type=pa.int64()),
+                "doc_id_b": pa.array(b[keep], type=pa.int64()),
                 "jaccard": pa.array(np.round(jac[keep], 6)),
             }
         )
 
-    return uniq.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def _simhash_rows(t: pa.Table) -> pa.Table:
@@ -283,7 +319,7 @@ def simhash_neardup(
     docs: "ray.data.Dataset", max_hamming: int = 3
 ) -> "ray.data.Dataset":
     rows = docs.map_batches(_simhash_rows, batch_format="pyarrow").map_batches(
-        _band_bucket, batch_format="pyarrow"
+        _band_bucket, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
     )
     pairs = rows.groupby("bucket").map_groups(
         _simhash_pairs_bucket(max_hamming), batch_format="pandas"

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -33,10 +34,8 @@ from ..sources.pages import read_pages
 from ..stages.blocking import (
     DEFAULT_SALT_THRESHOLD,
     attach_pair_attrs,
-    build_attr_map,
     candidate_pairs,
 )
-from ..stages.cc import components
 from ..stages.extract import MentionExtractor
 from ..stages.normalize import MentionNormalizer, build_lookup_tables
 from ..stages.scoring import PairScorer, edges_only
@@ -119,11 +118,12 @@ def score_pairs(
     normalized: "ray.data.Dataset" = None,
     concurrency: int | tuple = (1, 16),
     batch_size: int | None = None,
+    dedup_in_attach: bool = False,
 ) -> "ray.data.Dataset":
-    """Attach mention attributes (broadcast) to the int-only pair
-    stream, then run the scorer actor pool."""
+    """Attach mention attributes (distributed bucketed join) to the
+    int-only pair stream, then run the scorer actor pool."""
     if normalized is not None and "a_surface" not in pairs.schema().names:
-        pairs = attach_pair_attrs(pairs, build_attr_map(normalized))
+        pairs = attach_pair_attrs(pairs, normalized, dedup=dedup_in_attach)
     return pairs.map_batches(
         PairScorer,
         batch_format="pyarrow",
@@ -172,28 +172,63 @@ def _assign_clusters_bucket(g: pd.DataFrame) -> pa.Table:
     )
 
 
+_MENTION_SCHEMA = {
+    "url": pa.string(),
+    "mention_id": pa.int64(),
+    "etype": pa.string(),
+    "start": pa.int64(),
+    "end": pa.int64(),
+    "surface": pa.string(),
+    "oid": pa.string(),
+    "ids": pa.list_(pa.string()),
+    "fold_key": pa.string(),
+}
+
+
 def cluster_mentions(
     normalized: "ray.data.Dataset",
     edges: "ray.data.Dataset",
     cc_mode: str = "auto",
 ) -> "ray.data.Dataset":
-    """Attach cluster_id via CC roots + per-component id assignment."""
-    labels = components(edges, mode=cc_mode)
-    labels_ref = ray.put(labels)
+    """Attach cluster_id via CC labels + per-component id assignment.
 
-    def attach_root(t: pa.Table) -> pa.Table:
-        lab = ray.get(labels_ref)
-        mids = t["mention_id"].to_pylist()
-        roots = np.asarray([lab.get(m, m) for m in mids], dtype=np.uint64)
+    Labels stay a Dataset end-to-end: a bucketed hash join on
+    mention_id=node attaches them (stages/join.py), so nothing funnels
+    through the driver in 'lp' mode — singleton mentions (no edge, no
+    label row) null-fill and root to themselves.
+    """
+    from ..stages.cc import components_labels
+    from ..stages.join import bucket_join
+
+    labels = components_labels(edges, mode=cc_mode)
+    joined = bucket_join(
+        normalized,
+        labels,
+        left_on="mention_id",
+        right_on="node",
+        left_schema=_MENTION_SCHEMA,
+        right_schema={"node": pa.int64(), "label": pa.int64()},
+        how="left",
+    )
+
+    def add_root(t: pa.Table) -> pa.Table:
+        root_arr = pc.coalesce(
+            t["label"].combine_chunks(), t["mention_id"].combine_chunks()
+        )
+        roots = root_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             h = (roots * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return t.append_column(
-            "root", pa.array(roots.astype(np.int64), type=pa.int64())
+        return t.drop_columns(["label"]).append_column(
+            "root", root_arr.cast(pa.int64())
         ).append_column(
             "bucket", pa.array((h % 256).astype(np.int64), type=pa.int64())
         )
 
-    with_root = normalized.map_batches(attach_root, batch_format="pyarrow")
+    from ..stages.join import SHUFFLE_PREP_ROWS
+
+    with_root = joined.map_batches(
+        add_root, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
+    )
     out = with_root.groupby("bucket").map_groups(
         _assign_clusters_bucket, batch_format="pandas"
     )
@@ -232,9 +267,12 @@ def linkage_pipeline(
     scored = checkpointed(
         "scored_pairs",
         lambda: score_pairs(
-            candidate_pairs(normalized, salt_threshold=salt_threshold),
+            candidate_pairs(
+                normalized, salt_threshold=salt_threshold, dedup=False
+            ),
             normalized,
             concurrency=concurrency,
+            dedup_in_attach=True,
         ),
         checkpoint_root,
         lineage=["normalized"],

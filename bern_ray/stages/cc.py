@@ -240,16 +240,53 @@ def label_propagation(
     return labels
 
 
+def _resolve_mode(
+    edges: "ray.data.Dataset", mode: str, driver_limit: int
+) -> str:
+    """auto -> 'uf' when the edge count fits the driver budget, else
+    'lp'. The count executes the (cheap, projection-only) edge stage
+    once; at scale that is what makes the distributed path actually
+    reachable rather than dead code."""
+    if mode != "auto":
+        return mode
+    return "uf" if edges.count() <= driver_limit else "lp"
+
+
+def components_labels(
+    edges: "ray.data.Dataset",
+    mode: str = "auto",
+    driver_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """node -> component label as a Dataset(node, label) — the
+    scale-facing API: in 'lp' mode labels NEVER leave the cluster; the
+    caller attaches them with a bucketed join (stages/join.py), not a
+    driver dict.
+    """
+    mode = _resolve_mode(edges, mode, driver_limit)
+    if mode == "lp":
+        return label_propagation(edges)
+    lab = union_find_streaming(edges)
+    n = len(lab)
+    nodes = np.fromiter(lab.keys(), dtype=np.int64, count=n)
+    roots = np.fromiter(lab.values(), dtype=np.int64, count=n)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "label": pa.array(roots, type=pa.int64()),
+            }
+        )
+    )
+
+
 def components(
     edges: "ray.data.Dataset",
     mode: str = "auto",
     driver_limit: int = 5_000_000,
 ) -> dict[int, int]:
-    """node -> component root for every node appearing in an edge.
-
-    mode='auto' uses streaming union-find when the edge count fits the
-    driver budget, else distributed label propagation.
-    """
+    """node -> component root as a driver dict (test/debug API — the
+    pipeline path is ``components_labels``)."""
+    mode = _resolve_mode(edges, mode, driver_limit)
     if mode == "lp":
         out: dict[int, int] = {}
         for b in label_propagation(edges).iter_batches(

@@ -113,6 +113,22 @@ def test_merge_chain_transitive(clusters_df):
         assert set(sub.cluster_id) == {f"BERN:{dicts.oid_of(i - 14)}"}
 
 
+def test_lp_mode_identical_clusters(clusters_df, ray_session):
+    """cc_mode='lp' runs CC + label attach as pure Dataset ops (no
+    driver label dict); its cluster assignment must be identical to
+    the union-find path because cluster_id is derived from component
+    CONTENT (min oid / shared fold key), not from root node ids."""
+    from bern_ray.pipelines.linkage import linkage_pipeline
+
+    lp = linkage_pipeline(SF, cc_mode="lp", concurrency=(1, 2)).to_pandas()
+    key = ["url", "mention_id"]
+    a = clusters_df[key + ["cluster_id"]].sort_values(key).reset_index(
+        drop=True
+    )
+    b = lp[key + ["cluster_id"]].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_cluster_ids_consistent(clusters_df):
     df = clusters_df.dropna(subset=["oid"])
     assert (df.groupby("oid").cluster_id.nunique() <= 1).all()
