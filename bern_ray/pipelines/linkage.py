@@ -113,6 +113,24 @@ def normalize_mentions(
     )
 
 
+def _key_to_block_key(t: pa.Table) -> pa.Table:
+    """int64 block key -> reporting string column (scorer schema)."""
+    return pa.table(
+        {
+            "a_mid": t["a_mid"],
+            "b_mid": t["b_mid"],
+            "a_surface": t["a_surface"],
+            "b_surface": t["b_surface"],
+            "a_oid": t["a_oid"],
+            "b_oid": t["b_oid"],
+            "block_key": pa.array(
+                t["key"].to_numpy(zero_copy_only=False).astype("U"),
+                type=pa.string(),
+            ),
+        }
+    )
+
+
 def score_pairs(
     pairs: "ray.data.Dataset",
     normalized: "ray.data.Dataset" = None,
@@ -120,9 +138,15 @@ def score_pairs(
     batch_size: int | None = None,
     dedup_in_attach: bool = False,
 ) -> "ray.data.Dataset":
-    """Attach mention attributes (distributed bucketed join) to the
-    int-only pair stream, then run the scorer actor pool."""
-    if normalized is not None and "a_surface" not in pairs.schema().names:
+    """Run the scorer actor pool over attributed pairs.
+
+    With ``normalized`` given and int-only pairs, attributes are
+    attached first via the distributed bucketed join. With
+    ``normalized=None`` the pairs must already carry attrs
+    (candidate_pairs(with_attrs=True) — the single-sort hot path)."""
+    if normalized is None:
+        pairs = pairs.map_batches(_key_to_block_key, batch_format="pyarrow")
+    elif "a_surface" not in pairs.schema().names:
         pairs = attach_pair_attrs(pairs, normalized, dedup=dedup_in_attach)
     return pairs.map_batches(
         PairScorer,
@@ -264,15 +288,20 @@ def linkage_pipeline(
     )
     if checkpoint_root is None:
         normalized = normalized.materialize()
+    # single-sort hot path: attrs ride the pair-gen shuffle, no global
+    # pair dedup (CC is idempotent to duplicate edges; the scorer
+    # factorizes to unique surface pairs, so repeats are near-free)
     scored = checkpointed(
         "scored_pairs",
         lambda: score_pairs(
             candidate_pairs(
-                normalized, salt_threshold=salt_threshold, dedup=False
+                normalized,
+                salt_threshold=salt_threshold,
+                dedup=False,
+                with_attrs=True,
             ),
-            normalized,
+            None,
             concurrency=concurrency,
-            dedup_in_attach=True,
         ),
         checkpoint_root,
         lineage=["normalized"],

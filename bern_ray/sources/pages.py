@@ -129,22 +129,30 @@ def _make_pages_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str, replicate: int = 1) -> "ray.data.Dataset":
+def read_pages(
+    sf_dir: str, replicate: int = 1, num_blocks: int = 128
+) -> "ray.data.Dataset":
     """documents.parquet -> pages Dataset (lazy, streaming).
 
     ``replicate`` scales the corpus deterministically (bench knob):
     each copy occupies a disjoint doc_id band with its own planted
     mentions, so blocking/scoring work grows linearly with it.
+
+    ``num_blocks`` pins the source block count: Ray's read heuristic
+    sizes SplitBlocks to the CPU count, which leaves the downstream
+    extraction pool with ~2 waves of coarse tasks (measured 25%+ wall
+    lost to wave quantization at 8 CPUs). ~4-8 tasks per actor keeps
+    the pool saturated; at real scale one block per input file-chunk
+    does the same job.
     """
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=num_blocks,
     )
     return ds.map_batches(
         lambda t: _make_pages_batch(t, replicate),
         batch_format="pyarrow",
-        # small batches => many output blocks => downstream actor-pool
-        # stages get enough tasks to use the whole cluster
-        batch_size=16,
     )
 
 
