@@ -337,6 +337,95 @@ def simhash_neardup(
     )
 
 
+# --- SQL-mirrorable simhash ------------------------------------------
+# The production simhash (above) hashes shingles with crc32+splitmix64,
+# which no SQL engine reproduces. This variant uses a 31-bit polynomial
+# rolling hash over the shingle STRING (base 131 mod 2^31-1, ASCII
+# codepoints) — computable identically in DuckDB via
+# list_reduce/list_transform — so the whole near-dup result set gets a
+# value-level oracle. Banding: 4 bands (8+8+8+7 bits); by pigeonhole
+# any pair with hamming <= 3 shares at least one intact band, so the
+# blocked result equals the oracle's brute-force hamming filter.
+
+_POLY_MOD = 2147483647
+_SIMHASH31_BITS = 31
+_SIM31_BANDS = ((0, 8), (8, 16), (16, 24), (24, 31))
+
+
+def _poly31(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 131 + ord(ch)) % _POLY_MOD
+    return acc
+
+
+def _simhash31(texts: list[str]) -> np.ndarray:
+    """31-bit simhash per text over distinct 2-token shingle strings."""
+    import re
+
+    tok_re = re.compile("[0-9a-z]+")
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = tok_re.findall(t.lower()) if t else []
+        if len(toks) < 2:
+            continue
+        hs = {_poly31(f"{a} {b}") for a, b in zip(toks, toks[1:])}
+        n = len(hs)
+        arr = np.fromiter(hs, dtype=np.int64, count=n)
+        sim = 0
+        for bit in range(_SIMHASH31_BITS):
+            ones = int(((arr >> bit) & 1).sum())
+            if 2 * ones > n:
+                sim |= 1 << bit
+        out[i] = sim
+    return out
+
+
+def _simhash31_rows(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    sims = _simhash31(texts)
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    rows = {"band": [], "doc_id": [], "sim": []}
+    for bi, (lo, hi) in enumerate(_SIM31_BANDS):
+        band_val = (sims >> lo) & ((1 << (hi - lo)) - 1)
+        rows["band"].extend([f"{bi}:{int(v):02x}" for v in band_val])
+        rows["doc_id"].extend(doc_ids.tolist())
+        rows["sim"].extend(sims.tolist())
+    return pa.table(
+        {
+            "band": pa.array(rows["band"], type=pa.string()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "sim": pa.array(rows["sim"], type=pa.int64()),
+        }
+    )
+
+
+def simhash_mirror_neardup(
+    docs: "ray.data.Dataset", max_hamming: int = 3
+) -> "ray.data.Dataset":
+    """Banded simhash near-dup with a DuckDB value oracle
+    (pipelines/relational.py SQL_SIMHASH_NEARDUP)."""
+    rows = docs.map_batches(
+        _simhash31_rows, batch_format="pyarrow"
+    ).map_batches(
+        _band_bucket, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
+    )
+    pairs = rows.groupby("bucket").map_groups(
+        _simhash_pairs_bucket(max_hamming), batch_format="pandas"
+    )
+    uniq = pairs.groupby(["doc_id_a", "doc_id_b"]).min("hamming")
+    return uniq.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id_a": t["doc_id_a"],
+                "doc_id_b": t["doc_id_b"],
+                "hamming": t["min(hamming)"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def embedding_neardup(
     embs: "ray.data.Dataset", threshold: float = 0.95
 ) -> "ray.data.Dataset":

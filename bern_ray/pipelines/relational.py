@@ -185,7 +185,63 @@ SQL_NGRAM_JACCARD = SQL_MINHASH_NEARDUP.replace("0.9", "0.8")
 
 
 def q_simhash_neardup(sf_dir: str):
-    return fdedup.simhash_neardup(_docs(sf_dir), max_hamming=3)
+    """SQL-mirrorable simhash near-dup (31-bit polynomial shingle
+    hash; see functions/dedup.py simhash_mirror_neardup). The
+    production 64-bit crc-based simhash operator is exercised by
+    bench.py and tests/test_dedup.py."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.simhash_mirror_neardup(docs, max_hamming=3)
+
+
+# Mirrors _simhash31 exactly: same tokenization, same distinct 2-token
+# shingle strings, same base-131 mod 2^31-1 rolling hash (ASCII
+# codepoints == bytes for [0-9a-z ] tokens), same strict-majority bit
+# vote, then brute-force hamming <= 3 over the restricted doc range.
+SQL_SIMHASH_NEARDUP = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS ts
+  FROM documents WHERE doc_id < {MINHASH_MAX_DOC}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ts) - 1),
+           i -> ts[i] || ' ' || ts[i+1])) AS ss
+  FROM tok WHERE len(ts) >= 2
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(ss, s ->
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(generate_series(1, length(s)),
+                              i -> unicode(substr(s, i, 1))::BIGINT)),
+             (acc, c) -> (acc * 131 + c) % 2147483647)) AS hl
+  FROM sh
+),
+bits AS (
+  SELECT doc_id, unnest(hl) AS h FROM hs
+),
+bitcnt AS (
+  SELECT doc_id, i.i AS i,
+         sum((h >> i.i) & 1) AS ones, count(*) AS n
+  FROM bits, (SELECT unnest(generate_series(0, 30)) AS i) i
+  GROUP BY doc_id, i.i
+),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << i) ELSE 0 END)
+           ::BIGINT AS s
+  FROM bitcnt GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
 
 
 # synthetic embeddings are near-orthogonal (max pair cosine ~0.51), so
@@ -498,6 +554,72 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+# Requested-keys left outer join with null-fill — the reference's
+# "give me a row for every requested pmid" shape (convert.py:279-297:
+# requested id list joined against fetched docs, misses filled with an
+# empty-document template). Requested range intentionally exceeds the
+# corpus at small sf so the null-fill path is exercised.
+N_REQUESTED = 600
+
+
+def q_requested_docs(sf_dir: str):
+    from ..stages.join import bucket_join
+
+    req = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(N_REQUESTED), type=pa.int64())}
+        )
+    ).repartition(4)
+    docs = _docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "src_doc_id": t["doc_id"],
+                "text": t["text"],
+                "lang": t["lang"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucket_join(
+        req,
+        docs,
+        left_on="doc_id",
+        right_on="src_doc_id",
+        left_schema={"doc_id": pa.int64()},
+        right_schema={
+            "src_doc_id": pa.int64(),
+            "text": pa.string(),
+            "lang": pa.string(),
+        },
+        how="left",
+        keep_right_key=True,
+        num_buckets=16,
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        found = pc.is_valid(t["src_doc_id"].combine_chunks())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pc.fill_null(t["text"], ""),
+                "lang": pc.fill_null(t["lang"], "unknown"),
+                "found": found,
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_REQUESTED_DOCS = f"""
+WITH req AS (SELECT range::BIGINT AS doc_id FROM range(0, {N_REQUESTED}))
+SELECT r.doc_id,
+       coalesce(d.text, '') AS text,
+       coalesce(d.lang, 'unknown') AS lang,
+       (d.doc_id IS NOT NULL) AS found
+FROM req r LEFT JOIN documents d ON r.doc_id = d.doc_id
+"""
+
+
 def q_species_taxid(sf_dir: str):
     """The reference's species-oid -> NCBI taxid projection
     (normalize.py:488-493: oid//100 -> 'NCBI:txid{}') applied over the
@@ -537,7 +659,7 @@ REGISTRY: dict[str, tuple] = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
     "ngram_jaccard_neardup": (q_ngram_jaccard_neardup, SQL_NGRAM_JACCARD),
-    "simhash_neardup": (q_simhash_neardup, None),
+    "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
@@ -547,4 +669,5 @@ REGISTRY: dict[str, tuple] = {
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),
+    "requested_docs": (q_requested_docs, SQL_REQUESTED_DOCS),
 }
