@@ -96,23 +96,43 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 class MediaFeaturizer:
     """Actor-pool stage: decode payload -> byte-histogram feature.
 
-    Real-codec path is attempted once per actor in __init__; the
-    deterministic fake decoder keeps the plumbing testable without
-    media libraries.
+    The codec is resolved ONCE per actor in __init__ (the real-model
+    seam: a GPU deployment swaps in its decoder/model here) and every
+    output row declares its provenance in the `codec` column, so
+    downstream consumers can tell real decodes from the deterministic
+    fake used where no media library exists. A custom ``decoder``
+    callable (payload -> (w, h, flat uint8)) may be injected — tests
+    use this to exercise the real-codec branch without PIL.
     """
 
-    def __init__(self):
-        try:  # pragma: no cover - not present in this container
+    def __init__(self, decoder=None):
+        if decoder is not None:
+            self.decode = decoder
+            self.codec = "injected"
+            return
+        try:  # pragma: no cover - PIL not present in this container
             from PIL import Image  # noqa: F401
 
-            self.has_pil = True
+            self.decode = self._pil_decode
+            self.codec = "pil"
         except ImportError:
-            self.has_pil = False
+            self.decode = _fake_decode
+            self.codec = "fake-deterministic"
+
+    @staticmethod
+    def _pil_decode(payload: bytes):  # pragma: no cover - needs PIL
+        import io
+
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(payload)).convert("RGB")
+        w, h = im.size
+        return w, h, np.asarray(im, dtype=np.uint8).ravel()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, ws, hs = [], [], []
         for payload in batch["payload"].to_pylist():
-            w, h, px = _fake_decode(payload)
+            w, h, px = self.decode(payload)
             hist = np.bincount(px >> 2, minlength=FEATURE_DIM)[:FEATURE_DIM]
             norm = np.linalg.norm(hist)
             feats.append(
@@ -120,6 +140,7 @@ class MediaFeaturizer:
             )
             ws.append(w)
             hs.append(h)
+        n = batch.num_rows
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -129,6 +150,7 @@ class MediaFeaturizer:
                 "feature": pa.array(
                     feats, type=pa.list_(pa.float32(), FEATURE_DIM)
                 ),
+                "codec": pa.array([self.codec] * n, type=pa.string()),
             }
         )
 

@@ -278,6 +278,7 @@ def linkage_pipeline(
     pinning, Ray's lazy re-execution would re-run extraction once per
     consumer.
     """
+    cfg = {"sf_dir": sf_dir, "from_html": from_html, "v": 2}
     normalized = checkpointed(
         "normalized",
         lambda: extract_normalize_mentions(
@@ -285,6 +286,7 @@ def linkage_pipeline(
         ),
         checkpoint_root,
         lineage=["pages"],
+        config=cfg,
     )
     if checkpoint_root is None:
         normalized = normalized.materialize()
@@ -305,6 +307,7 @@ def linkage_pipeline(
         ),
         checkpoint_root,
         lineage=["normalized"],
+        config={**cfg, "salt_threshold": salt_threshold},
     )
     if checkpoint_root is None:
         scored = scored.materialize()
@@ -314,5 +317,6 @@ def linkage_pipeline(
         lambda: cluster_mentions(normalized, edges, cc_mode=cc_mode),
         checkpoint_root,
         lineage=["normalized", "scored_pairs"],
+        config={**cfg, "salt_threshold": salt_threshold, "cc": cc_mode},
     )
     return clusters

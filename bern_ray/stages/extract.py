@@ -17,10 +17,16 @@ reference's positional identity, SURVEY.md §2.4):
 Semantics reproduced from the reference:
 - stoplist filter: species surfaces in the human-synonym stoplist are
   dropped (utils.py:269-308).
-- span-conflict resolution: when two taggers propose overlapping
-  spans, the higher-priority (longer, then etype-ranked) span wins —
-  the deterministic analog of merge_results' mean-logit duel
-  (biobert_ner/ops.py:232-476).
+- span-conflict resolution: every candidate span carries a SCORE (the
+  analog of the reference's mean softmax over the span's logit
+  window, biobert_ner/ops.py:214-230); overlapping spans duel on
+  score first — a shorter higher-scored span beats a longer
+  lower-scored one, exactly as merge_results keeps the
+  higher-mean-probability type (ops.py:232-476) — with span length
+  then etype rank as deterministic tie-breaks. Dictionary surfaces
+  share one confidence (DICT_CONF) so the synthetic corpus resolves
+  identically to a pure length duel; tests inject per-surface
+  confidences to pin the score-first semantics.
 - surface invariant: surface == text[start:end] always
   (convert.py:453); spans use the EXCLUSIVE-end convention, fixing the
   reference's inclusive/exclusive split (ops.py:55-58 vs
@@ -45,6 +51,13 @@ _ETYPE_RANK = {
     "mutation": 7, "gene": 6, "disease": 5, "drug": 4,
     "species": 3, "mirna": 2, "pathway": 1,
 }
+
+# span-confidence analogs of the reference's mean softmax probability
+# (ops.py:214-230): dictionary hits are high-confidence, pattern-rule
+# hits slightly lower (the reference's tmTool mutations similarly
+# outrank model spans only via the type table, ops.py:259-267)
+DICT_CONF = 0.9
+PATTERN_CONF = 0.8
 
 _MIRNA_RE = re.compile(
     r"\b(hsa|mmu|rno)-(mir|miR|let)-(\d+)([a-z]?)(-[35]p)?\b"
@@ -94,52 +107,121 @@ def normalize_mirna(prefix: str, mid: str, num: str, letter: str) -> str:
     return f"MI:{prefix}-{stem}-{num}{letter}"
 
 
+def trie_regex(words) -> str:
+    """Compile a word list into a prefix-shared (trie) regex body.
+
+    A flat 2,000-branch alternation costs O(text x alternatives) in
+    CPython's backtracking engine; sharing prefixes turns the scan
+    into an Aho-Corasick-like automaton walk inside the C regex
+    engine (~one state transition per char). Longest-match semantics
+    are preserved by emitting child continuations BEFORE the
+    empty (word-end) alternative at every node, so the engine only
+    falls back to a shorter accept when the longer path (or its
+    boundary lookahead) fails — exactly the leftmost-longest duel the
+    flat longest-first alternation implemented.
+    """
+    trie: dict = {}
+    for w in words:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}
+    def emit(node: dict) -> str:
+        alts = []
+        has_end = False
+        for ch in sorted(k for k in node if k):
+            alts.append(re.escape(ch) + emit(node[ch]))
+        has_end = "" in node
+        if not alts:
+            return ""
+        body = "|".join(alts)
+        if has_end:
+            return f"(?:{body}|)"
+        if len(alts) == 1:
+            return body
+        return f"(?:{body})"
+    return emit(trie)
+
+
 class MentionExtractor:
     """Actor-pool callable: pages batch -> mentions batch.
 
-    State built once per actor: the gazetteer alternation regex over
-    all dictionary surfaces (longest-first so the leftmost-longest
-    alias wins) plus the stoplist words tagged as species (so the
-    stoplist filter has real work to do, as in the reference where the
-    NER model emits them and filter_entities drops them).
+    State built once per actor: the gazetteer TRIE regex over all
+    dictionary surfaces (prefix-shared alternation — leftmost-longest
+    alias wins, see trie_regex) plus the stoplist words tagged as
+    species (so the stoplist filter has real work to do, as in the
+    reference where the NER model emits them and filter_entities
+    drops them).
     """
 
-    def __init__(self, extract_from_html: bool = False):
+    def __init__(
+        self,
+        extract_from_html: bool = False,
+        surface_conf: dict[str, float] | None = None,
+    ):
         t = dicts.build_mention_dict()
         surfaces = t["surface"].to_pylist()
         oids = t["oid"].to_pylist()
         etypes = t["etype"].to_pylist()
         self.surface_etype = dict(zip(surfaces, etypes))
         self.surface_oid = dict(zip(surfaces, oids))
+        # per-surface confidence overrides (tests; a model-scored
+        # deployment would populate this from calibration data)
+        self.surface_conf = surface_conf or {}
         # stoplist words are taggable species surfaces that must then
         # be filtered — reference behavior (utils.py:279-308)
         for w in SPECIES_STOPLIST:
             self.surface_etype.setdefault(w, "species")
-        pats = sorted(self.surface_etype, key=len, reverse=True)
         self.gazetteer = re.compile(
             r"(?<![0-9A-Za-z])("
-            + "|".join(re.escape(p) for p in pats)
+            + trie_regex(self.surface_etype)
             + r")(?![0-9A-Za-z])"
         )
+        # nested candidates: for each surface, the shorter dictionary
+        # surfaces that are boundary-valid prefixes of it. The scan
+        # finds the leftmost-LONGEST match; these rivals re-enter the
+        # duel so a higher-scored shorter span can win (ops.py:232-476
+        # keeps the higher-scored type, not the longer span).
+        all_surf = set(self.surface_etype)
+        self.nested: dict[str, list[str]] = {}
+        for s in all_surf:
+            subs = [
+                s[:j]
+                for j in range(1, len(s))
+                if not s[j].isalnum() and s[:j] in all_surf
+            ]
+            if subs:
+                self.nested[s] = subs
         self.extract_from_html = extract_from_html
 
     def _tag_one(self, url: str, text: str):
         rows = []
-        taken: list[tuple[int, int, int, int]] = []  # start,end,rank,idx
         for m in self.gazetteer.finditer(text):
-            surf = m.group(1)
-            et = self.surface_etype[surf]
-            if et == "species" and surf in SPECIES_STOPLIST:
-                continue  # stoplist filter (M11)
-            rows.append((url, m.start(1), m.end(1), surf, et))
+            cands = [m.group(1)] + self.nested.get(m.group(1), [])
+            for surf in cands:
+                et = self.surface_etype[surf]
+                if et == "species" and surf in SPECIES_STOPLIST:
+                    continue  # stoplist filter (M11)
+                sc = self.surface_conf.get(surf, DICT_CONF)
+                rows.append(
+                    (url, m.start(1), m.start(1) + len(surf), surf, et, sc)
+                )
         for m in _MIRNA_RE.finditer(text):
-            rows.append((url, m.start(), m.end(), m.group(0), "mirna"))
+            surf = m.group(0)
+            sc = self.surface_conf.get(surf, PATTERN_CONF)
+            rows.append((url, m.start(), m.end(), surf, "mirna", sc))
         if not rows:
             return rows
-        # span-conflict duel: sort by (length desc, rank desc), greedily
-        # keep non-overlapping spans
+        # span-conflict duel (ops.py:232-476 analog): score desc, then
+        # length desc, then etype rank desc; greedily keep
+        # non-overlapping spans
         rows.sort(
-            key=lambda r: (-(r[2] - r[1]), -_ETYPE_RANK.get(r[4], 0), r[1])
+            key=lambda r: (
+                -r[5],
+                -(r[2] - r[1]),
+                -_ETYPE_RANK.get(r[4], 0),
+                r[1],
+            )
         )
         kept = []
         occupied: list[tuple[int, int]] = []
@@ -157,9 +239,10 @@ class MentionExtractor:
         else:
             texts = batch["text"].to_pylist()
         urls = batch["url"].to_pylist()
-        out_url, out_mid, out_et, out_s, out_e, out_surf = [], [], [], [], [], []
+        out_url, out_mid, out_et = [], [], []
+        out_s, out_e, out_surf, out_sc = [], [], [], []
         for url, text in zip(urls, texts):
-            for (u, s, e, surf, et) in self._tag_one(url, text):
+            for (u, s, e, surf, et, sc) in self._tag_one(url, text):
                 assert text[s:e] == surf  # invariant convert.py:453
                 out_url.append(u)
                 out_mid.append(mention_id_of(u, s))
@@ -167,6 +250,7 @@ class MentionExtractor:
                 out_s.append(s)
                 out_e.append(e)
                 out_surf.append(surf)
+                out_sc.append(sc)
         return pa.table(
             {
                 "url": pa.array(out_url, type=pa.string()),
@@ -175,6 +259,7 @@ class MentionExtractor:
                 "start": pa.array(out_s, type=pa.int64()),
                 "end": pa.array(out_e, type=pa.int64()),
                 "surface": pa.array(out_surf, type=pa.string()),
+                "score": pa.array(out_sc, type=pa.float64()),
             }
         )
 

@@ -60,3 +60,32 @@ def test_manifest_contents(ray_session, ckpt_root):
     assert man["wall_sec"] > 0
     with open(os.path.join(ckpt_root, "normalized", "_MANIFEST.json")) as f:
         assert json.load(f)["stage"] == "normalized"
+
+
+def test_content_key_mismatch_recomputes(ray_session, tmp_path):
+    """A checkpoint written under one config must NOT be reused for a
+    different config (stale-read hazard): the stage recomputes and the
+    manifest's content key updates."""
+    import ray.data
+
+    from bern_ray.state.checkpoint import checkpointed, read_manifest
+
+    root = str(tmp_path / "ck")
+    calls = []
+
+    def factory_v(rows):
+        def f():
+            calls.append(rows)
+            return ray.data.range(rows)
+
+        return f
+
+    a = checkpointed("st", factory_v(5), root, config={"sf": "a"})
+    assert a.count() == 5 and calls == [5]
+    # same config -> reused, factory not called again
+    b = checkpointed("st", factory_v(7), root, config={"sf": "a"})
+    assert b.count() == 5 and calls == [5]
+    # different config -> recomputed
+    c = checkpointed("st", factory_v(7), root, config={"sf": "b"})
+    assert c.count() == 7 and calls == [5, 7]
+    assert read_manifest(root, "st")["content_key"] is not None

@@ -85,3 +85,36 @@ def test_span_conflict_duel_longest_wins():
     rows = ex._tag_one("u", text)
     assert len(rows) == 1
     assert rows[0][3] == long_alias
+
+
+def test_span_conflict_duel_score_beats_length():
+    """Score-first duel (ops.py:214-476 analog): a shorter span with a
+    higher confidence beats a longer overlapping span with a lower
+    one; the length rule only breaks score ties."""
+    i = next(
+        j for j in range(dicts.N_OIDS) if j % 7 == 0 and j % 3 == 0
+    )
+    long_alias = [a for a in dicts.aliases_of(i) if a.endswith(" gene")][0]
+    short_alias = long_alias[: -len(" gene")]
+    assert short_alias in dicts.aliases_of(i)
+    text = f"prefix {long_alias} suffix"
+
+    # demote the long alias below the default: short one must win now
+    ex = MentionExtractor(surface_conf={long_alias: 0.5})
+    rows = ex._tag_one("u", text)
+    assert len(rows) == 1
+    assert rows[0][3] == short_alias
+    assert rows[0][5] == 0.9  # DICT_CONF carried on the mention
+
+    # equal scores -> longest wins (tie-break preserved)
+    ex2 = MentionExtractor()
+    rows2 = ex2._tag_one("u", text)
+    assert len(rows2) == 1 and rows2[0][3] == long_alias
+
+
+def test_mentions_carry_score_column():
+    t = pages_table(SF).slice(0, 8)
+    out = MentionExtractor()(t)
+    assert "score" in out.schema.names
+    sc = out["score"].to_pylist()
+    assert sc and all(0.0 < s <= 1.0 for s in sc)

@@ -73,3 +73,38 @@ def test_featurizer_deterministic(ray_session):
     assert a.media_id.tolist() == b.media_id.tolist()
     for x, y in zip(a.feature, b.feature):
         assert np.allclose(np.array(x), np.array(y))
+
+
+def test_codec_provenance_both_branches(ray_session):
+    """Outputs declare their decoder: the default branch (no PIL in
+    this container) emits codec='fake-deterministic'; an injected real
+    decoder flows through the same plumbing with codec='injected'."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bern_ray.functions.multimodal import (
+        MediaFeaturizer,
+        synth_media_batch,
+    )
+
+    batch = synth_media_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(["alpha beta", "gamma delta"]),
+            }
+        )
+    )
+    default = MediaFeaturizer()
+    out = default(batch)
+    assert set(out["codec"].to_pylist()) == {"fake-deterministic"}
+
+    def real_decoder(payload: bytes):
+        return 2, 2, np.arange(12, dtype=np.uint8)
+
+    injected = MediaFeaturizer(decoder=real_decoder)
+    out2 = injected(batch)
+    assert set(out2["codec"].to_pylist()) == {"injected"}
+    assert out2["decoded_w"].to_pylist() == [2, 2]
+    # same schema from both branches
+    assert out.schema.names == out2.schema.names
