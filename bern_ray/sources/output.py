@@ -80,6 +80,41 @@ def to_pubtator(clusters: "ray.data.Dataset") -> "ray.data.Dataset":
     return clusters.map_batches(pubtator_batch, batch_format="pyarrow")
 
 
+def parse_pubtator_batch(t: pa.Table) -> pa.Table:
+    """Inverse of `pubtator_batch`: PubTator-style mention lines back
+    to a flat mentions table (the reference's line PARSER,
+    convert.py:9-115 pubtator2dict_list, minus the title/abstract
+    header rows our writer does not emit). Closes the write->read
+    round-trip so PubTator files are a first-class source format.
+    """
+    urls, starts, ends, surfs, etypes, ids = [], [], [], [], [], []
+    for line in t["line"].to_pylist():
+        parts = line.split("\t")
+        if len(parts) != 6:
+            continue  # malformed / header row — reference skips too
+        urls.append(parts[0])
+        starts.append(int(parts[1]))
+        ends.append(int(parts[2]))
+        surfs.append(parts[3])
+        etypes.append(parts[4])
+        ids.append(parts[5].split("|") if parts[5] else [])
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "start": pa.array(starts, type=pa.int64()),
+            "end": pa.array(ends, type=pa.int64()),
+            "surface": pa.array(surfs, type=pa.string()),
+            "etype": pa.array(etypes, type=pa.string()),
+            "ids": pa.array(ids, type=pa.list_(pa.string())),
+        }
+    )
+
+
+def from_pubtator(lines: "ray.data.Dataset") -> "ray.data.Dataset":
+    """PubTator line Dataset (column `line`) -> mentions Dataset."""
+    return lines.map_batches(parse_pubtator_batch, batch_format="pyarrow")
+
+
 def write_outputs(
     clusters: "ray.data.Dataset", out_dir: str, fmt: str = "parquet"
 ) -> None:

@@ -47,3 +47,53 @@ def test_write_and_readback(clusters, tmp_path):
     write_outputs(clusters, str(tmp_path))
     back = ray.data.read_parquet(f"{tmp_path}/denotations")
     assert back.count() == clusters.to_pandas().url.nunique()
+
+
+def test_pubtator_round_trip():
+    """writer -> parser round-trip: every mention field survives
+    (reference write convert.py:559-586, parse convert.py:9-115)."""
+    import pyarrow as pa
+
+    from bern_ray.sources.output import parse_pubtator_batch, pubtator_batch
+
+    clusters = pa.table(
+        {
+            "url": pa.array(["u1", "u1", "u2"]),
+            "start": pa.array([5, 0, 3], type=pa.int64()),
+            "end": pa.array([9, 4, 7], type=pa.int64()),
+            "surface": pa.array(["beta", "alfa", "gamm"]),
+            "etype": pa.array(["gene", "drug", "species"]),
+            "ids": pa.array(
+                [["BERN:GN:1", "HGNC:2"], ["CUI-less"], []],
+                type=pa.list_(pa.string()),
+            ),
+        }
+    )
+    lines = pubtator_batch(clusters)
+    back = parse_pubtator_batch(lines)
+    # writer sorts by (url, start); compare as sorted row sets
+    want = clusters.to_pandas().sort_values(["url", "start"]).reset_index(
+        drop=True
+    )
+    got = back.to_pandas().sort_values(["url", "start"]).reset_index(
+        drop=True
+    )
+    for col in ("url", "start", "end", "surface", "etype"):
+        assert got[col].tolist() == want[col].tolist()
+    assert [list(x) for x in got["ids"]] == [list(x) for x in want["ids"]]
+
+
+def test_pubtator_parser_skips_malformed():
+    import pyarrow as pa
+
+    from bern_ray.sources.output import parse_pubtator_batch
+
+    t = pa.table(
+        {
+            "url": pa.array(["u", "u"]),
+            "line": pa.array(["not a mention line", "u\t1\t3\tab\tgene\t"]),
+        }
+    )
+    out = parse_pubtator_batch(t)
+    assert out.num_rows == 1
+    assert out["ids"].to_pylist() == [[]]
