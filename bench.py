@@ -98,12 +98,23 @@ def run_bench() -> dict:
     queries["block_score"] = round(t_score, 3)
     queries["cluster"] = round(t_cluster, 3)
 
+    # scaling legs measure ONLY the headline parallel phases: the
+    # secondary single-shot queries and the out-of-band unique-pair
+    # census are diagnostics, not the capacity-bound workload the
+    # N-vs-4N criterion compares (same corpus and pair set at both
+    # levels, so raw scored-eval throughput ratios are unchanged)
+    scaling_leg = os.environ.get("GRAFT_SCALING_LEG") == "1"
+
     # unique pair count for cross-round comparability (outside the
     # timed window; the hot path intentionally skips global dedup)
-    n_pairs = scored.groupby(["a_mid", "b_mid"]).count().count()
+    n_pairs = (
+        n_scored
+        if scaling_leg
+        else scored.groupby(["a_mid", "b_mid"]).count().count()
+    )
 
     # --- secondary pipelines ---------------------------------------
-    for name, fn in (
+    for name, fn in () if scaling_leg else (
         ("exact_dedup", lambda: exact_dedup(
             ray.data.read_parquet(f"{SF_DIR}/documents.parquet")).count()),
         ("minhash_neardup", lambda: minhash_neardup(
@@ -116,11 +127,12 @@ def run_bench() -> dict:
         fn()
         queries[name] = round(time.monotonic() - t, 3)
 
-    t = time.monotonic()
-    embs = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
-    Q, qids = _query_vectors(SF_DIR)
-    ann_topk(embs, Q, qids, k=10).count()
-    queries["ann_topk"] = round(time.monotonic() - t, 3)
+    if not scaling_leg:
+        t = time.monotonic()
+        embs = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        Q, qids = _query_vectors(SF_DIR)
+        ann_topk(embs, Q, qids, k=10).count()
+        queries["ann_topk"] = round(time.monotonic() - t, 3)
 
     result = {
         "metric": "e2e_linkage_sec",
@@ -151,7 +163,8 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_REPLICATE=os.environ.get("GRAFT_SCALING_REPLICATE", "24"),
+            GRAFT_REPLICATE=os.environ.get("GRAFT_SCALING_REPLICATE", "64"),
+            GRAFT_SCALING_LEG="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -167,36 +180,57 @@ def run_scaling() -> dict:
     # ~0.65 by the HARDWARE itself (string/regex workloads on SMT
     # threads — measured with a plain multiprocessing.Pool, no Ray;
     # see BASELINE.md). Override with GRAFT_SCALING_LO/HI.
+    #
+    # Trials run as PAIRED (lo, hi) legs and the reported value is the
+    # MEDIAN of per-pair efficiencies: this shared sandbox shows
+    # 30-50% wall-time swings between identical runs (co-tenant
+    # noise), and pairing legs in time + taking the median is robust
+    # to a single anomalous leg where best-of-N is not.
     lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
-    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "1"))
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
 
-    def best(ncpu: int) -> dict:
-        # best-of-N to damp scheduler/run-to-run variance (~20% observed)
-        runs = [one(ncpu) for _ in range(trials)]
-        return min(runs, key=lambda r: r["parallel_sec"])
-
-    r_lo = best(lo)
-    r_hi = best(hi)
-    thr_lo = r_lo["n_candidate_pairs"] / r_lo["parallel_sec"]
-    thr_hi = r_hi["n_candidate_pairs"] / r_hi["parallel_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
-    e2e_eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    pairs = []
+    for _ in range(trials):
+        r_lo = one(lo)
+        r_hi = one(hi)
+        thr_lo = r_lo["n_candidate_pairs"] / r_lo["parallel_sec"]
+        thr_hi = r_hi["n_candidate_pairs"] / r_hi["parallel_sec"]
+        pairs.append(
+            {
+                "eff": (thr_hi / thr_lo) / (hi / lo),
+                "e2e_eff": (r_lo["value"] / r_hi["value"]) / (hi / lo),
+                "lo": r_lo,
+                "hi": r_hi,
+                "thr_lo": thr_lo,
+                "thr_hi": thr_hi,
+            }
+        )
+    pairs.sort(key=lambda p: p["eff"])
+    med = pairs[len(pairs) // 2] if len(pairs) % 2 else None
+    if med is None:  # even count: mean of middle two efficiencies
+        a, b = pairs[len(pairs) // 2 - 1], pairs[len(pairs) // 2]
+        med_eff = (a["eff"] + b["eff"]) / 2
+        med = b if b["eff"] - med_eff <= med_eff - a["eff"] else a
+    else:
+        med_eff = med["eff"]
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(med_eff, 3),
         "unit": "ratio",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "e2e_efficiency": round(e2e_eff, 3),
-        f"parallel_sec_{lo}": r_lo["parallel_sec"],
-        f"parallel_sec_{hi}": r_hi["parallel_sec"],
-        f"sec_{lo}": r_lo["value"],
-        f"sec_{hi}": r_hi["value"],
-        f"throughput_{lo}": round(thr_lo, 1),
-        f"throughput_{hi}": round(thr_hi, 1),
-        f"pairs_per_sec_{lo}": r_lo["pairs_per_sec"],
-        f"pairs_per_sec_{hi}": r_hi["pairs_per_sec"],
+        "trials": trials,
+        "per_trial_efficiency": [round(p["eff"], 3) for p in pairs],
+        "e2e_efficiency": round(med["e2e_eff"], 3),
+        f"parallel_sec_{lo}": med["lo"]["parallel_sec"],
+        f"parallel_sec_{hi}": med["hi"]["parallel_sec"],
+        f"sec_{lo}": med["lo"]["value"],
+        f"sec_{hi}": med["hi"]["value"],
+        f"throughput_{lo}": round(med["thr_lo"], 1),
+        f"throughput_{hi}": round(med["thr_hi"], 1),
+        f"pairs_per_sec_{lo}": med["lo"]["pairs_per_sec"],
+        f"pairs_per_sec_{hi}": med["hi"]["pairs_per_sec"],
         "sf": SF_DIR,
     }
 

@@ -137,22 +137,34 @@ def score_pairs(
     concurrency: int | tuple = (1, 16),
     batch_size: int | None = None,
     dedup_in_attach: bool = False,
+    model_loader=None,
+    num_gpus: float = 0,
 ) -> "ray.data.Dataset":
     """Run the scorer actor pool over attributed pairs.
 
     With ``normalized`` given and int-only pairs, attributes are
     attached first via the distributed bucketed join. With
     ``normalized=None`` the pairs must already carry attrs
-    (candidate_pairs(with_attrs=True) — the single-sort hot path)."""
+    (candidate_pairs(with_attrs=True) — the single-sort hot path).
+
+    ``model_loader`` / ``num_gpus`` form the GPU seam: the loader
+    runs once per actor in ``__init__`` (see stages/scoring.py) and
+    ``num_gpus`` reserves accelerator slots per scorer actor."""
     if normalized is None:
         pairs = pairs.map_batches(_key_to_block_key, batch_format="pyarrow")
     elif "a_surface" not in pairs.schema().names:
         pairs = attach_pair_attrs(pairs, normalized, dedup=dedup_in_attach)
+    kwargs = {}
+    if model_loader is not None:
+        kwargs["fn_constructor_kwargs"] = {"model_loader": model_loader}
+    if num_gpus:
+        kwargs["num_gpus"] = num_gpus
     return pairs.map_batches(
         PairScorer,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        **kwargs,
     )
 
 

@@ -39,10 +39,29 @@ EDGE_THRESHOLD = 0.75
 
 
 class PairScorer:
-    """Actor-pool callable: pair batch -> pair batch + score column."""
+    """Actor-pool callable: pair batch -> pair batch + score column.
 
-    def __init__(self, threshold: float = EDGE_THRESHOLD):
+    The embedding component is a per-actor MODEL loaded once in
+    ``__init__`` — the GPU seam of the north_star: a real deployment
+    passes ``model_loader`` (a picklable zero-arg callable returning
+    ``surfaces -> (n, d) float array``, e.g. loading a transformer
+    onto the GPU; run the pool with ``num_gpus`` via
+    ``score_pairs(..., num_gpus=1)``) and the batched-inference
+    plumbing is identical. The default model is the deterministic
+    hashed-n-gram embedder (reference analog: run_ner.py:361-589
+    loads the TF estimator once per process and serves batches).
+    """
+
+    def __init__(
+        self,
+        threshold: float = EDGE_THRESHOLD,
+        model_loader=None,
+    ):
         self.threshold = threshold
+        # once per actor, NOT per batch
+        self.embed = (
+            ngram_hash_vectors if model_loader is None else model_loader()
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -69,7 +88,7 @@ class PairScorer:
         sb = uniq_s[upb].tolist()
         jw = jaro_winkler(sa, sb)
         lv = levenshtein_sim(sa, sb)
-        E = ngram_hash_vectors(uniq_s.tolist())
+        E = self.embed(uniq_s.tolist())
         cos = cosine_pairs(E[upa], E[upb])
         sim_u = 0.3 * jw + 0.3 * lv + 0.4 * cos
         sim = sim_u[pair_inv]
