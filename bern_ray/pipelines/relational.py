@@ -554,6 +554,34 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+# Sampling (reference utils.py:40 random choice / service_checker.py:55
+# random pmid draws). The oracle-checked variant is a DETERMINISTIC
+# hash sample — the reproducible form a 100-TB pipeline wants (same
+# subset on every run / resume, no RNG state per worker); Ray's
+# ds.random_sample remains available for non-reproducible draws.
+SAMPLE_RATE = 0.2
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+_SAMPLE_CUT = int(SAMPLE_RATE * (1 << 32))
+
+
+def q_sample_docs(sf_dir: str):
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+        keep = h < np.uint64(_SAMPLE_CUT)
+        sub = t.filter(pa.array(keep))
+        return pa.table({"doc_id": sub["doc_id"], "lang": sub["lang"]})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_SAMPLE_DOCS = f"""
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * {_KNUTH}) % 4294967296 < {_SAMPLE_CUT}
+"""
+
+
 # Requested-keys left outer join with null-fill — the reference's
 # "give me a row for every requested pmid" shape (convert.py:279-297:
 # requested id list joined against fetched docs, misses filled with an
@@ -670,4 +698,5 @@ REGISTRY: dict[str, tuple] = {
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),
     "requested_docs": (q_requested_docs, SQL_REQUESTED_DOCS),
+    "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
 }
