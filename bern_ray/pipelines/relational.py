@@ -554,6 +554,191 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+# ------------------------------------------------- windowed aggregates
+# The streaming-window family over `events` (task brief: windowed
+# aggregate / streaming window as custom operators). All three are
+# expressed as Dataset compositions — window-key assignment inside
+# map_batches (tumbling: one key; sliding: flat-map to width/hop
+# overlapping windows), partial combine per batch, then one tiny
+# groupby; session windows need per-user ordering, so they ride
+# groupby(user).map_groups. Window starts are integer epoch seconds on
+# both sides (no timestamp-precision ambiguity in the value hash).
+
+TUMBLE_S = 3600
+SLIDE_WIDTH_S = 3600
+SLIDE_HOP_S = 900
+SESSION_GAP_S = 1800
+
+
+def _events(sf_dir: str, cols):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+
+def _epoch_s(ts_col) -> np.ndarray:
+    return (
+        ts_col.to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+        // 1_000_000
+    )
+
+
+def q_window_tumbling(sf_dir: str):
+    def partial(t: pa.Table) -> pa.Table:
+        ws = (_epoch_s(t["ts"]) // TUMBLE_S) * TUMBLE_S
+        df = pd.DataFrame(
+            {
+                "window_start": ws,
+                "event_type": t["event_type"].to_pylist(),
+                "value": t["value"].to_numpy(),
+            }
+        )
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            n=("value", "size"), s=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "window_start": pc.cast(t["window_start"], pa.int64()),
+                "event_type": t["event_type"],
+                "n_events": pc.cast(t["n"], pa.int64()),
+                "sum_value": pc.round(t["s"], ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WINDOW_TUMBLING = f"""
+SELECT (epoch_us(ts) // {TUMBLE_S * 1_000_000}) * {TUMBLE_S}
+         AS window_start,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_window_sliding(sf_dir: str):
+    n_hops = SLIDE_WIDTH_S // SLIDE_HOP_S
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = _epoch_s(t["ts"]) // SLIDE_HOP_S
+        n = len(base)
+        # each event lands in width/hop overlapping windows
+        ws = (
+            (base[:, None] - np.arange(n_hops)[None, :]) * SLIDE_HOP_S
+        ).ravel()
+        et = np.repeat(
+            np.asarray(t["event_type"].to_pylist(), dtype=object), n_hops
+        )
+        val = np.repeat(t["value"].to_numpy(), n_hops)
+        df = pd.DataFrame(
+            {"window_start": ws, "event_type": et, "value": val}
+        )
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            n=("value", "size"), s=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "window_start": pc.cast(t["window_start"], pa.int64()),
+                "event_type": t["event_type"],
+                "n_events": pc.cast(t["n"], pa.int64()),
+                "sum_value": pc.round(t["s"], ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WINDOW_SLIDING = f"""
+SELECT ((epoch_us(ts) // {SLIDE_HOP_S * 1_000_000}) - i.i)
+         * {SLIDE_HOP_S} AS window_start,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events,
+     (SELECT unnest(generate_series(0, {SLIDE_WIDTH_S // SLIDE_HOP_S - 1}))
+        AS i) i
+GROUP BY 1, 2
+"""
+
+
+def q_window_session(sf_dir: str):
+    """Gap-based session windows per user — the one window family that
+    needs ordered per-key state, expressed as groupby(user).map_groups
+    (each user's events fit one task; the shuffle key is user_id)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["ts"].astype("int64") // 1_000_000
+        brk = (t - t.shift()).fillna(SESSION_GAP_S + 1) > SESSION_GAP_S
+        sid = brk.cumsum()
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"],
+                    "session_id": sid,
+                    "t": t,
+                    "value": g["value"],
+                }
+            )
+            .groupby(["user_id", "session_id"], as_index=False)
+            .agg(
+                session_start=("t", "min"),
+                n_events=("t", "size"),
+                sum_value=("value", "sum"),
+            )
+        )
+        out["sum_value"] = out["sum_value"].round(4)
+        return out
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_WINDOW_SESSION = f"""
+WITH x AS (
+  SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS t,
+         lag(epoch_us(ts) // 1000000) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+s AS (
+  SELECT user_id, t, value,
+         sum(CASE WHEN prev_t IS NULL
+                    OR t - prev_t > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY t, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(t)::BIGINT AS session_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # Sampling (reference utils.py:40 random choice / service_checker.py:55
 # random pmid draws). The oracle-checked variant is a DETERMINISTIC
 # hash sample — the reproducible form a 100-TB pipeline wants (same
@@ -699,4 +884,7 @@ REGISTRY: dict[str, tuple] = {
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),
     "requested_docs": (q_requested_docs, SQL_REQUESTED_DOCS),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
+    "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
+    "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
+    "window_session": (q_window_session, SQL_WINDOW_SESSION),
 }
