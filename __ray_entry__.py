@@ -170,6 +170,19 @@ def _ann_lsh_topk(sf_dir: str):
     return ann_lsh_topk(embs, Q, qids, k=10)
 
 
+def _ann_ivf_topk(sf_dir: str):
+    """IVF (k-means coarse quantizer) approximate top-k; pytest pins
+    full-probe == brute-force and half-probe recall (tests/test_ann)."""
+    import ray.data
+
+    from bern_ray.functions.ann import ann_ivf_topk
+    from bern_ray.pipelines.relational import _query_vectors
+
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    Q, qids = _query_vectors(sf_dir)
+    return ann_ivf_topk(embs, Q, qids, k=10, n_cells=8, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from bern_ray.pipelines.relational import REGISTRY
 
@@ -186,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "er_cuiless_ratio": _er_cuiless_ratio,
             "media_features": _media_features,
             "ann_lsh_topk": _ann_lsh_topk,
+            "ann_ivf_topk": _ann_ivf_topk,
         }
     )
     return out

@@ -174,6 +174,108 @@ def ann_lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    embs: "ray.data.Dataset",
+    n_cells: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means (spherical, Lloyd) on a
+    deterministic sample. The sample is tiny driver-side work (like
+    the query matrix); assignment runs distributed. At 10^12 rows the
+    sample stays O(sample_size) — train cost is scale-independent.
+    """
+    t = pa.concat_tables(
+        embs.limit(sample_size).iter_batches(batch_format="pyarrow")
+    )
+    X = _norm(
+        np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+    )
+    rs = np.random.RandomState(seed)
+    C = X[rs.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            sel = assign == c
+            if sel.any():
+                C[c] = X[sel].mean(axis=0)
+        C = _norm(C)
+    return C
+
+
+def ann_ivf_topk(
+    embs: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k: vectors are bucketed to their nearest
+    coarse centroid; each query scores only its n_probe nearest cells.
+
+    With n_probe == n_cells the result is EXACTLY the brute-force
+    top-k (every cell probed) — pytest pins that invariant; smaller
+    n_probe trades recall for touching n_probe/n_cells of the data.
+    Scale shape: the cell id is a partition key (same as the LSH
+    variant); centroids are a broadcast O(n_cells x d) side input.
+    """
+    C = train_ivf_centroids(embs, n_cells=n_cells, seed=seed)
+    Q = _norm(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    order = np.argsort(-(Q @ C.T), axis=1)
+    probe_sets = [set(map(int, row[:n_probe])) for row in order]
+    ref = ray.put((Q, qids, C, probe_sets))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        Qm, qi, cents, probes = ray.get(ref)
+        ids, M = _mat(t)
+        Mn = _norm(M)
+        cells = np.argmax(Mn @ cents.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for i in range(len(Qm)):
+            sel = np.fromiter(
+                (int(c) in probes[i] for c in cells),
+                dtype=bool,
+                count=len(cells),
+            )
+            sel &= ids != qi[i]
+            if not sel.any():
+                continue
+            sims = Mn[sel] @ Qm[i]
+            sub_ids = ids[sel]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([int(qi[i])] * kk)
+            out_v.extend(sub_ids[idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cos_sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g["cos_sim"] = g["cos_sim"].round(6)
+        return g
+
+    partial = embs.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=8192
+    )
+    return partial.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas"
+    )
+
+
 def centroids_by_label(embs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-label centroid — partial sums inside map_batches, then a tiny
     groupby over (label, component) partials. -> (label, n, centroid)."""

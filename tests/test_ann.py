@@ -86,3 +86,64 @@ def test_centroids_match_numpy(ray_session):
         exp = np.round(M[sel].mean(axis=0), 6)
         assert row.n == sel.sum()
         assert np.allclose(np.array(row.centroid), exp, atol=1e-6)
+
+
+def test_ivf_full_probe_equals_brute_force(ray_session):
+    """n_probe == n_cells probes every cell -> must equal the exact
+    brute-force top-k bit for bit."""
+    import ray.data
+
+    from bern_ray.functions.ann import ann_ivf_topk, ann_topk
+    from bern_ray.pipelines.relational import _query_vectors
+
+    sf = "/root/testdata/sf0.001"
+    embs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    Q, qids = _query_vectors(sf)
+    exact = (
+        ann_topk(embs, Q, qids, k=10)
+        .to_pandas()
+        .sort_values(["query_id", "cos_sim", "vec_id"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        ann_ivf_topk(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet"),
+            Q,
+            qids,
+            k=10,
+            n_cells=8,
+            n_probe=8,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "cos_sim", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert exact[["query_id", "vec_id"]].equals(ivf[["query_id", "vec_id"]])
+    assert (exact["cos_sim"] - ivf["cos_sim"]).abs().max() < 1e-12
+
+
+def test_ivf_partial_probe_recall(ray_session):
+    """Probing half the cells must recover a meaningful fraction of
+    the exact top-10 (lower bound loose: synthetic embeddings are
+    near-orthogonal, so recall ~ fraction of cells probed)."""
+    import ray.data
+
+    from bern_ray.functions.ann import ann_ivf_topk, ann_topk
+    from bern_ray.pipelines.relational import _query_vectors
+
+    sf = "/root/testdata/sf0.001"
+    embs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    Q, qids = _query_vectors(sf)
+    exact = ann_topk(embs, Q, qids, k=10).to_pandas()
+    approx = ann_ivf_topk(
+        ray.data.read_parquet(f"{sf}/embeddings.parquet"),
+        Q,
+        qids,
+        k=10,
+        n_cells=8,
+        n_probe=4,
+    ).to_pandas()
+    got = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    want = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.25, recall
