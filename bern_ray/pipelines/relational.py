@@ -554,6 +554,93 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+# -------------------------------------------- temporal joins (as-of /
+# range) — the brief's custom-operator family: both are per-key
+# ORDERED compositions (groupby(user).map_groups with a deterministic
+# (ts, event_id) sort), the partitioning assumption being that one
+# key's history fits one task (salt the key or sub-window the time
+# axis when it does not).
+
+
+def q_asof_last_signup(sf_dir: str):
+    """AS-OF join: each event matched to the most recent signup event
+    (ts' <= ts) of the same user — the classic point-in-time join,
+    here as a self-join on the events table."""
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["ts"].astype("int64") // 1_000_000
+        sig = t.where(g["event_type"] == "signup")
+        # rows are ts-ordered, so forward-fill IS the as-of lookup
+        # (NB: cummax alone leaves NaN at non-signup positions)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "last_signup_ts": sig.ffill().astype("Int64"),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+SQL_ASOF_LAST_SIGNUP = """
+WITH x AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'signup'
+              THEN epoch_us(ts) // 1000000 END AS sig_ts
+  FROM events
+)
+SELECT event_id,
+       max(sig_ts) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+FROM x
+"""
+
+RANGE_WINDOW_S = 1800
+
+
+def q_range_count(sf_dir: str):
+    """RANGE join: per event, how many events the same user produced
+    in the preceding 30 minutes (exclusive of itself) — a banded
+    temporal self-join, vectorized with one searchsorted per group."""
+
+    def rng(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+        lo = np.searchsorted(t, t - RANGE_WINDOW_S, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "n_prev_30m": (hi - lo - 1).astype(np.int64),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(rng, batch_format="pandas")
+    )
+
+
+SQL_RANGE_COUNT = f"""
+WITH x AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t FROM events
+)
+SELECT event_id,
+       (count(*) OVER (
+          PARTITION BY user_id ORDER BY t
+          RANGE BETWEEN {RANGE_WINDOW_S} PRECEDING AND CURRENT ROW)
+        - 1)::BIGINT AS n_prev_30m
+FROM x
+"""
+
+
 # ------------------------------------------------- windowed aggregates
 # The streaming-window family over `events` (task brief: windowed
 # aggregate / streaming window as custom operators). All three are
@@ -887,4 +974,6 @@ REGISTRY: dict[str, tuple] = {
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "window_session": (q_window_session, SQL_WINDOW_SESSION),
+    "asof_last_signup": (q_asof_last_signup, SQL_ASOF_LAST_SIGNUP),
+    "range_count": (q_range_count, SQL_RANGE_COUNT),
 }
