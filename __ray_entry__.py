@@ -150,6 +150,36 @@ def _er_cuiless_ratio(sf_dir: str):
     )
 
 
+def _er_incremental(sf_dir: str):
+    """Incremental linkage: last 20% of pages merged into the prior
+    80%'s linkage state — clusters identical to a from-scratch run
+    (pytest-pinned, tests/test_incremental.py); only new-touching
+    pairs are scored."""
+    import ray.data
+
+    from bern_ray.pipelines.linkage import (
+        extract_normalize_mentions,
+        incremental_linkage,
+        score_pairs,
+    )
+    from bern_ray.sources.pages import pages_table
+    from bern_ray.stages.blocking import candidate_pairs
+
+    t = pages_table(sf_dir)
+    cut = int(t.num_rows * 0.8)
+    prior_pages = ray.data.from_arrow(t.slice(0, cut)).repartition(4)
+    new_pages = ray.data.from_arrow(t.slice(cut)).repartition(2)
+    norm = extract_normalize_mentions(
+        prior_pages, concurrency=(1, 4)
+    ).materialize()
+    scored = score_pairs(
+        candidate_pairs(norm, dedup=False, with_attrs=True),
+        None,
+        concurrency=(1, 4),
+    ).materialize()
+    return incremental_linkage(norm, scored, new_pages, concurrency=(1, 4))
+
+
 def _media_features(sf_dir: str):
     import ray.data
 
@@ -197,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "er_clusters": _er_clusters,
             "er_mention_counts": _er_mention_counts,
             "er_cuiless_ratio": _er_cuiless_ratio,
+            "er_incremental": _er_incremental,
             "media_features": _media_features,
             "ann_lsh_topk": _ann_lsh_topk,
             "ann_ivf_topk": _ann_ivf_topk,

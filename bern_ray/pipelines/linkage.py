@@ -271,6 +271,58 @@ def cluster_mentions(
     return out
 
 
+def incremental_linkage(
+    prior_normalized: "ray.data.Dataset",
+    prior_scored: "ray.data.Dataset",
+    new_pages: "ray.data.Dataset",
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    concurrency: int | tuple = (1, 8),
+) -> "ray.data.Dataset":
+    """Merge a NEW batch of pages into an existing linkage state.
+
+    Incremental semantics: only the new pages are extracted and
+    normalized, and only pairs touching a NEW mention are generated
+    and scored (prior-prior pairs are already represented by
+    ``prior_scored``; the blocking stage drops them inside pair
+    emission via the is_new flag). Connected components then runs over
+    prior edges ∪ new edges, so the output clusters are IDENTICAL to
+    a from-scratch run over the full corpus (pytest-pinned) — the
+    cluster ids are content-derived, not run-derived.
+
+    What re-flows at scale: the prior mentions' blocking keys must
+    re-enter the one pair-gen shuffle (key assignment is deterministic,
+    so a deployment checkpoints the exploded keys and reads them back
+    instead of recomputing). Extraction, normalization and scoring —
+    the expensive stages — run on new data only.
+    """
+
+    def flag(val: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "is_new",
+                pa.array(np.full(t.num_rows, val), type=pa.bool_()),
+            )
+
+        return fn
+
+    new_norm = extract_normalize_mentions(
+        new_pages, concurrency=concurrency
+    )
+    tagged = (
+        prior_normalized.map_batches(flag(False), batch_format="pyarrow")
+        .union(new_norm.map_batches(flag(True), batch_format="pyarrow"))
+        .materialize()
+    )
+    pairs = candidate_pairs(
+        tagged, salt_threshold=salt_threshold, dedup=False, with_attrs=True
+    )
+    new_scored = score_pairs(pairs, None, concurrency=concurrency)
+    edges = prior_scored.map_batches(
+        edges_only, batch_format="pyarrow"
+    ).union(new_scored.map_batches(edges_only, batch_format="pyarrow"))
+    return cluster_mentions(tagged, edges)
+
+
 def linkage_pipeline(
     sf_dir: str,
     checkpoint_root: str | None = None,

@@ -554,6 +554,65 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+# ------------------------------------------- quality-filter composite
+# The canonical training-data cleaning pipeline (task brief): language
+# ID + quality thresholds fused in ONE map_batches pass (both kernels
+# are pyarrow.compute over the same batch), emitting keep/drop with
+# the FIRST failing reason — the shape a 100-TB corpus filter runs
+# before anything else touches the data.
+
+QF_MIN_TOKENS = 20
+QF_MIN_MTL = 3.0
+QF_MAX_MTL = 12.0
+QF_MAX_PUNCT = 0.1
+QF_LANG = "en"
+
+
+def q_quality_filter(sf_dir: str):
+    def fn(t: pa.Table) -> pa.Table:
+        stats = fts.doc_stats_batch(t)
+        lang = fts.langid_batch(t)
+        n_tok = stats["n_tokens"].to_numpy(zero_copy_only=False)
+        mtl = stats["mean_tok_len"].to_numpy(zero_copy_only=False)
+        punct = stats["punct_ratio"].to_numpy(zero_copy_only=False)
+        pl = np.asarray(lang["pred_lang"].to_pylist(), dtype=object)
+        reason = np.full(len(n_tok), "keep", dtype=object)
+        # reversed priority: earlier checks overwrite later ones
+        reason[pl != QF_LANG] = "lang"
+        reason[punct > QF_MAX_PUNCT] = "punct"
+        reason[(mtl < QF_MIN_MTL) | (mtl > QF_MAX_MTL)] = "tok_len"
+        reason[n_tok < QF_MIN_TOKENS] = "short"
+        return pa.table(
+            {
+                "doc_id": stats["doc_id"],
+                "keep": pa.array(reason == "keep", type=pa.bool_()),
+                "reason": pa.array(reason.tolist(), type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def _sql_quality_filter() -> str:
+    return f"""
+WITH s AS ({fts.doc_stats_sql()}),
+     l AS ({fts.langid_sql()}),
+     r AS (
+  SELECT s.doc_id,
+         CASE
+           WHEN s.n_tokens < {QF_MIN_TOKENS} THEN 'short'
+           WHEN s.mean_tok_len < {QF_MIN_MTL}
+                OR s.mean_tok_len > {QF_MAX_MTL} THEN 'tok_len'
+           WHEN s.punct_ratio > {QF_MAX_PUNCT} THEN 'punct'
+           WHEN l.pred_lang != '{QF_LANG}' THEN 'lang'
+           ELSE 'keep'
+         END AS reason
+  FROM s JOIN l USING (doc_id)
+)
+SELECT doc_id, (reason = 'keep') AS keep, reason FROM r
+"""
+
+
 # -------------------------------------------- temporal joins (as-of /
 # range) — the brief's custom-operator family: both are per-key
 # ORDERED compositions (groupby(user).map_groups with a deterministic
@@ -976,4 +1035,5 @@ REGISTRY: dict[str, tuple] = {
     "window_session": (q_window_session, SQL_WINDOW_SESSION),
     "asof_last_signup": (q_asof_last_signup, SQL_ASOF_LAST_SIGNUP),
     "range_count": (q_range_count, SQL_RANGE_COUNT),
+    "quality_filter": (q_quality_filter, _sql_quality_filter()),
 }
