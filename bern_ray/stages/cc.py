@@ -38,12 +38,16 @@ def _cc_arrays(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized connected components over edge arrays on the driver.
 
-    Min-label propagation with pointer doubling, entirely in numpy
-    (np.minimum.at is C-speed per round, O(log n) rounds) — ~10-30x
-    faster than a per-edge Python union-find loop at millions of
-    edges. Deterministic: the smallest node id in a component is its
-    root (dense indices from np.unique are order-isomorphic to ids).
-    Returns (nodes, roots).
+    Min-label propagation, entirely in numpy: the symmetric edge list
+    is sorted by target ONCE, each round is a gather +
+    np.minimum.reduceat segment-min (buffered C kernels — NOT
+    np.minimum.at, whose unbuffered scatter measured ~50x slower at
+    millions of edges), followed by FULL pointer compression
+    (label = label[label] to fixpoint, cheap vector passes). With
+    compression each round, convergence is a handful of rounds even on
+    the star+chain topologies the pair cap emits. Deterministic: the
+    smallest node id in a component is its root (dense indices from
+    np.unique are order-isomorphic to ids). Returns (nodes, roots).
     """
     if len(src) == 0:
         z = np.empty(0, dtype=np.int64)
@@ -53,16 +57,28 @@ def _cc_arrays(
     )
     u = inv[: len(src)]
     v = inv[len(src) :]
+    # symmetric, DEDUPED edge list (pair streams carry ~2x duplicate
+    # edges by design; every round gathers per edge, so dedupe once)
+    n = len(nodes)
+    code = np.unique(
+        np.concatenate([u, v]) * np.int64(n) + np.concatenate([v, u])
+    )
+    eu = code // n
+    ev_s = code % n  # already sorted by (eu, ev)
+    uniq_t, starts = np.unique(eu, return_index=True)
     label = np.arange(len(nodes), dtype=np.int64)
     while True:
-        l2 = label.copy()
-        np.minimum.at(l2, u, label[v])
-        np.minimum.at(l2, v, label[u])
-        l2 = l2[l2]
-        l2 = l2[l2]
-        if np.array_equal(l2, label):
+        cand = np.minimum.reduceat(label[ev_s], starts)
+        nt = np.minimum(label[uniq_t], cand)
+        changed = not np.array_equal(nt, label[uniq_t])
+        label[uniq_t] = nt
+        while True:
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if not changed:
             break
-        label = l2
     return nodes, nodes[label]
 
 
