@@ -116,11 +116,25 @@ def from_pubtator(lines: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def write_outputs(
-    clusters: "ray.data.Dataset", out_dir: str, fmt: str = "parquet"
+    clusters: "ray.data.Dataset",
+    out_dir: str,
+    fmt: str = "parquet",
+    partition_by: str | None = None,
 ) -> None:
-    """Sink: partitioned parquet (default) or json lines."""
+    """Sink: partitioned parquet (default) or json lines.
+
+    Ray writes one file per block (natural input-shard partitioning);
+    ``partition_by`` additionally hive-partitions by a column (e.g.
+    'etype', or a precomputed key-range bucket) so a failed run can
+    skip finished partitions and consumers can prune at the read —
+    the brief's resumable-output requirement. Never one giant file.
+    """
     dens = to_denotations(clusters)
     if fmt == "parquet":
+        if partition_by is not None:
+            clusters.write_parquet(
+                f"{out_dir}/clusters", partition_cols=[partition_by]
+            )
         dens.write_parquet(f"{out_dir}/denotations")
     else:
         dens.write_json(f"{out_dir}/denotations")

@@ -97,3 +97,39 @@ def test_pubtator_parser_skips_malformed():
     out = parse_pubtator_batch(t)
     assert out.num_rows == 1
     assert out["ids"].to_pylist() == [[]]
+
+
+def test_write_outputs_partitioned(ray_session, tmp_path):
+    """partition_by hive-partitions the cluster table so finished
+    partitions are skippable on resume and prunable at read."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    clusters = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["u1", "u2", "u3"]),
+                "mention_id": pa.array([1, 2, 3], type=pa.int64()),
+                "start": pa.array([0, 0, 0], type=pa.int64()),
+                "end": pa.array([2, 2, 2], type=pa.int64()),
+                "surface": pa.array(["aa", "bb", "cc"]),
+                "etype": pa.array(["gene", "drug", "gene"]),
+                "ids": pa.array(
+                    [["x"], ["y"], ["z"]], type=pa.list_(pa.string())
+                ),
+                "cluster_id": pa.array(["c1", "c2", "c1"]),
+            }
+        )
+    )
+    from bern_ray.sources.output import write_outputs
+
+    out = str(tmp_path / "out")
+    write_outputs(clusters, out, partition_by="etype")
+    parts = sorted(os.listdir(f"{out}/clusters"))
+    assert any(p.startswith("etype=gene") for p in parts)
+    assert any(p.startswith("etype=drug") for p in parts)
+    back = ray.data.read_parquet(f"{out}/clusters").to_pandas()
+    assert len(back) == 3
+    assert os.path.isdir(f"{out}/denotations")
