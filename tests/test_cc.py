@@ -55,3 +55,36 @@ def test_union_find_transitive(ray_session):
     ds = _edges_ds([(1, 2), (3, 4), (2, 3)])
     lab = _canon(union_find_streaming(ds))
     assert lab[1] == lab[4] == 1
+
+
+def test_contract_cc_multiround_equals_union_find(ray_session):
+    """contract_cc with rounds=2 (forest-of-forest path) must match
+    union-find exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.stages.cc import contract_cc, union_find_streaming
+
+    rs = np.random.RandomState(3)
+    n = 4000
+    src = rs.randint(0, n, 6000)
+    off = rs.randint(1, 5, 6000)
+    dst = src + off  # chains + overlaps -> nontrivial components
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "score": pa.array(np.ones(len(src))),
+            }
+        )
+    ).repartition(8)
+    uf = union_find_streaming(ds)
+    got = {}
+    for b in contract_cc(ds, rounds=2, num_buckets=8).iter_batches(
+        batch_format="pyarrow"
+    ):
+        got.update(zip(b["node"].to_pylist(), b["label"].to_pylist()))
+    assert got == uf
