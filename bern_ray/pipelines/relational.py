@@ -413,18 +413,33 @@ ORDER BY sum(value) DESC, user_id LIMIT 20
 def q_running_count(sf_dir: str):
     """Per-(user, event_type) occurrence index ordered by (ts,
     event_id) — the reference's n-th-occurrence counter
-    (convert.py:431-447) as a grouped window."""
+    (convert.py:431-447) as a grouped window.
 
-    def occ(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g["occ_idx"] = g.groupby("event_type").cumcount() + 1
-        return g[["event_id", "occ_idx"]]
+    Scale shape: bucket-and-segment (stages/bucketed.py) — one shuffle
+    on hash(user_id) % K, lexsort + run-length occ index inside the
+    bucket kernel; never one Python call per user."""
+    from ..stages.bucketed import bucketed_apply, segments
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "event_type", "ts"],
-    )
-    return ev.groupby("user_id").map_groups(occ, batch_format="pandas")
+    def occ_bucket(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ets = pd.factorize(
+            np.asarray(t["event_type"].to_pylist(), dtype=object)
+        )[0]
+        tsr = _epoch_us(t["ts"])
+        order = np.lexsort((eid, tsr, ets, uid))
+        starts, sizes = segments(uid[order], ets[order])
+        occ = np.arange(n) - np.repeat(starts, sizes) + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "occ_idx": pa.array(occ, type=pa.int64()),
+            }
+        )
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    return bucketed_apply(ev, "user_id", occ_bucket)
 
 
 SQL_RUNNING_COUNT = """
@@ -614,39 +629,54 @@ SELECT doc_id, (reason = 'keep') AS keep, reason FROM r
 
 
 # -------------------------------------------- temporal joins (as-of /
-# range) — the brief's custom-operator family: both are per-key
-# ORDERED compositions (groupby(user).map_groups with a deterministic
-# (ts, event_id) sort), the partitioning assumption being that one
-# key's history fits one task (salt the key or sub-window the time
-# axis when it does not).
+# range) — the brief's custom-operator family: per-key ORDERED
+# compositions in the bucket-and-segment shape (stages/bucketed.py):
+# ONE shuffle on hash(user_id) % K, then a vectorized kernel lexsorts
+# the whole bucket by (user, ts, event_id) and segments per user with
+# run-length arithmetic. The partitioning assumption is one BUCKET
+# fits one task (K is tunable), never one key per Python call.
+
+# "no signup yet" sentinel — both sides emit -1 instead of NULL so the
+# value hash is representation-independent (Int64-with-NA vs
+# float64+NaN encodings of a nullable BIGINT hash differently).
+NO_SIGNUP = -1
 
 
 def q_asof_last_signup(sf_dir: str):
     """AS-OF join: each event matched to the most recent signup event
     (ts' <= ts) of the same user — the classic point-in-time join,
-    here as a self-join on the events table."""
+    here as a self-join on the events table. Rows with no prior
+    signup get NO_SIGNUP (-1)."""
+    from ..stages.bucketed import bucketed_apply, segments
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        t = g["ts"].astype("int64") // 1_000_000
-        sig = t.where(g["event_type"] == "signup")
-        # rows are ts-ordered, so forward-fill IS the as-of lookup
-        # (NB: cummax alone leaves NaN at non-signup positions)
-        return pd.DataFrame(
+    def asof_bucket(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        tsr = _epoch_us(t["ts"])
+        is_sig = np.asarray(t["event_type"].to_pylist()) == "signup"
+        order = np.lexsort((eid, tsr, uid))
+        tsec = tsr[order] // 1_000_000
+        ar = np.arange(n)
+        # rows are ts-ordered per user: running max of signup row
+        # indices IS the as-of lookup; fills that cross a user
+        # boundary (filled < own segment start) are "no signup yet"
+        filled = np.maximum.accumulate(np.where(is_sig[order], ar, -1))
+        starts, sizes = segments(uid[order])
+        ok = filled >= np.repeat(starts, sizes)
+        last = np.where(ok, tsec[np.maximum(filled, 0)], NO_SIGNUP)
+        return pa.table(
             {
-                "event_id": g["event_id"],
-                "last_signup_ts": sig.ffill().astype("Int64"),
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "last_signup_ts": pa.array(last, type=pa.int64()),
             }
         )
 
-    return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
-        .groupby("user_id")
-        .map_groups(asof, batch_format="pandas")
-    )
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return bucketed_apply(ev, "user_id", asof_bucket)
 
 
-SQL_ASOF_LAST_SIGNUP = """
+SQL_ASOF_LAST_SIGNUP = f"""
 WITH x AS (
   SELECT event_id, user_id, ts,
          CASE WHEN event_type = 'signup'
@@ -654,9 +684,10 @@ WITH x AS (
   FROM events
 )
 SELECT event_id,
-       max(sig_ts) OVER (
+       coalesce(max(sig_ts) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+         ROWS UNBOUNDED PRECEDING), {NO_SIGNUP})::BIGINT
+         AS last_signup_ts
 FROM x
 """
 
@@ -666,25 +697,34 @@ RANGE_WINDOW_S = 1800
 def q_range_count(sf_dir: str):
     """RANGE join: per event, how many events the same user produced
     in the preceding 30 minutes (exclusive of itself) — a banded
-    temporal self-join, vectorized with one searchsorted per group."""
+    temporal self-join in the bucket-and-segment shape. The whole
+    bucket is solved with ONE pair of searchsorted calls: each user's
+    times are shifted into a disjoint band (band gap > window width),
+    so a global binary search never crosses a user boundary."""
+    from ..stages.bucketed import bucketed_apply, segments
 
-    def rng(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        t = (g["ts"].astype("int64") // 1_000_000).to_numpy()
-        lo = np.searchsorted(t, t - RANGE_WINDOW_S, side="left")
-        hi = np.searchsorted(t, t, side="right")
-        return pd.DataFrame(
+    def rng_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        tsec = _epoch_us(t["ts"]) // 1_000_000
+        order = np.lexsort((eid, tsec, uid))
+        t_s = tsec[order]
+        starts, sizes = segments(uid[order])
+        t_rel = t_s - (t_s.min() if len(t_s) else 0)
+        band = t_rel.max() + RANGE_WINDOW_S + 2 if len(t_rel) else 1
+        seg_idx = np.repeat(np.arange(len(starts)), sizes)
+        t_band = t_rel + seg_idx * band
+        lo = np.searchsorted(t_band, t_band - RANGE_WINDOW_S, side="left")
+        hi = np.searchsorted(t_band, t_band, side="right")
+        return pa.table(
             {
-                "event_id": g["event_id"],
-                "n_prev_30m": (hi - lo - 1).astype(np.int64),
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "n_prev_30m": pa.array(hi - lo - 1, type=pa.int64()),
             }
         )
 
-    return (
-        _events(sf_dir, ["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(rng, batch_format="pandas")
-    )
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+    return bucketed_apply(ev, "user_id", rng_bucket)
 
 
 SQL_RANGE_COUNT = f"""
@@ -720,13 +760,19 @@ def _events(sf_dir: str, cols):
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
 
 
-def _epoch_s(ts_col) -> np.ndarray:
+def _epoch_us(ts_col) -> np.ndarray:
+    """Epoch microseconds via an EXPLICIT datetime64[us] cast — a bare
+    .astype(int64) is precision-dependent (ns-coerced pandas would
+    silently yield nanoseconds and break every window constant)."""
     return (
         ts_col.to_numpy(zero_copy_only=False)
         .astype("datetime64[us]")
         .astype(np.int64)
-        // 1_000_000
     )
+
+
+def _epoch_s(ts_col) -> np.ndarray:
+    return _epoch_us(ts_col) // 1_000_000
 
 
 def q_window_tumbling(sf_dir: str):
@@ -827,38 +873,53 @@ GROUP BY 1, 2
 
 def q_window_session(sf_dir: str):
     """Gap-based session windows per user — the one window family that
-    needs ordered per-key state, expressed as groupby(user).map_groups
-    (each user's events fit one task; the shuffle key is user_id)."""
+    needs ordered per-key state, in the bucket-and-segment shape: a
+    session break is "first row of a user OR gap > threshold", so a
+    global cumsum of breaks gives contiguous session runs and
+    np.add.reduceat aggregates every session in one call — no per-user
+    (let alone per-session) Python."""
+    from ..stages.bucketed import bucketed_apply, segments
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        t = g["ts"].astype("int64") // 1_000_000
-        brk = (t - t.shift()).fillna(SESSION_GAP_S + 1) > SESSION_GAP_S
-        sid = brk.cumsum()
-        out = (
-            pd.DataFrame(
+    def sess_bucket(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
                 {
-                    "user_id": g["user_id"],
-                    "session_id": sid,
-                    "t": t,
-                    "value": g["value"],
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_id": pa.array([], type=pa.int64()),
+                    "session_start": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "sum_value": pa.array([], type=pa.float64()),
                 }
             )
-            .groupby(["user_id", "session_id"], as_index=False)
-            .agg(
-                session_start=("t", "min"),
-                n_events=("t", "size"),
-                sum_value=("value", "sum"),
-            )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        tsec = _epoch_us(t["ts"]) // 1_000_000
+        order = np.lexsort((eid, tsec, uid))
+        uid_s, t_s, val_s = uid[order], tsec[order], val[order]
+        starts, sizes = segments(uid_s)
+        brk = np.zeros(n, dtype=bool)
+        brk[starts] = True
+        brk[1:] |= (t_s[1:] - t_s[:-1]) > SESSION_GAP_S
+        gsid = np.cumsum(brk)  # global (cross-user) session run id
+        sid = gsid - np.repeat(gsid[starts], sizes) + 1
+        s_starts = np.flatnonzero(brk)
+        s_sizes = np.diff(np.append(s_starts, n))
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[s_starts], type=pa.int64()),
+                "session_id": pa.array(sid[s_starts], type=pa.int64()),
+                "session_start": pa.array(t_s[s_starts], type=pa.int64()),
+                "n_events": pa.array(s_sizes, type=pa.int64()),
+                "sum_value": pa.array(
+                    np.round(np.add.reduceat(val_s, s_starts), 4)
+                ),
+            }
         )
-        out["sum_value"] = out["sum_value"].round(4)
-        return out
 
-    return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "value"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
-    )
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    return bucketed_apply(ev, "user_id", sess_bucket)
 
 
 SQL_WINDOW_SESSION = f"""
