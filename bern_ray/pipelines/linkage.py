@@ -34,6 +34,7 @@ from ..sources.pages import read_pages
 from ..stages.blocking import (
     DEFAULT_SALT_THRESHOLD,
     attach_pair_attrs,
+    build_attr_vocab,
     candidate_pairs,
 )
 from ..stages.extract import MentionExtractor
@@ -140,24 +141,32 @@ def score_pairs(
     dedup_in_attach: bool = False,
     model_loader=None,
     num_gpus: float = 0,
+    vocab=None,
 ) -> "ray.data.Dataset":
     """Run the scorer actor pool over attributed pairs.
 
     With ``normalized`` given and int-only pairs, attributes are
     attached first via the distributed bucketed join. With
     ``normalized=None`` the pairs must already carry attrs
-    (candidate_pairs(with_attrs=True) — the single-sort hot path).
+    (candidate_pairs(with_attrs=True) — the single-sort hot path);
+    pass the same ``vocab`` used by candidate_pairs when the attrs
+    ride as int32 codes, and the scorer decodes them per-actor.
 
     ``model_loader`` / ``num_gpus`` form the GPU seam: the loader
     runs once per actor in ``__init__`` (see stages/scoring.py) and
     ``num_gpus`` reserves accelerator slots per scorer actor."""
-    if normalized is None:
+    if normalized is None and vocab is None:
         pairs = pairs.map_batches(_key_to_block_key, batch_format="pyarrow")
-    elif "a_surface" not in pairs.schema().names:
+    elif normalized is not None and "a_surface" not in pairs.schema().names:
         pairs = attach_pair_attrs(pairs, normalized, dedup=dedup_in_attach)
-    kwargs = {}
+    ctor = {}
     if model_loader is not None:
-        kwargs["fn_constructor_kwargs"] = {"model_loader": model_loader}
+        ctor["model_loader"] = model_loader
+    if vocab is not None:
+        ctor["vocab"] = vocab
+    kwargs = {}
+    if ctor:
+        kwargs["fn_constructor_kwargs"] = ctor
     if num_gpus:
         kwargs["num_gpus"] = num_gpus
     return pairs.map_batches(
@@ -314,10 +323,15 @@ def incremental_linkage(
         .union(new_norm.map_batches(flag(True), batch_format="pyarrow"))
         .materialize()
     )
+    vocab = build_attr_vocab(tagged)
     pairs = candidate_pairs(
-        tagged, salt_threshold=salt_threshold, dedup=False, with_attrs=True
+        tagged,
+        salt_threshold=salt_threshold,
+        dedup=False,
+        with_attrs=True,
+        vocab=vocab,
     )
-    new_scored = score_pairs(pairs, None, concurrency=concurrency)
+    new_scored = score_pairs(pairs, None, concurrency=concurrency, vocab=vocab)
     edges = prior_scored.map_batches(
         edges_only, batch_format="pyarrow"
     ).union(new_scored.map_batches(edges_only, batch_format="pyarrow"))
@@ -355,21 +369,43 @@ def linkage_pipeline(
     )
     if checkpoint_root is None:
         normalized = normalized.materialize()
-    # single-sort hot path: attrs ride the pair-gen shuffle, no global
-    # pair dedup (CC is idempotent to duplicate edges; the scorer
-    # factorizes to unique surface pairs, so repeats are near-free)
-    scored = checkpointed(
-        "scored_pairs",
-        lambda: score_pairs(
+    # single-sort hot path: attrs ride the pair-gen shuffle as int32
+    # codes against a broadcast vocabulary (the sort ships only
+    # fixed-width ints), no global pair dedup (CC is idempotent to
+    # duplicate edges; the scorer factorizes to unique code pairs, so
+    # repeats are near-free). Above MAX_VOCAB distinct surfaces the
+    # vocab builder declines and the pipeline auto-falls back to the
+    # two-join attach — attrs then never enter the pair sort at all.
+    def _score():
+        vocab = build_attr_vocab(normalized)
+        if vocab is not None:
+            return score_pairs(
+                candidate_pairs(
+                    normalized,
+                    salt_threshold=salt_threshold,
+                    dedup=False,
+                    with_attrs=True,
+                    vocab=vocab,
+                ),
+                None,
+                concurrency=concurrency,
+                vocab=vocab,
+            )
+        return score_pairs(
             candidate_pairs(
                 normalized,
                 salt_threshold=salt_threshold,
                 dedup=False,
-                with_attrs=True,
+                with_attrs=False,
             ),
-            None,
+            normalized,
             concurrency=concurrency,
-        ),
+            dedup_in_attach=True,
+        )
+
+    scored = checkpointed(
+        "scored_pairs",
+        _score,
         checkpoint_root,
         lineage=["normalized"],
         config={**cfg, "salt_threshold": salt_threshold},

@@ -56,14 +56,24 @@ class PairScorer:
         self,
         threshold: float = EDGE_THRESHOLD,
         model_loader=None,
+        vocab=None,
     ):
         self.threshold = threshold
         # once per actor, NOT per batch
         self.embed = (
             ngram_hash_vectors if model_loader is None else model_loader()
         )
+        # de-stringified hot path: pairs arrive as int32 codes
+        # (a_sc/b_sc/a_oc/b_oc) and the vocab arrays are fetched from
+        # the broadcast store ONCE per actor — never per batch
+        if vocab is not None:
+            self.vocab_s, self.vocab_o = vocab.arrays()
+        else:
+            self.vocab_s = self.vocab_o = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "a_sc" in batch.schema.names:
+            return self._score_codes(batch)
         n = batch.num_rows
         if n == 0:
             return batch.append_column(
@@ -115,6 +125,94 @@ class PairScorer:
             "score", pa.array(score, type=pa.float64())
         ).append_column(
             "is_edge", pa.array(score >= self.threshold, type=pa.bool_())
+        )
+
+    def _score_codes(self, batch: pa.Table) -> pa.Table:
+        """Score code-carrying pairs (a_sc/b_sc/a_oc/b_oc int32).
+
+        All factorization runs on ints (np.unique over int codes, not
+        a per-batch string sort); only the UNIQUE surfaces are decoded
+        against the broadcast vocab. Output schema is identical to the
+        string path (decoded attrs + block_key), so every downstream
+        consumer is unchanged."""
+        vs, vo = self.vocab_s, self.vocab_o
+        if vs is None:
+            raise ValueError(
+                "code-carrying pairs require score_pairs(..., vocab=...)"
+            )
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "a_mid": pa.array([], type=pa.int64()),
+                    "b_mid": pa.array([], type=pa.int64()),
+                    "a_surface": pa.array([], type=pa.string()),
+                    "b_surface": pa.array([], type=pa.string()),
+                    "a_oid": pa.array([], type=pa.string()),
+                    "b_oid": pa.array([], type=pa.string()),
+                    "block_key": pa.array([], type=pa.string()),
+                    "score": pa.array([], type=pa.float64()),
+                    "is_edge": pa.array([], type=pa.bool_()),
+                }
+            )
+        a_sc = batch["a_sc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_sc = batch["b_sc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_oc = batch["a_oc"].to_numpy(zero_copy_only=False)
+        b_oc = batch["b_oc"].to_numpy(zero_copy_only=False)
+        uniq_c, inv = np.unique(
+            np.concatenate([a_sc, b_sc]), return_inverse=True
+        )
+        ia, ib = inv[:n], inv[n:]
+        m = len(uniq_c)
+        pair_code = ia.astype(np.int64) * m + ib
+        uniq_pairs, pair_inv = np.unique(pair_code, return_inverse=True)
+        upa = (uniq_pairs // m).astype(np.int64)
+        upb = (uniq_pairs % m).astype(np.int64)
+        uniq_s = vs[uniq_c]  # decode unique surfaces only
+        sa = uniq_s[upa].tolist()
+        sb = uniq_s[upb].tolist()
+        jw = jaro_winkler(sa, sb)
+        lv = levenshtein_sim(sa, sb)
+        E = self.embed(uniq_s.tolist())
+        cos = cosine_pairs(E[upa], E[upb])
+        sim = (0.3 * jw + 0.3 * lv + 0.4 * cos)[pair_inv]
+        same_oid = (a_oc == b_oc) & (a_oc >= 0)
+        both_miss = (a_oc < 0) & (b_oc < 0)
+        if both_miss.any():
+            folds = np.asarray(
+                tmchem_key(pa.array(uniq_s.tolist())).to_pylist(),
+                dtype=object,
+            )
+            fold_eq = both_miss & (folds[upa] == folds[upb])[pair_inv]
+        else:
+            fold_eq = np.zeros(n, dtype=bool)
+        base = np.where(same_oid, 1.0, np.where(fold_eq, 0.9, 0.0))
+        score = 0.8 * base + 0.2 * sim
+
+        def dec_oid(c: np.ndarray) -> np.ndarray:
+            if len(vo) == 0:
+                return np.full(len(c), None, dtype=object)
+            out = vo[np.maximum(c, 0)].astype(object, copy=True)
+            out[c < 0] = None
+            return out
+
+        return pa.table(
+            {
+                "a_mid": batch["a_mid"],
+                "b_mid": batch["b_mid"],
+                "a_surface": pa.array(uniq_s[ia], type=pa.string()),
+                "b_surface": pa.array(uniq_s[ib], type=pa.string()),
+                "a_oid": pa.array(dec_oid(a_oc), type=pa.string()),
+                "b_oid": pa.array(dec_oid(b_oc), type=pa.string()),
+                "block_key": pa.array(
+                    batch["key"].to_numpy(zero_copy_only=False).astype("U"),
+                    type=pa.string(),
+                ),
+                "score": pa.array(score, type=pa.float64()),
+                "is_edge": pa.array(
+                    score >= self.threshold, type=pa.bool_()
+                ),
+            }
         )
 
 
