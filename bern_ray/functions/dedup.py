@@ -426,13 +426,33 @@ def simhash_mirror_neardup(
     )
 
 
+MAX_BRUTEFORCE_ROWS = 200_000
+
+
 def embedding_neardup(
-    embs: "ray.data.Dataset", threshold: float = 0.95
+    embs: "ray.data.Dataset",
+    threshold: float = 0.95,
+    max_bruteforce_rows: int = MAX_BRUTEFORCE_ROWS,
+    n_cells: int = 64,
+    n_probe: int = 2,
 ) -> "ray.data.Dataset":
-    """Brute-force cosine near-dup: each batch against the broadcast
-    full matrix (`ray.put` once). O(n^2) flops but vectorized matmul;
-    the IVF/LSH variants in functions/ann.py are the 10^12-scale path.
+    """Embedding cosine near-dup with a scale-dispatched strategy.
+
+    Up to ``max_bruteforce_rows`` vectors: exact brute force (each
+    batch against the broadcast full matrix — the oracle-checked
+    path, O(n^2) flops but one vectorized matmul). Above it: the
+    IVF-bucketed path (`_embedding_neardup_ivf`) — each vector is
+    replicated to its ``n_probe`` nearest coarse cells, all-pairs
+    exact verify runs WITHIN each cell, and a pair-keyed dedup merges
+    multi-cell hits. No whole-table driver materialization; the cell
+    id is the partition key. Near-dup recall at cos >= 0.95 is ~1
+    (twin vectors share nearest cells); raise ``n_probe`` toward
+    ``n_cells`` for a recall guarantee (probe == cells is exhaustive).
     """
+    if embs.count() > max_bruteforce_rows:
+        return _embedding_neardup_ivf(
+            embs, threshold, n_cells=n_cells, n_probe=n_probe
+        )
     all_tbl = pa.concat_tables(
         b for b in embs.iter_batches(batch_format="pyarrow", batch_size=65536)
     )
@@ -466,3 +486,82 @@ def embedding_neardup(
         )
 
     return embs.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def _embedding_neardup_ivf(
+    embs: "ray.data.Dataset",
+    threshold: float,
+    n_cells: int = 64,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """IVF-bucketed near-dup (the 10^12-row shape, reusing the coarse
+    quantizer from functions/ann.py): train O(sample) centroids once,
+    replicate each vector to its n_probe nearest cells (so two vectors
+    pair up iff they share ANY probed cell), verify all pairs exactly
+    inside each cell with one matmul, then dedup multi-cell hits with
+    a pair-keyed groupby. Pinned against brute force on a separable
+    corpus by tests/test_dedup.py."""
+    from .ann import _mat, _norm, train_ivf_centroids
+    from ..stages.broadcast import get_broadcast, put_broadcast
+
+    C = train_ivf_centroids(embs, n_cells=n_cells, seed=seed)
+    cref = put_broadcast(C)
+    p = min(n_probe, len(C))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = get_broadcast(cref)
+        ids, M = _mat(t)
+        Mn = _norm(M)
+        sims = Mn @ cents.T
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        rep = np.repeat(np.arange(len(ids)), p)
+        return pa.table(
+            {
+                "cell": pa.array(
+                    top.ravel().astype(np.int64), type=pa.int64()
+                ),
+                "vec_id": pa.array(ids[rep], type=pa.int64()),
+                "embedding": t["embedding"].combine_chunks().take(
+                    pa.array(rep, type=pa.int64())
+                ),
+            }
+        )
+
+    def verify_cell(t: pa.Table) -> pa.Table:
+        ids, M = _mat(t)
+        Mn = _norm(M)
+        S = Mn @ Mn.T
+        ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        return pa.table(
+            {
+                "vec_id_a": pa.array(np.where(swap, b, a), type=pa.int64()),
+                "vec_id_b": pa.array(np.where(swap, a, b), type=pa.int64()),
+                "cos_sim": pa.array(
+                    np.round(S[ii, jj], 6), type=pa.float64()
+                ),
+            }
+        )
+
+    pairs = (
+        embs.map_batches(assign, batch_format="pyarrow", batch_size=8192)
+        .groupby("cell")
+        .map_groups(verify_cell, batch_format="pyarrow")
+    )
+    # multi-probe emits a pair once per SHARED cell — dedup on the key
+    return (
+        pairs.groupby(["vec_id_a", "vec_id_b"])
+        .max("cos_sim")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "vec_id_a": t["vec_id_a"],
+                    "vec_id_b": t["vec_id_b"],
+                    "cos_sim": t["max(cos_sim)"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

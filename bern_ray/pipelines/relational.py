@@ -453,24 +453,27 @@ FROM events
 
 def q_segment_revenue(sf_dir: str):
     """orders x customer broadcast hash join -> revenue per market
-    segment. customer is the small side: `ray.put` once, dict lookup
-    per batch (SURVEY §2.4 — all reference joins are map-side)."""
+    segment. customer is the small side: `ray.put` once, vectorized
+    Series.map per batch (SURVEY §2.4 — all reference joins are
+    map-side)."""
     import pyarrow.parquet as pq
+
+    from ..stages.broadcast import get_broadcast, put_broadcast
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    seg_map = dict(
-        zip(
-            cust["c_custkey"].to_pylist(),
-            cust["c_mktsegment"].to_pylist(),
-        )
+    seg_series = pd.Series(
+        cust["c_mktsegment"].to_pylist(),
+        index=cust["c_custkey"].to_numpy(zero_copy_only=False),
     )
-    ref = ray.put(seg_map)
+    ref = put_broadcast(seg_series)
 
     def partial(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        seg = [m.get(k) for k in t["o_custkey"].to_pylist()]
+        m = get_broadcast(ref)
+        seg = pd.Series(
+            t["o_custkey"].to_numpy(zero_copy_only=False)
+        ).map(m)
         df = pd.DataFrame(
             {"c_mktsegment": seg, "price": t["o_totalprice"].to_numpy()}
         )

@@ -4,9 +4,11 @@
   (reference: convert.py:467-556 get_pub_annotation): one row per url
   with a list of {span, obj, ids} denotations sorted by
   (span.begin, obj) — the reference's double sort key
-  (convert.py:549-556). The sort is WITHIN one document, so it runs
-  inside the per-batch UDF (Arrow sort_indices per group), never as a
-  global shuffle (SURVEY.md §2.6).
+  (convert.py:549-556). Runs in the bucket-and-segment shape
+  (stages/bucketed.py): ONE shuffle on hash(url) % K, then a
+  vectorized kernel lexsorts the whole bucket by (url, begin, obj)
+  and slices per-document list offsets with run-length arithmetic —
+  never one Python call per document (SURVEY.md §2.6).
 - `pubtator_lines`: PubTator-style mention lines
   (reference: convert.py:559-586 get_pubtator): url \\t start \\t end
   \\t surface \\t etype \\t ids with '|'-joined ids, mentions sorted
@@ -18,44 +20,74 @@ plain `map_batches` + `write_parquet`/`write_json` sinks.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
 
-
-def denotations_batch(g: pd.DataFrame) -> pa.Table:
-    """One url group -> single row with sorted denotation structs."""
-    g = g.sort_values(["start", "cluster_id"], kind="mergesort")
-    dens = [
-        {
-            "begin": int(r.start),
-            "end": int(r.end),
-            "obj": r.cluster_id,
-            "ids": list(r.ids),
-        }
-        for r in g.itertuples()
+_DEN_TYPE = pa.struct(
+    [
+        ("begin", pa.int64()),
+        ("end", pa.int64()),
+        ("obj", pa.string()),
+        ("ids", pa.list_(pa.string())),
     ]
-    den_type = pa.struct(
+)
+
+
+def denotations_bucket(t: pa.Table) -> pa.Table:
+    """ALL documents of one url-hash bucket -> one row per url.
+
+    Fully vectorized: one lexsort over the bucket, one Arrow take, and
+    the per-document denotation lists are cut from the sorted struct
+    array with list OFFSETS (run-length segment starts) — no per-doc
+    Python loop, no per-doc dict building."""
+    n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "n_denotations": pa.array([], type=pa.int64()),
+                "denotations": pa.array([], type=pa.list_(_DEN_TYPE)),
+            }
+        )
+    from ..stages.bucketed import segments
+
+    url = np.asarray(t["url"].to_pylist(), dtype=object)
+    start = t["start"].to_numpy(zero_copy_only=False)
+    cid = np.asarray(t["cluster_id"].to_pylist(), dtype=object)
+    order = np.lexsort((cid, start, url))
+    seg_starts, sizes = segments(url[order])
+    s = t.take(pa.array(order, type=pa.int64()))
+    dens_flat = pa.StructArray.from_arrays(
         [
-            ("begin", pa.int64()),
-            ("end", pa.int64()),
-            ("obj", pa.string()),
-            ("ids", pa.list_(pa.string())),
-        ]
+            s["start"].combine_chunks().cast(pa.int64()),
+            s["end"].combine_chunks().cast(pa.int64()),
+            s["cluster_id"].combine_chunks(),
+            s["ids"].combine_chunks(),
+        ],
+        names=["begin", "end", "obj", "ids"],
+    )
+    offsets = pa.array(
+        np.append(seg_starts, n).astype(np.int32), type=pa.int32()
     )
     return pa.table(
         {
-            "url": pa.array([g["url"].iloc[0]], type=pa.string()),
-            "n_denotations": pa.array([len(dens)], type=pa.int64()),
-            "denotations": pa.array([dens], type=pa.list_(den_type)),
+            "url": pa.array(url[order][seg_starts], type=pa.string()),
+            "n_denotations": pa.array(sizes, type=pa.int64()),
+            "denotations": pa.ListArray.from_arrays(offsets, dens_flat),
         }
     )
 
 
-def to_denotations(clusters: "ray.data.Dataset") -> "ray.data.Dataset":
-    return clusters.groupby("url").map_groups(
-        denotations_batch, batch_format="pandas"
+def to_denotations(
+    clusters: "ray.data.Dataset", num_buckets: int = 256
+) -> "ray.data.Dataset":
+    from ..stages.bucketed import bucketed_apply
+
+    return bucketed_apply(
+        clusters, "url", denotations_bucket, num_buckets=num_buckets
     )
 
 

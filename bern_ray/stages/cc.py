@@ -51,7 +51,16 @@ def _cc_arrays(
     the star+chain topologies the pair cap emits. Deterministic: the
     smallest node id in a component is its root (dense indices from
     np.unique are order-isomorphic to ids). Returns (nodes, roots).
+
+    Self-loops (src == dst) are dropped up front, HERE, so every CC
+    path (driver kernel, union_find_streaming, contract_cc) agrees: a
+    node whose only edge is a self-loop is out of contract and absent
+    from the output (pair streams are strictly a < b, and
+    cluster_mentions null-fills absent nodes to singletons).
     """
+    loop = src == dst
+    if loop.any():
+        src, dst = src[~loop], dst[~loop]
     if len(src) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z
@@ -143,10 +152,15 @@ def _msgs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+FINAL_SOLVE_MAX_ROWS = 20_000_000  # one task's comfortable numpy solve
+
+
 def contract_cc(
     edges: "ray.data.Dataset",
-    rounds: int = 1,
+    rounds: int | None = None,
     num_buckets: int = 64,
+    final_solve_max_rows: int = FINAL_SOLVE_MAX_ROWS,
+    max_rounds: int = 6,
 ) -> "ray.data.Dataset":
     """Distributed CC by partition-wise contraction -> Dataset(node,
     label). The scale path that replaced iterative label propagation
@@ -158,11 +172,21 @@ def contract_cc(
     root). The union of bucket forests preserves GLOBAL connectivity
     with no edge re-mapping: an edge's endpoints are always in the
     same bucket, and a node whose edges split across buckets appears
-    in each of their forests, bridging them. Forest size is bounded by
-    node count, so after `rounds` contractions one worker task solves
-    the union exactly (bounded by nodes, not edges — at node counts
-    beyond a single task's memory, raise `rounds` so the final input
-    is the forest of a forest).
+    in each of their forests, bridging them.
+
+    The final one-task solve consumes ONLY the latest forest: each
+    round's forest is itself an edge-partitioned union of spanning
+    forests of the previous round's rows, so it preserves that
+    round's connectivity over the SAME node set, and min-label roots
+    are component properties — solving F_r alone yields labels
+    identical to solving F_1 ∪ ... ∪ F_r while shrinking per round.
+
+    ``rounds=None`` (default) AUTO-ESCALATES: each forest is
+    materialized and counted, and contraction repeats until the final
+    solve input fits ``final_solve_max_rows`` (or the forest stops
+    shrinking / ``max_rounds`` is hit — contraction is a fixpoint on
+    already-star topologies, so extra rounds would spin). An explicit
+    ``rounds`` runs exactly that many (pytest compatibility knob).
     """
 
     def add_edge_bucket(t: pa.Table) -> pa.Table:
@@ -193,8 +217,10 @@ def contract_cc(
 
     forest = None
     cur = edges
-    n_rounds = max(rounds, 1)
-    for r in range(n_rounds):
+    r = 0
+    prev_rows = None
+    while True:
+        r += 1
         f = (
             cur.map_batches(
                 add_edge_bucket,
@@ -203,11 +229,21 @@ def contract_cc(
             )
             .groupby("bucket")
             .map_groups(contract_bucket, batch_format="pyarrow")
-        )
-        if r + 1 < n_rounds:
-            f = f.materialize()  # consumed twice: union + next round
-        forest = f if forest is None else forest.union(f)
+        ).materialize()  # counted for escalation + consumed downstream
+        forest = f
         cur = f
+        if rounds is not None:
+            if r >= max(rounds, 1):
+                break
+            continue
+        n_rows = f.count()
+        if (
+            n_rows <= final_solve_max_rows
+            or r >= max_rounds
+            or (prev_rows is not None and n_rows >= prev_rows)
+        ):
+            break
+        prev_rows = n_rows
 
     def solve(g: pa.Table) -> pa.Table:
         nodes, roots = _cc_arrays(

@@ -69,7 +69,10 @@ def checkpointed(
     stage_dir = os.path.join(root, name)
     key = content_key(config)
     if is_complete(root, name):
-        stored = read_manifest(root, name).get("content_key")
+        try:
+            stored = read_manifest(root, name).get("content_key")
+        except (json.JSONDecodeError, OSError):
+            stored = object()  # truncated/unreadable manifest: recompute
         if key is None or stored == key:
             return ray.data.read_parquet(stage_dir)
         # stale: same stage name, different input/config — recompute
@@ -87,7 +90,10 @@ def checkpointed(
     if os.path.exists(stage_dir):
         shutil.rmtree(stage_dir)
     os.rename(tmp_dir, stage_dir)
-    with open(manifest_path(root, name), "w") as f:
+    # manifest write is atomic too (tmp + os.replace): a crash mid-write
+    # must never leave a truncated manifest that reads as "complete"
+    mpath = manifest_path(root, name)
+    with open(mpath + ".tmp", "w") as f:
         json.dump(
             {
                 "stage": name,
@@ -103,6 +109,7 @@ def checkpointed(
             f,
             indent=1,
         )
+    os.replace(mpath + ".tmp", mpath)
     return ray.data.read_parquet(stage_dir)
 
 

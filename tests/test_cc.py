@@ -88,3 +88,54 @@ def test_contract_cc_multiround_equals_union_find(ray_session):
     ):
         got.update(zip(b["node"].to_pylist(), b["label"].to_pylist()))
     assert got == uf
+
+
+def test_contract_cc_auto_escalates_rounds(ray_session):
+    """With a tiny final-solve budget, auto mode must run extra
+    contraction rounds (forest-of-forest) and still produce labels
+    identical to union-find."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.stages.cc import contract_cc, union_find_streaming
+
+    rs = np.random.RandomState(7)
+    n = 2000
+    src = rs.randint(0, n, 3000)
+    dst = src + rs.randint(1, 4, 3000)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+    ).repartition(8)
+    uf = union_find_streaming(ds)
+    # budget far below the forest size forces rounds >= 2 automatically
+    got = {}
+    for b in contract_cc(
+        ds, num_buckets=8, final_solve_max_rows=100, max_rounds=4
+    ).iter_batches(batch_format="pyarrow"):
+        got.update(zip(b["node"].to_pylist(), b["label"].to_pylist()))
+    assert got == uf
+
+
+def test_self_loops_out_of_contract_on_all_paths(ray_session):
+    """A node whose only edge is a self-loop is absent from EVERY CC
+    path's output (driver union-find and distributed contraction agree
+    — cc.py _cc_arrays drops src == dst up front)."""
+    from bern_ray.stages.cc import components, union_find_streaming
+
+    ds = _edges_ds([(1, 2), (7, 7), (2, 3)])
+    uf = union_find_streaming(ds)
+    lp = {}
+    from bern_ray.stages.cc import contract_cc
+
+    for b in contract_cc(ds, num_buckets=4).iter_batches(
+        batch_format="pyarrow"
+    ):
+        lp.update(zip(b["node"].to_pylist(), b["label"].to_pylist()))
+    assert 7 not in uf and 7 not in lp
+    assert _canon(uf) == _canon(lp)

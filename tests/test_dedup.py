@@ -92,3 +92,52 @@ def test_embedding_neardup_symmetric_threshold(ray_session):
     assert (out.vec_id_a < out.vec_id_b).all()
     assert (out.cos_sim >= 0.4 - 1e-9).all()
     assert not out.duplicated(["vec_id_a", "vec_id_b"]).any()
+
+
+def test_embedding_neardup_ivf_matches_bruteforce(ray_session):
+    """The IVF-bucketed scale path must find the SAME pairs as brute
+    force on a separable corpus (near-dup twins share nearest cells).
+    Forced via max_bruteforce_rows=0 on one side."""
+    import ray.data
+
+    from bern_ray.functions.dedup import embedding_neardup
+
+    rng = np.random.default_rng(3)
+    d, n_groups, per = 16, 30, 4
+    dirs = rng.normal(size=(n_groups, d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    vecs, ids = [], []
+    vid = 0
+    for gi in range(n_groups):
+        for _ in range(per):
+            v = dirs[gi] + 0.02 * rng.normal(size=d)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            ids.append(vid)
+            vid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4).materialize()
+    brute = (
+        embedding_neardup(ds, threshold=0.95)
+        .to_pandas()
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        embedding_neardup(
+            ds, threshold=0.95, max_bruteforce_rows=0, n_cells=8, n_probe=2
+        )
+        .to_pandas()
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(brute) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(brute, ivf, check_dtype=False)
