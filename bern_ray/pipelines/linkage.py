@@ -287,6 +287,7 @@ def incremental_linkage(
     new_pages: "ray.data.Dataset",
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     concurrency: int | tuple = (1, 8),
+    checkpoint_root: str | None = None,
 ) -> "ray.data.Dataset":
     """Merge a NEW batch of pages into an existing linkage state.
 
@@ -300,11 +301,16 @@ def incremental_linkage(
     cluster ids are content-derived, not run-derived.
 
     What re-flows at scale: the prior mentions' blocking keys must
-    re-enter the one pair-gen shuffle (key assignment is deterministic,
-    so a deployment checkpoints the exploded keys and reads them back
-    instead of recomputing). Extraction, normalization and scoring —
-    the expensive stages — run on new data only.
+    re-enter the one pair-gen shuffle. With a ``checkpoint_root`` the
+    PRIOR EXPLODED KEYS are persisted (state/checkpoint.py) on first
+    use and read back on every later increment — the prior corpus is
+    never re-shingled/re-minhashed (pytest-pinned via the untouched
+    checkpoint manifest). Extraction, normalization and scoring — the
+    expensive stages — run on new data only. The checkpointed path
+    carries string attrs (codes would go stale as the vocab grows
+    across increments); the in-memory path dictionary-encodes.
     """
+    from ..stages.blocking import explode_block_keys, pairs_from_exploded
 
     def flag(val: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -318,20 +324,44 @@ def incremental_linkage(
     new_norm = extract_normalize_mentions(
         new_pages, concurrency=concurrency
     )
-    tagged = (
-        prior_normalized.map_batches(flag(False), batch_format="pyarrow")
-        .union(new_norm.map_batches(flag(True), batch_format="pyarrow"))
-        .materialize()
+    prior_tagged = prior_normalized.map_batches(
+        flag(False), batch_format="pyarrow"
     )
-    vocab = build_attr_vocab(tagged)
-    pairs = candidate_pairs(
-        tagged,
-        salt_threshold=salt_threshold,
-        dedup=False,
-        with_attrs=True,
-        vocab=vocab,
-    )
-    new_scored = score_pairs(pairs, None, concurrency=concurrency, vocab=vocab)
+    new_tagged = new_norm.map_batches(flag(True), batch_format="pyarrow")
+    tagged = prior_tagged.union(new_tagged).materialize()
+    if checkpoint_root is not None:
+        prior_exploded = checkpointed(
+            "exploded_prior",
+            lambda: prior_tagged.map_batches(
+                lambda t: explode_block_keys(t, with_attrs=True),
+                batch_format="pyarrow",
+            ),
+            checkpoint_root,
+            lineage=["prior_normalized"],
+            config={"stage": "exploded_prior", "v": 1},
+        )
+        new_exploded = new_tagged.map_batches(
+            lambda t: explode_block_keys(t, with_attrs=True),
+            batch_format="pyarrow",
+        )
+        pairs = pairs_from_exploded(
+            prior_exploded.union(new_exploded),
+            salt_threshold=salt_threshold,
+            dedup=False,
+        )
+        new_scored = score_pairs(pairs, None, concurrency=concurrency)
+    else:
+        vocab = build_attr_vocab(tagged)
+        pairs = candidate_pairs(
+            tagged,
+            salt_threshold=salt_threshold,
+            dedup=False,
+            with_attrs=True,
+            vocab=vocab,
+        )
+        new_scored = score_pairs(
+            pairs, None, concurrency=concurrency, vocab=vocab
+        )
     edges = prior_scored.map_batches(
         edges_only, batch_format="pyarrow"
     ).union(new_scored.map_batches(edges_only, batch_format="pyarrow"))

@@ -158,6 +158,7 @@ class MentionExtractor:
         self,
         extract_from_html: bool = False,
         surface_conf: dict[str, float] | None = None,
+        sentence_mode: bool = False,
     ):
         t = dicts.build_mention_dict()
         surfaces = t["surface"].to_pylist()
@@ -193,8 +194,32 @@ class MentionExtractor:
             if subs:
                 self.nested[s] = subs
         self.extract_from_html = extract_from_html
+        # sentence mode (M5-M7 pipeline parity): the document is split
+        # into sentence units (core/tokenize.py sentence_split) and
+        # each unit is scanned independently — the shape a windowed
+        # model scorer needs (the reference scores sentence units,
+        # run_ner.py; title kept WHOLE, ops.py:8-34). Spans are
+        # offset back to document coordinates, so output is identical
+        # to whole-text scanning whenever no dictionary surface
+        # crosses a sentence boundary (pytest-pinned).
+        self.sentence_mode = sentence_mode
 
-    def _tag_one(self, url: str, text: str):
+    def _units(self, text: str) -> list[tuple[int, str]]:
+        """(doc_offset, segment) sentence units; first line (title
+        analog) is never split — the reference's title-kept-whole rule
+        (ops.py:8-34)."""
+        from ..core.tokenize import sentence_split
+
+        nl = text.find("\n")
+        if nl < 0:
+            title, rest, roff = text, "", 0
+        else:
+            title, rest, roff = text[: nl + 1], text[nl + 1 :], nl + 1
+        units = [(0, title)] if title else []
+        units.extend((roff + s, rest[s:e]) for s, e in sentence_split(rest))
+        return units
+
+    def _scan(self, url: str, text: str, off: int = 0):
         rows = []
         for m in self.gazetteer.finditer(text):
             cands = [m.group(1)] + self.nested.get(m.group(1), [])
@@ -203,13 +228,21 @@ class MentionExtractor:
                 if et == "species" and surf in SPECIES_STOPLIST:
                     continue  # stoplist filter (M11)
                 sc = self.surface_conf.get(surf, DICT_CONF)
-                rows.append(
-                    (url, m.start(1), m.start(1) + len(surf), surf, et, sc)
-                )
+                s = off + m.start(1)
+                rows.append((url, s, s + len(surf), surf, et, sc))
         for m in _MIRNA_RE.finditer(text):
             surf = m.group(0)
             sc = self.surface_conf.get(surf, PATTERN_CONF)
-            rows.append((url, m.start(), m.end(), surf, "mirna", sc))
+            rows.append((url, off + m.start(), off + m.end(), surf, "mirna", sc))
+        return rows
+
+    def _tag_one(self, url: str, text: str):
+        if self.sentence_mode:
+            rows = []
+            for off, seg in self._units(text):
+                rows.extend(self._scan(url, seg, off))
+        else:
+            rows = self._scan(url, text)
         if not rows:
             return rows
         # span-conflict duel (ops.py:232-476 analog): score desc, then

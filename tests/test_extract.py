@@ -118,3 +118,37 @@ def test_mentions_carry_score_column():
     assert "score" in out.schema.names
     sc = out["score"].to_pylist()
     assert sc and all(0.0 < s <= 1.0 for s in sc)
+
+
+def test_sentence_mode_spans_match_whole_text():
+    """M5-M7 pipeline parity: scanning per sentence unit (title kept
+    whole, spans offset back to document coordinates) yields exactly
+    the whole-text spans on the corpus — no dictionary surface crosses
+    a sentence boundary."""
+    from bern_ray.stages.extract import MentionExtractor
+
+    t = pages_table(SF)
+    whole = MentionExtractor()
+    sent = MentionExtractor(sentence_mode=True)
+    batch = t.slice(0, 200)
+    a = whole(batch).to_pandas()
+    b = sent(batch).to_pandas()
+    key = ["url", "start", "end", "etype", "surface"]
+    assert len(a) > 0
+    assert a[key].sort_values(key).reset_index(drop=True).equals(
+        b[key].sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_sentence_units_cover_text_and_keep_title_whole():
+    from bern_ray.stages.extract import MentionExtractor
+
+    ex = MentionExtractor(sentence_mode=True)
+    text = "BRCA1 study title\nFirst sentence here. Second one. Third."
+    units = ex._units(text)
+    # first unit is the whole title line
+    assert units[0] == (0, "BRCA1 study title\n")
+    # offsets are document coordinates: segment == text slice
+    for off, seg in units:
+        assert text[off : off + len(seg)] == seg
+    assert len(units) >= 3

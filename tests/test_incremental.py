@@ -120,3 +120,58 @@ def test_incremental_scores_only_new_touching_pairs(split_pages):
         lambda r: r.a_mid in new_mids or r.b_mid in new_mids, axis=1
     )
     assert touches_new.all()
+
+
+def test_incremental_exploded_key_checkpoint(split_pages, tmp_path):
+    """With a checkpoint_root, the prior corpus's exploded blocking
+    keys are persisted on the first increment and READ BACK on the
+    next — the prior mentions are never re-exploded (manifest is
+    untouched by the second run) and clusters still equal the
+    from-scratch result."""
+    import os
+
+    from bern_ray.pipelines.linkage import (
+        cluster_mentions,
+        incremental_linkage,
+    )
+    from bern_ray.state.checkpoint import manifest_path
+    from bern_ray.stages.scoring import edges_only
+
+    prior_pages, new_pages, full_pages = split_pages
+    root = str(tmp_path / "ckpt")
+
+    norm_full, scored_full = _norm_and_score(full_pages)
+    full_clusters = cluster_mentions(
+        norm_full,
+        scored_full.map_batches(edges_only, batch_format="pyarrow"),
+    ).to_pandas()
+
+    norm_prior, scored_prior = _norm_and_score(prior_pages)
+    r1 = incremental_linkage(
+        norm_prior, scored_prior, new_pages,
+        concurrency=(1, 2), checkpoint_root=root,
+    ).to_pandas()
+    mpath = manifest_path(root, "exploded_prior")
+    assert os.path.exists(mpath)
+    stamp = os.stat(mpath).st_mtime_ns
+
+    # second increment over the same prior state: checkpoint is reused
+    r2 = incremental_linkage(
+        norm_prior, scored_prior, new_pages,
+        concurrency=(1, 2), checkpoint_root=root,
+    ).to_pandas()
+    assert os.stat(mpath).st_mtime_ns == stamp  # factory did NOT rerun
+
+    key = ["url", "mention_id"]
+    want = (
+        full_clusters[key + ["cluster_id"]]
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    for got in (r1, r2):
+        g = (
+            got[key + ["cluster_id"]]
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert g.equals(want)
