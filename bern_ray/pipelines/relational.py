@@ -1069,6 +1069,119 @@ FROM part
 """
 
 
+def q_pubtator_title_split(sf_dir: str):
+    """PubTator document-format title/abstract derivation (S1/S4):
+    fold the document text (M1-M3 invariant), then cut at the first
+    '. ' with the fused-coordinate guarantee title + ' ' + abstract ==
+    text (sources/pubtator.py split_title)."""
+    from ..sources.pubtator import split_title
+
+    def fn(t: pa.Table) -> pa.Table:
+        folded = pa.table(
+            {"doc_id": t["doc_id"], "text": fold_text(t["text"])}
+        )
+        out = split_title(folded)
+        return out.select(["doc_id", "title", "abstract"])
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_PUBTATOR_TITLE_SPLIT = f"""
+WITH f AS (SELECT doc_id, {fold_sql('text')} AS t FROM documents)
+SELECT doc_id,
+       CASE WHEN strpos(t, '. ') > 0
+            THEN substr(t, 1, strpos(t, '. ')) ELSE t END AS title,
+       CASE WHEN strpos(t, '. ') > 0
+            THEN substr(t, strpos(t, '. ') + 2) ELSE '' END AS abstract
+FROM f
+"""
+
+
+def q_pubtator_roundtrip(sf_dir: str):
+    """Full PubTator document-format WRITE -> PARSE -> EXPLODE
+    round-trip (S1/S2/S4): synthesize one deterministic mention per
+    document (its leading alphanumeric token), emit |t|/|a| blocks via
+    the single-shuffle writer, parse them back and flatten. The oracle
+    computes the same mentions directly — identity through the format
+    is the checked property."""
+    import ray.data
+
+    from ..sources.pubtator import (
+        explode_mentions,
+        from_pubtator_docs,
+        split_title,
+        to_pubtator_docs,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        url = pc.cast(t["doc_id"], pa.string())
+        return split_title(
+            pa.table({"url": url, "text": fold_text(t["text"])})
+        )
+
+    docs = _docs(sf_dir).map_batches(prep, batch_format="pyarrow")
+
+    def first_token(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().astype(str)
+        surf = s.str.extract(r"^([A-Za-z0-9]+)", expand=False).fillna("")
+        keep = surf != ""
+        url = t["url"].to_pandas()[keep]
+        surf = surf[keep]
+        return pa.table(
+            {
+                "url": pa.array(url, type=pa.string()),
+                "start": pa.array(
+                    np.zeros(len(surf), dtype=np.int64)
+                ),
+                "end": pa.array(
+                    surf.str.len().to_numpy().astype(np.int64)
+                ),
+                "surface": pa.array(surf, type=pa.string()),
+                "etype": pa.array(
+                    ["tok"] * len(surf), type=pa.string()
+                ),
+                "ids": pa.array(
+                    [["D:" + u] for u in url],
+                    type=pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    mentions = docs.map_batches(first_token, batch_format="pyarrow")
+    blocks = to_pubtator_docs(
+        docs.drop_columns(["text"]), mentions, num_buckets=32
+    )
+    flat = explode_mentions(from_pubtator_docs(blocks))
+
+    def project(t: pa.Table) -> pa.Table:
+        joined = pa.array(
+            ["|".join(x) for x in t["ids"].to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "start": t["start"],
+                "end": t["end"],
+                "surface": t["surface"],
+                "etype": t["etype"],
+                "ids_joined": joined,
+            }
+        )
+
+    return flat.map_batches(project, batch_format="pyarrow")
+
+
+SQL_PUBTATOR_ROUNDTRIP = f"""
+WITH f AS (SELECT CAST(doc_id AS VARCHAR) AS url,
+                  {fold_sql('text')} AS t FROM documents),
+m AS (SELECT url, regexp_extract(t, '^[A-Za-z0-9]+') AS surface FROM f)
+SELECT url, 0 AS "start", length(surface) AS "end", surface,
+       'tok' AS etype, 'D:' || url AS ids_joined
+FROM m WHERE surface <> ''
+"""
+
+
 # ------------------------------------------------------------ registry
 
 # name -> (ray_fn, oracle_sql | None)
@@ -1100,4 +1213,9 @@ REGISTRY: dict[str, tuple] = {
     "asof_last_signup": (q_asof_last_signup, SQL_ASOF_LAST_SIGNUP),
     "range_count": (q_range_count, SQL_RANGE_COUNT),
     "quality_filter": (q_quality_filter, _sql_quality_filter()),
+    "pubtator_title_split": (
+        q_pubtator_title_split,
+        SQL_PUBTATOR_TITLE_SPLIT,
+    ),
+    "pubtator_roundtrip": (q_pubtator_roundtrip, SQL_PUBTATOR_ROUNDTRIP),
 }
