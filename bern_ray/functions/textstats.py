@@ -215,3 +215,37 @@ FROM (
 GROUP BY token
 HAVING count(*) >= {min_count}
 """
+
+
+# BPE-style pre-tokenizer (GPT-2 pattern family, RE2-compatible: no
+# lookahead, contractions + letter runs + digit runs + punct runs +
+# whitespace runs). Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all both compile RE2, so the Ray side and the oracle
+# share one pattern verbatim — the count is definitionally identical.
+BPE_RE = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def token_count_batch(t: pa.Table) -> pa.Table:
+    """Per-doc token counts: whitespace tokens and BPE-ish subword
+    pre-tokens (the two denominators an LLM-corpus budget uses)."""
+    text = t["text"]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_ws_tokens": pc.cast(
+                pc.count_substring_regex(text, "[^ ]+"), pa.int64()
+            ),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(text, BPE_RE), pa.int64()
+            ),
+        }
+    )
+
+
+def token_count_sql() -> str:
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""

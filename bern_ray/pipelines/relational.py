@@ -1069,6 +1069,14 @@ FROM part
 """
 
 
+def q_token_count(sf_dir: str):
+    """Whitespace + BPE-ish subword token counts per document
+    (LLM-corpus budget denominators; functions/textstats.py BPE_RE)."""
+    return _docs(sf_dir).map_batches(
+        fts.token_count_batch, batch_format="pyarrow"
+    )
+
+
 def q_pubtator_title_split(sf_dir: str):
     """PubTator document-format title/abstract derivation (S1/S4):
     fold the document text (M1-M3 invariant), then cut at the first
@@ -1213,6 +1221,7 @@ REGISTRY: dict[str, tuple] = {
     "asof_last_signup": (q_asof_last_signup, SQL_ASOF_LAST_SIGNUP),
     "range_count": (q_range_count, SQL_RANGE_COUNT),
     "quality_filter": (q_quality_filter, _sql_quality_filter()),
+    "token_count": (q_token_count, fts.token_count_sql()),
     "pubtator_title_split": (
         q_pubtator_title_split,
         SQL_PUBTATOR_TITLE_SPLIT,

@@ -95,14 +95,26 @@ def pubtator_batch(t: pa.Table) -> pa.Table:
     """Flat PubTator-ish mention lines; '|'-joined ids
     (reference joins multi-ids with '|', convert.py:577)."""
     df = t.to_pandas().sort_values(["url", "start"], kind="mergesort")
-    lines = [
-        f"{r.url}\t{r.start}\t{r.end}\t{r.surface}\t{r.etype}\t"
-        + "|".join(r.ids)
-        for r in df.itertuples()
-    ]
+    ids_joined = np.array(
+        ["|".join(x) if x is not None else "" for x in df["ids"]],
+        dtype=object,
+    )
+    lines = (
+        df["url"].to_numpy(dtype=object)
+        + "\t"
+        + df["start"].to_numpy().astype(str).astype(object)
+        + "\t"
+        + df["end"].to_numpy().astype(str).astype(object)
+        + "\t"
+        + df["surface"].to_numpy(dtype=object)
+        + "\t"
+        + df["etype"].to_numpy(dtype=object)
+        + "\t"
+        + ids_joined
+    )
     return pa.table(
         {
-            "url": pa.array(df["url"].tolist(), type=pa.string()),
+            "url": pa.array(df["url"].to_numpy(dtype=object), type=pa.string()),
             "line": pa.array(lines, type=pa.string()),
         }
     )
