@@ -1,0 +1,162 @@
+"""Distributed cardinality sketch: HyperLogLog distinct counting.
+
+The scale path for COUNT(DISTINCT key) GROUP BY group when the key
+cardinality is too large to shuffle distinct pairs (the exact
+counterpart lives in pipelines/relational.py q_distinct_users, which
+buckets on hash(key) so per-bucket distinct is globally exact). The
+sketch never ships keys at all: each batch folds its keys into m
+one-byte registers PER GROUP, the shuffle moves only
+``groups x m`` bytes, and register merge is an elementwise max —
+associative, commutative, idempotent, so duplicate or re-executed
+batches cannot bias the estimate (Flajolet et al., HyperLogLog,
+AofA 2007).
+
+Reference parity note: the reference engine has no sketch operators;
+this is part of the beyond-reference LLM-data-pipeline surface the
+task brief asks for (novel sketch / aggregate family).
+
+Shapes:
+  - partial:  map_batches -> one row (group, registers[m] binary) per
+    group per batch — shuffle payload is sketch-sized, not data-sized.
+  - combine:  groupby(group).map_groups elementwise-max — group count
+    rows of m bytes each; tiny by construction (this is the one place
+    map_groups is the RIGHT shape: the group count equals the output
+    row count, not the key cardinality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+# shuffle-prep bundling (see stages/bucketed.py PREP_BATCH rationale)
+PREP_BATCH = 65536
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a full-avalanche 64-bit hash
+    (public-domain constants, Steele et al.)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * _M1
+        z = (z ^ (z >> np.uint64(27))) * _M2
+        return z ^ (z >> np.uint64(31))
+
+
+def _hash_key(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        return _splitmix64(col.to_numpy(zero_copy_only=False))
+    # strings: process-stable vectorized hash, then re-avalanched
+    h = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
+    return _splitmix64(h.astype(np.uint64))
+
+
+def _registers(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) per hash. rho = 1 + trailing zeros of the
+    non-index bits — geometric(1/2), computed exactly: ``w & -w`` is a
+    power of two and float64 represents every power of two exactly, so
+    ``log2`` is exact (no popcount needed)."""
+    m = np.uint64(1) << np.uint64(p)
+    idx = (h & (m - np.uint64(1))).astype(np.int64)
+    w = h >> np.uint64(p)
+    maxrho = 64 - p + 1
+    rho = np.full(len(h), maxrho, dtype=np.uint8)
+    nz = w != 0
+    if nz.any():
+        wnz = w[nz]
+        with np.errstate(over="ignore"):
+            low = wnz & (~wnz + np.uint64(1))  # w & -w
+        tz = np.log2(low.astype(np.float64)).astype(np.int64)
+        rho[nz] = np.minimum(tz + 1, maxrho).astype(np.uint8)
+    return idx, rho
+
+
+def _fold(idx: np.ndarray, rho: np.ndarray, m: int) -> bytes:
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)  # m is small — ufunc.at is fine here
+    return regs.tobytes()
+
+
+def _estimate(regs: np.ndarray, p: int) -> float:
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.ldexp(1.0, -regs.astype(np.int64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)  # linear-counting correction
+    return float(est)
+
+
+def hll_distinct(
+    ds: "ray.data.Dataset",
+    key: str,
+    group: str,
+    p: int = 10,
+) -> "ray.data.Dataset":
+    """Approximate COUNT(DISTINCT key) per ``group`` value.
+
+    Returns rows (group, n_distinct: int64) — the HLL estimate,
+    standard error ~1.04/sqrt(2^p) (~3.3% at the default p=10).
+    """
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _hash_key(t[key])
+        idx, rho = _registers(h, p)
+        gvals, ginv = np.unique(
+            np.asarray(t[group].to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        sketches = [
+            _fold(idx[ginv == gi], rho[ginv == gi], m)
+            for gi in range(len(gvals))
+        ]
+        return pa.table(
+            {
+                group: pa.array(list(gvals), type=pa.string()),
+                "regs": pa.array(sketches, type=pa.binary()),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        stacked = np.frombuffer(
+            b"".join(t["regs"].to_pylist()), dtype=np.uint8
+        ).reshape(-1, m)
+        merged = stacked.max(axis=0)
+        return pa.table(
+            {
+                group: t[group].slice(0, 1),
+                "n_distinct": pa.array(
+                    [int(round(_estimate(merged, p)))], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=PREP_BATCH
+        )
+        .groupby(group)
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def merge_registers(sketches: list[bytes], p: int = 10) -> bytes:
+    """Merge serialized register arrays (elementwise max) — the union
+    of the underlying sets; exposed for checkpointed/incremental use."""
+    m = 1 << p
+    stacked = np.frombuffer(b"".join(sketches), dtype=np.uint8).reshape(
+        -1, m
+    )
+    return stacked.max(axis=0).tobytes()
+
+
+def estimate(sketch: bytes, p: int = 10) -> float:
+    return _estimate(np.frombuffer(sketch, dtype=np.uint8), p)

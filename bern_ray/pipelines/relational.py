@@ -1190,6 +1190,370 @@ FROM m WHERE surface <> ''
 """
 
 
+# --------------------------------------- multi-way joins / windows (r3)
+
+# TPC-H-Q3-style cutoff: median order date of the synthetic corpus so
+# both date filters keep roughly half their side at every sf.
+_Q3_CUTOFF = np.datetime64("1998-04-13", "us")
+
+
+def q_shipping_priority(sf_dir: str):
+    """Revenue top-10 over customer ⋈ orders ⋈ lineitem (TPC-H Q3
+    analog) — the engine's multi-way distributed join showcase.
+
+    Scale shape: column-pruned reads, filters + per-batch partial
+    aggregation BEFORE each shuffle, two bucketed hash joins
+    (stages/join.py), and the final per-order revenue sum folded into
+    the second join's bucket via ``left_prepare`` (l_orderkey
+    determines the bucket, so in-bucket groupby-sum is globally
+    exact). The global sort sees only per-batch top-10 survivors."""
+    from ..stages.join import bucket_join
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_mktsegment"], "BUILDING")
+        return pa.table({"c_custkey": t.filter(keep)["c_custkey"]})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(cust_prep, batch_format="pyarrow")
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["o_orderdate"], pa.scalar(_Q3_CUTOFF))
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "o_custkey": f["o_custkey"],
+                "o_orderkey": f["o_orderkey"],
+                "o_orderdate_s": pa.array(
+                    _epoch_s(f["o_orderdate"]), type=pa.int64()
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    qual_orders = bucket_join(
+        orders,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema={
+            "o_custkey": pa.int64(),
+            "o_orderkey": pa.int64(),
+            "o_orderdate_s": pa.int64(),
+        },
+        right_schema={"c_custkey": pa.int64()},
+    ).select_columns(["o_orderkey", "o_orderdate_s"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_shipdate"], pa.scalar(_Q3_CUTOFF))
+        f = t.filter(keep)
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(1.0, f["l_discount"])
+        )
+        df = (
+            pa.table({"l_orderkey": f["l_orderkey"], "rev": rev})
+            .to_pandas()
+            .groupby("l_orderkey", as_index=False)["rev"]
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    def sum_in_bucket(l: pd.DataFrame) -> pd.DataFrame:
+        return l.groupby("l_orderkey", as_index=False)["rev"].sum()
+
+    joined = bucket_join(
+        li,
+        qual_orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema={"l_orderkey": pa.int64(), "rev": pa.float64()},
+        right_schema={
+            "o_orderkey": pa.int64(),
+            "o_orderdate_s": pa.int64(),
+        },
+        left_prepare=sum_in_bucket,
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["rev", "l_orderkey"], ascending=[False, True]
+        )
+        return pa.Table.from_pandas(df.head(10), preserve_index=False)
+
+    top = (
+        joined.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["rev", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "revenue": pc.round(t["rev"], ndigits=4),
+                "o_orderdate_s": t["o_orderdate_s"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       (epoch_us(o.o_orderdate) // 1000000) AS o_orderdate_s
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-04-13'
+  AND l.l_shipdate > TIMESTAMP '1998-04-13'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+_RECENT_CUTOFF = np.datetime64("2000-01-01", "us")
+
+
+def q_cust_no_orders(sf_dir: str):
+    """Customers with NO orders since 2000, counted per market segment
+    — distributed ANTI join: left bucket_join against an in-bucket
+    DISTINCT probe side (``right_prepare``; a key's rows co-locate in
+    one bucket, so per-bucket dedup is globally exact), then filter
+    null-probe rows and partial-count before a tiny groupby."""
+    from ..stages.join import bucket_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+
+    def probe_prep(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            t["o_orderdate"], pa.scalar(_RECENT_CUTOFF)
+        )
+        u = pc.unique(t.filter(keep)["o_custkey"].combine_chunks())
+        return pa.table(
+            {
+                "o_custkey": u,
+                "hit": pa.array(
+                    np.ones(len(u), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(probe_prep, batch_format="pyarrow")
+
+    joined = bucket_join(
+        cust,
+        recent,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        left_schema={
+            "c_custkey": pa.int64(),
+            "c_mktsegment": pa.string(),
+        },
+        right_schema={"o_custkey": pa.int64(), "hit": pa.int64()},
+        how="left",
+        right_prepare=lambda r: r.drop_duplicates("o_custkey"),
+    )
+
+    def anti_count(t: pa.Table) -> pa.Table:
+        miss = t.filter(pc.is_null(t["hit"]))
+        df = (
+            pa.table({"c_mktsegment": miss["c_mktsegment"]})
+            .to_pandas()
+            .groupby("c_mktsegment", as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        joined.map_batches(anti_count, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("size", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_customers": pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CUST_NO_ORDERS = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+)
+GROUP BY c_mktsegment
+"""
+
+
+def q_user_rank(sf_dir: str):
+    """Top-3 events per user by value (ROW_NUMBER window) —
+    bucket-and-segment: one hash(user_id) shuffle, lexsort within the
+    bucket, rank = position − segment start (vectorized); never one
+    Python call per user."""
+    from ..stages.bucketed import bucketed_apply, segments
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, uid))
+        starts, sizes = segments(uid[order])
+        rnk = np.arange(n) - np.repeat(starts, sizes) + 1
+        keep = rnk <= 3
+        o = order[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[o], type=pa.int64()),
+                "event_id": pa.array(eid[o], type=pa.int64()),
+                "value": pa.array(val[o], type=pa.float64()),
+                "rnk": pa.array(rnk[keep], type=pa.int64()),
+            }
+        )
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"])
+    return bucketed_apply(ev, "user_id", rank_bucket)
+
+
+SQL_USER_RANK = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id
+         )::BIGINT AS rnk
+  FROM events
+)
+SELECT user_id, event_id, value, rnk FROM r WHERE rnk <= 3
+"""
+
+
+def q_event_gap(sf_dir: str):
+    """Seconds since the user's previous event (LAG window); first
+    event per user gets -1 (null-free contract — see asof). Same
+    bucket-and-segment shape as q_user_rank."""
+    from ..stages.bucketed import bucketed_apply, segments
+
+    def gap_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        tss = _epoch_s(t["ts"])
+        order = np.lexsort((eid, tss, uid))
+        su, st = uid[order], tss[order]
+        starts, _sizes = segments(su)
+        gap = np.empty(len(su), dtype=np.int64)
+        gap[1:] = st[1:] - st[:-1]
+        gap[starts] = -1
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "gap_s": pa.array(gap, type=pa.int64()),
+            }
+        )
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return bucketed_apply(ev, "user_id", gap_bucket)
+
+
+SQL_EVENT_GAP = """
+SELECT event_id,
+       coalesce(
+         (epoch_us(ts) // 1000000)
+           - lag(epoch_us(ts) // 1000000) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ),
+         -1
+       ) AS gap_s
+FROM events
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type. Scale shape:
+    per-batch pair dedup shrinks the shuffle to distinct-pair volume,
+    the shuffle buckets on hash(user_id) (a pair lands in exactly one
+    bucket, so per-bucket distinct-then-count partials are exact), and
+    the final groupby sums `n_types` partial rows. The approximate
+    counterpart that never ships keys is `distinct_users_hll`
+    (functions/sketch.py)."""
+    from ..stages.bucketed import bucketed_apply
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["event_type", "user_id"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .drop_duplicates(["event_type", "user_id"])
+            .groupby("event_type", as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ev = _events(sf_dir, ["event_type", "user_id"]).map_batches(
+        pair_dedup, batch_format="pyarrow"
+    )
+    agg = (
+        bucketed_apply(ev, "user_id", count_bucket)
+        .groupby("event_type")
+        .aggregate(Sum("size", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_users": pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog approximate distinct users per event_type —
+    rows-only (approximate by design; pytest pins the error bound
+    against the exact count, tests/test_sketch.py)."""
+    from ..functions.sketch import hll_distinct
+
+    ev = _events(sf_dir, ["event_type", "user_id"])
+    return hll_distinct(ev, key="user_id", group="event_type")
+
+
 # ------------------------------------------------------------ registry
 
 # name -> (ray_fn, oracle_sql | None)
@@ -1227,4 +1591,10 @@ REGISTRY: dict[str, tuple] = {
         SQL_PUBTATOR_TITLE_SPLIT,
     ),
     "pubtator_roundtrip": (q_pubtator_roundtrip, SQL_PUBTATOR_ROUNDTRIP),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "cust_no_orders": (q_cust_no_orders, SQL_CUST_NO_ORDERS),
+    "user_rank": (q_user_rank, SQL_USER_RANK),
+    "event_gap": (q_event_gap, SQL_EVENT_GAP),
+    "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    "distinct_users_hll": (q_distinct_users_hll, None),
 }

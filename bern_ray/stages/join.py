@@ -60,6 +60,7 @@ def bucket_join(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     keep_right_key: bool = False,
     left_prepare=None,
+    right_prepare=None,
 ) -> "ray.data.Dataset":
     """left ⋈ right on an int64 key, fully distributed.
 
@@ -74,7 +75,10 @@ def bucket_join(
     same-key dedup/filter into the join's shuffle instead of paying a
     separate groupby barrier (rows it drops/keeps must be decidable
     within one bucket, i.e. keyed by a column that determines the
-    join key).
+    join key). ``right_prepare`` is the symmetric hook on the right
+    frame — e.g. an in-bucket ``drop_duplicates`` turns a left join
+    into an exact SEMI/ANTI join probe (a key's rows all land in one
+    bucket, so per-bucket distinct is globally exact).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: only inner/left supported")
@@ -140,6 +144,8 @@ def bucket_join(
         r = g.filter(pa.array(side == 1)).select(right_cols).to_pandas(
             types_mapper=pd.ArrowDtype
         )
+        if right_prepare is not None:
+            r = right_prepare(r)
         m = l.merge(r, left_on=left_on, right_on=right_on, how=how)
         return pa.table(
             {

@@ -1,0 +1,93 @@
+"""HyperLogLog sketch: estimate accuracy vs exact, merge semantics."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_estimate_within_error_bound():
+    """Driver-side kernel check: p=10 standard error is ~3.3%; assert
+    within 4 sigma across two decades of cardinality."""
+    from bern_ray.functions.sketch import _fold, _registers, _splitmix64, estimate
+
+    rng = np.random.default_rng(7)
+    for true_n in (100, 5_000, 200_000):
+        keys = rng.choice(true_n * 10, size=true_n, replace=False).astype(
+            np.int64
+        )
+        # duplicates must not change the estimate (max is idempotent)
+        keys = np.concatenate([keys, keys[: true_n // 2]])
+        h = _splitmix64(keys)
+        idx, rho = _registers(h, p=10)
+        est = estimate(_fold(idx, rho, 1024), p=10)
+        assert abs(est - true_n) / true_n < 0.14, (true_n, est)
+
+
+def test_merge_equals_union():
+    from bern_ray.functions.sketch import (
+        _fold,
+        _registers,
+        _splitmix64,
+        estimate,
+        merge_registers,
+    )
+
+    a = np.arange(0, 3000, dtype=np.int64)
+    b = np.arange(1500, 6000, dtype=np.int64)  # overlapping
+    sketches = []
+    for keys in (a, b):
+        idx, rho = _registers(_splitmix64(keys), p=10)
+        sketches.append(_fold(idx, rho, 1024))
+    idx, rho = _registers(_splitmix64(np.union1d(a, b)), p=10)
+    direct = _fold(idx, rho, 1024)
+    merged = merge_registers(sketches, p=10)
+    assert merged == direct  # register-exact, not just estimate-close
+    assert abs(estimate(merged, p=10) - 6000) / 6000 < 0.14
+
+
+def test_hll_distinct_dataset_vs_exact(ray_session):
+    """Distributed path: per-batch partials + groupby merge must agree
+    with the exact per-group distinct count within the error bound,
+    independent of how rows are batched."""
+    import ray.data
+
+    from bern_ray.functions.sketch import hll_distinct
+
+    rng = np.random.default_rng(11)
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, size=30_000)]
+    # distinct cardinality differs per group
+    keys = np.where(
+        groups == "a",
+        rng.integers(0, 500, size=30_000),
+        np.where(
+            groups == "b",
+            rng.integers(0, 4_000, size=30_000),
+            rng.integers(0, 20_000, size=30_000),
+        ),
+    ).astype(np.int64)
+    t = pa.table({"g": groups, "k": keys})
+    exact = {
+        g: len(np.unique(keys[groups == g])) for g in ("a", "b", "c")
+    }
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = hll_distinct(ds, key="k", group="g").to_pandas()
+    assert set(out["g"]) == {"a", "b", "c"}
+    for _, row in out.iterrows():
+        e = exact[row["g"]]
+        assert abs(row["n_distinct"] - e) / e < 0.14, (row["g"], e, row)
+
+
+def test_string_keys(ray_session):
+    import ray.data
+
+    from bern_ray.functions.sketch import hll_distinct
+
+    t = pa.table(
+        {
+            "g": ["x"] * 1000,
+            "k": [f"user-{i % 250}" for i in range(1000)],
+        }
+    )
+    out = hll_distinct(
+        ray.data.from_arrow(t).repartition(4), key="k", group="g"
+    ).to_pandas()
+    assert abs(int(out["n_distinct"].iloc[0]) - 250) / 250 < 0.14
