@@ -189,6 +189,33 @@ def _media_features(sf_dir: str):
     return featurize_media(synth_media(docs))
 
 
+def _media_resize(sf_dir: str):
+    """Image rows resized to 16x16 (bilinear numpy kernel); audio rows
+    pass through — rows-only check (binary payloads aren't
+    SQL-expressible)."""
+    import ray.data
+
+    from bern_ray.functions.multimodal import resize_images, synth_media
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return resize_images(synth_media(docs), 16, 16)
+
+
+def _media_frames(sf_dir: str):
+    """Every-2nd frame of each synthetic video, emitted as image rows
+    and featurized (frame-sample -> featurize composition)."""
+    import ray.data
+
+    from bern_ray.functions.multimodal import (
+        featurize_media,
+        sample_frames,
+        synth_video,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return featurize_media(sample_frames(synth_video(docs), 2))
+
+
 def _ann_lsh_topk(sf_dir: str):
     import ray.data
 
@@ -229,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "er_cuiless_ratio": _er_cuiless_ratio,
             "er_incremental": _er_incremental,
             "media_features": _media_features,
+            "media_resize": _media_resize,
+            "media_frames": _media_frames,
             "ann_lsh_topk": _ann_lsh_topk,
             "ann_ivf_topk": _ann_ivf_topk,
         }
