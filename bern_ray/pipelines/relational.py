@@ -1554,6 +1554,635 @@ def q_distinct_users_hll(sf_dir: str):
     return hll_distinct(ev, key="user_id", group="event_type")
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per document:
+    top_bigram_frac (share of bigrams taken by the most frequent one)
+    and dup_word_frac (share of tokens whose word occurs > once).
+
+    Fully vectorized per batch: one dictionary-encode of the flattened
+    token lists, then numpy lexsort + run-length segmentation for the
+    per-(doc, gram) counts — no per-row Python. The classic filters
+    use duplicate LINES (Rae et al. 2021, public Gopher paper); this
+    corpus is single-line so the word/bigram variants carry the
+    signal."""
+
+    def rep_batch(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = len(toks)
+        flat = toks.flatten()
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False
+        )
+        tok_counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        )
+        doc_idx = np.repeat(np.arange(n), tok_counts)
+
+        # dup_word_frac: per-(doc, word) counts via one sort
+        key = doc_idx.astype(np.int64) * (codes.max() + 1) + codes
+        uk, uc = np.unique(key, return_counts=True)
+        dup_tok = np.bincount(
+            (uk // (codes.max() + 1)).astype(np.int64),
+            weights=uc * (uc > 1),
+            minlength=n,
+        )
+        dup_frac = dup_tok / np.maximum(tok_counts, 1)
+
+        # top_bigram_frac: adjacent-token pairs within a doc
+        m = doc_idx[:-1] == doc_idx[1:]
+        d = doc_idx[:-1][m]
+        a = codes[:-1][m]
+        b = codes[1:][m]
+        order = np.lexsort((b, a, d))
+        d, a, b = d[order], a[order], b[order]
+        new = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            new[1:] = (
+                (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            )
+        starts = np.flatnonzero(new)
+        gcounts = np.diff(np.append(starts, len(d)))
+        gdoc = d[starts]
+        doc_starts = np.flatnonzero(
+            np.concatenate(([True], gdoc[1:] != gdoc[:-1]))
+        )
+        top = np.zeros(n)
+        if len(gcounts):
+            top[gdoc[doc_starts]] = np.maximum.reduceat(gcounts, doc_starts)
+        tot_bi = np.bincount(d, minlength=n).astype(np.float64)
+        top_frac = top / np.maximum(tot_bi, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "top_bigram_frac": pa.array(np.round(top_frac, 6)),
+                "dup_word_frac": pa.array(np.round(dup_frac, 6)),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(rep_batch, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] AS a, w[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+), gcounts AS (
+  SELECT doc_id, a, b, count(*) AS c FROM grams GROUP BY ALL
+), topg AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM gcounts
+  GROUP BY doc_id
+), wcounts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY ALL
+), dup AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS df
+  FROM wcounts GROUP BY doc_id
+)
+SELECT dup.doc_id,
+       round(COALESCE(topc::DOUBLE / tot, 0), 6) AS top_bigram_frac,
+       round(df, 6) AS dup_word_frac
+FROM dup LEFT JOIN topg ON topg.doc_id = dup.doc_id
+"""
+
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact discrete quantiles of events.value via a bounded-key
+    histogram: per-batch value_counts on cents = round(value * 100)
+    (the column is fixed 2-decimal), groupby-sum over at most
+    range x 100 distinct keys, then one driver cumsum over the
+    BOUNDED histogram — bounded by value range, not row count, so the
+    shape holds at 100 TB. For unbounded-precision columns the
+    approximate path is a t-digest-style sketch (see
+    functions/sketch.py HLL for the pattern); exactness here is what
+    the oracle checks."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uk, uc = np.unique(cents, return_counts=True)
+        return pa.table({"cents": uk, "n": uc})
+
+    ev = _events(sf_dir, ["value"])
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cents")
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    vals = []
+    for q in QUANTILES:
+        # percentile_disc: smallest value with cum count >= ceil(q*n)
+        rank = int(np.ceil(q * total))
+        vals.append(hist["cents"].to_numpy()[np.searchsorted(cum, rank)])
+    return pa.table(
+        {
+            "q": pa.array(QUANTILES, type=pa.float64()),
+            "qvalue": pa.array(np.array(vals) / 100.0, type=pa.float64()),
+        }
+    )
+
+
+SQL_VALUE_QUANTILES = f"""
+SELECT unnest([{", ".join(str(q) for q in QUANTILES)}]) AS q,
+       unnest(quantile_disc(value,
+              [{", ".join(str(q) for q in QUANTILES)}])) AS qvalue
+FROM events
+"""
+
+
+def q_source_quality(sf_dir: str):
+    """Per-source corpus rollup (docs, mean length, mean token count,
+    english share) — partial sums inside map_batches, tiny groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "chars": t["n_chars"].to_numpy(zero_copy_only=False),
+                "ntok": ntok,
+                "en": np.asarray(t["lang"].to_pylist()) == "en",
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n=("chars", "size"),
+            chars=("chars", "sum"),
+            ntok=("ntok", "sum"),
+            en=("en", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("chars", alias_name="chars"),
+            Sum("ntok", alias_name="ntok"),
+            Sum("en", alias_name="en"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["n"], pa.int64()),
+                "avg_chars": pc.round(
+                    pc.divide(
+                        pc.cast(t["chars"], pa.float64()),
+                        pc.cast(t["n"], pa.float64()),
+                    ),
+                    ndigits=6,
+                ),
+                "avg_tokens": pc.round(
+                    pc.divide(
+                        pc.cast(t["ntok"], pa.float64()),
+                        pc.cast(t["n"], pa.float64()),
+                    ),
+                    ndigits=6,
+                ),
+                "en_share": pc.round(
+                    pc.divide(
+                        pc.cast(t["en"], pa.float64()),
+                        pc.cast(t["n"], pa.float64()),
+                    ),
+                    ndigits=6,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SOURCE_QUALITY = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
+       round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 6)
+         AS avg_tokens,
+       round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS en_share
+FROM documents GROUP BY source
+"""
+
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_event_pivot(sf_dir: str):
+    """Per-user event-type pivot (one count column per type) — the
+    pivot is partial-aggregated inside map_batches (indicator sums per
+    user per batch), so the groupby ships at most one row per
+    (user, batch), never one per event."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pylist(),
+            }
+        )
+        for et in EVENT_TYPES:
+            df[f"n_{et}"] = (df["event_type"] == et).astype(np.int64)
+        g = df.drop(columns="event_type").groupby(
+            "user_id", as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            *[Sum(f"n_{et}", alias_name=f"n_{et}") for et in EVENT_TYPES]
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                **{
+                    f"n_{et}": pc.cast(t[f"n_{et}"], pa.int64())
+                    for et in EVENT_TYPES
+                },
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENT_PIVOT = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (event_type = '{et}')::BIGINT AS n_{et}"
+    for et in EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def q_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull integer k out of the JSON
+    props string with one vectorized regex (pc.extract_regex), then
+    aggregate per event_type — the log-enrichment pattern (parse once
+    near the read, never re-parse downstream)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        df = (
+            pa.table({"event_type": t["event_type"], "k": k})
+            .to_pandas()
+            .groupby("event_type", as_index=False)
+            .agg(n=("k", "size"), s=("k", "sum"))
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        _events(sf_dir, ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "sum_k": pc.cast(t["s"], pa.int64()),
+                "avg_k": pc.round(
+                    pc.divide(
+                        pc.cast(t["s"], pa.float64()),
+                        pc.cast(t["n"], pa.float64()),
+                    ),
+                    ndigits=6,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type,
+       sum(regexp_extract(props, '"k": (\\d+)', 1)::BIGINT)::BIGINT
+         AS sum_k,
+       round(sum(regexp_extract(props, '"k": (\\d+)', 1)::BIGINT)::DOUBLE
+             / count(*), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+SN_WINDOW = 5
+
+
+def q_sorted_neighbors(sf_dir: str):
+    """Sorted-neighborhood ER blocking (Hernandez & Stolfo): all doc
+    pairs within SN_WINDOW positions of each other in the global
+    (n_chars, doc_id) order — the order-based counterpart to the
+    fold-key equality blocking in stages/blocking.py. Exact global
+    rank via range partitioning (stages/order.py), pair emission via
+    the triu segment kernel; pairs ordered by rank (id_a lower)."""
+    from ..stages.order import sorted_neighborhood
+
+    def pack(t: pa.Table) -> pa.Table:
+        # unique total order: n_chars in the high bits, doc_id low
+        okey = (
+            t["n_chars"].to_numpy(zero_copy_only=False) << np.int64(32)
+        ) | t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "okey": okey})
+
+    keyed = _docs(sf_dir).map_batches(pack, batch_format="pyarrow")
+    return sorted_neighborhood(
+        keyed, "okey", "doc_id", SN_WINDOW
+    ).map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"]}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SORTED_NEIGHBORS = f"""
+WITH r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < {SN_WINDOW}
+"""
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (median + p90 per
+    event_type) on the same bounded cents histogram as
+    `value_quantiles`: distinct (event_type, cents) keys are bounded
+    by value range x group count, independent of row count."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {"event_type": t["event_type"].to_pylist(), "cents": cents}
+            )
+            .groupby(["event_type", "cents"], as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("size", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "cents"])
+    )
+    out = {"event_type": [], "p50": [], "p90": []}
+    for et, g in hist.groupby("event_type", sort=True):
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        cents = g["cents"].to_numpy()
+        out["event_type"].append(et)
+        for col, q in (("p50", 0.5), ("p90", 0.9)):
+            rank = int(np.ceil(q * total))
+            out[col].append(cents[np.searchsorted(cum, rank)] / 100.0)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "p50": pa.array(out["p50"], type=pa.float64()),
+            "p90": pa.array(out["p90"], type=pa.float64()),
+        }
+    )
+
+
+SQL_GROUP_QUANTILES = """
+SELECT event_type, quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+STRATUM_N = 5
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: exactly STRATUM_N docs per
+    source, chosen by smallest Knuth-multiplicative hash (resume- and
+    cluster-stable, same convention as `sample_docs`). Per-batch
+    partial top-n means the shuffle ships at most n rows per
+    (source, batch); the per-source finalize is bucket-and-segment,
+    never one Python call per stratum."""
+    from ..stages.bucketed import bucketed_apply, segments
+
+    def doc_hash(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(
+                1 << 32
+            )
+
+    def topn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        h = doc_hash(ids)
+        order = np.lexsort((ids, h, src))
+        starts, sizes = segments(src[order])
+        pos = np.arange(len(ids)) - np.repeat(starts, sizes)
+        keep = order[pos < STRATUM_N]
+        return pa.table(
+            {
+                "source": pa.array(src[keep], type=pa.string()),
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+            }
+        )
+
+    partial = _docs(sf_dir).map_batches(topn, batch_format="pyarrow")
+    return bucketed_apply(partial, "source", topn)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * {_KNUTH}) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source, doc_id FROM r WHERE rn <= {STRATUM_N}
+"""
+
+
+_Q5_LO = np.datetime64("1996-01-01", "us")
+_Q5_HI = np.datetime64("1998-01-01", "us")
+_Q5_REGION = "ASIA"
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 analog: revenue per nation where the customer and the
+    line's supplier share a nation, region-restricted. The six-table
+    join splits by side size: region/nation/supplier are broadcast
+    (read once on the driver, shipped as plain dicts in the batch-fn
+    closures — TPC-H dimension tables are small by construction; a
+    high-cardinality supplier side would go through bucket_join
+    instead), customer⋈orders and lineitem⋈orders are distributed
+    bucketed hash joins with per-batch partial aggregation before
+    every shuffle."""
+    import pyarrow.parquet as pq
+
+    from ..stages.join import bucket_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = region.loc[region.r_name == _Q5_REGION, "r_regionkey"].iloc[0]
+    asia = nation[nation.n_regionkey == rkey]
+    asia_keys = set(asia.n_nationkey.tolist())
+    nation_names = dict(zip(asia.n_nationkey, asia.n_name))
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_nation = dict(zip(supp.s_suppkey, supp.s_nationkey))
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(nk, list(asia_keys))
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    t["c_custkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "c_nationkey": pa.array(nk[keep].astype(np.int64)),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_prep, batch_format="pyarrow")
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        ts = _epoch_us(t["o_orderdate"])
+        keep = (ts >= _Q5_LO.astype(np.int64)) & (
+            ts < _Q5_HI.astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "o_custkey": pa.array(
+                    t["o_custkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        + ["o_orderdate"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    qual = bucket_join(
+        orders,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema={"o_custkey": pa.int64(), "o_orderkey": pa.int64()},
+        right_schema={"c_custkey": pa.int64(), "c_nationkey": pa.int64()},
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = pd.Series(sk).map(supp_nation).to_numpy()
+        keep = np.isin(s_nat, list(asia_keys))
+        rev = (
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        )[keep]
+        df = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": t["l_orderkey"].to_numpy(
+                        zero_copy_only=False
+                    )[keep],
+                    "s_nationkey": s_nat[keep].astype(np.int64),
+                    "rev": rev,
+                }
+            )
+            .groupby(["l_orderkey", "s_nationkey"], as_index=False)["rev"]
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = bucket_join(
+        li,
+        qual,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema={
+            "l_orderkey": pa.int64(),
+            "s_nationkey": pa.int64(),
+            "rev": pa.float64(),
+        },
+        right_schema={"o_orderkey": pa.int64(), "c_nationkey": pa.int64()},
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df.s_nationkey == df.c_nationkey]
+        g = df.groupby("s_nationkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        joined.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    pd.Series(nk).map(nation_names), type=pa.string()
+                ),
+                "revenue": pc.round(t["rev"], ndigits=4),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 # ------------------------------------------------------------ registry
 
 # name -> (ray_fn, oracle_sql | None)
@@ -1597,4 +2226,16 @@ REGISTRY: dict[str, tuple] = {
     "event_gap": (q_event_gap, SQL_EVENT_GAP),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "distinct_users_hll": (q_distinct_users_hll, None),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
+    "source_quality": (q_source_quality, SQL_SOURCE_QUALITY),
+    "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
+    "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
+    "sorted_neighbors": (q_sorted_neighbors, SQL_SORTED_NEIGHBORS),
+    "local_supplier_volume": (
+        q_local_supplier_volume,
+        SQL_LOCAL_SUPPLIER_VOLUME,
+    ),
+    "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
 }

@@ -1,0 +1,85 @@
+"""Global rank + sorted-neighborhood blocking (stages/order.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _make_ds(keys, ids=None):
+    import ray.data
+
+    ids = np.arange(len(keys)) if ids is None else np.asarray(ids)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "okey": pa.array(np.asarray(keys), type=pa.int64()),
+            }
+        )
+    ).repartition(7)
+
+
+def test_global_rank_matches_argsort(ray_session):
+    from bern_ray.stages.order import global_rank
+
+    rng = np.random.default_rng(5)
+    keys = rng.permutation(2_000) * 3 + 11
+    out = (
+        global_rank(_make_ds(keys), "okey", num_buckets=8)
+        .to_pandas()
+        .sort_values("okey")
+    )
+    assert out["rank"].to_numpy().tolist() == list(range(1, 2_001))
+    # rank follows the key order exactly
+    joined = out.sort_values("doc_id")
+    want = np.empty(len(keys), dtype=np.int64)
+    want[np.argsort(keys, kind="stable")] = np.arange(1, len(keys) + 1)
+    assert (joined["rank"].to_numpy() == want[joined.doc_id]).all()
+
+
+def test_global_rank_skewed_keys(ray_session):
+    """Heavily duplicated sample values must not break the range
+    partitioning (boundaries dedupe; ties broken by the unique okey)."""
+    from bern_ray.stages.order import global_rank
+
+    # okey must be unique: pack (skewed value, row id)
+    rng = np.random.default_rng(9)
+    vals = np.where(rng.random(1_000) < 0.8, 7, rng.integers(0, 100, 1_000))
+    okey = vals.astype(np.int64) * 100_000 + np.arange(1_000)
+    out = global_rank(_make_ds(okey), "okey", num_buckets=8).to_pandas()
+    got = out.sort_values("okey")["rank"].to_numpy()
+    assert got.tolist() == list(range(1, 1_001))
+
+
+def test_sorted_neighborhood_matches_bruteforce(ray_session):
+    from bern_ray.stages.order import sorted_neighborhood
+
+    rng = np.random.default_rng(13)
+    n, w = 500, 6
+    keys = rng.permutation(n) * 10 + 3
+    ids = rng.permutation(n) + 1_000
+    got = (
+        sorted_neighborhood(
+            _make_ds(keys, ids), "okey", "doc_id", w, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # brute force: rank by key, all pairs with rank distance < w
+    rank = np.empty(n, dtype=np.int64)
+    rank[np.argsort(keys)] = np.arange(n)
+    want = set()
+    by_rank = ids[np.argsort(keys)]
+    for i in range(n):
+        for j in range(i + 1, min(i + w, n)):
+            want.add((by_rank[i], by_rank[j]))
+    assert set(zip(got.id_a, got.id_b)) == want
+    assert len(got) == len(want)  # no duplicate pairs
+
+
+def test_sorted_neighborhood_rejects_tiny_window(ray_session):
+    from bern_ray.stages.order import sorted_neighborhood
+
+    with pytest.raises(ValueError):
+        sorted_neighborhood(_make_ds([1, 2]), "okey", "doc_id", 1)
