@@ -42,6 +42,12 @@ def run_bench() -> dict:
         )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # shuffle-implementation A/B knobs (experiments recorded in
+    # BASELINE.md; defaults are Ray's)
+    if os.environ.get("GRAFT_POLARS_SORT") == "1":
+        ctx.use_polars_sort = True
+    if os.environ.get("GRAFT_PUSH_SHUFFLE") == "1":
+        ctx.use_push_based_shuffle = True
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -56,6 +62,8 @@ def run_bench() -> dict:
         _query_vectors,
         q_events_agg,
         q_lineitem_pricing,
+        q_repetition_stats,
+        q_sorted_neighbors,
         q_token_freq,
     )
     from bern_ray.sources.pages import read_pages
@@ -137,6 +145,8 @@ def run_bench() -> dict:
         ("token_freq", lambda: q_token_freq(SF_DIR).count()),
         ("events_agg", lambda: q_events_agg(SF_DIR).count()),
         ("lineitem_pricing", lambda: q_lineitem_pricing(SF_DIR).count()),
+        ("repetition_stats", lambda: q_repetition_stats(SF_DIR).count()),
+        ("sorted_neighbors", lambda: q_sorted_neighbors(SF_DIR).count()),
     ):
         t = time.monotonic()
         fn()

@@ -249,3 +249,61 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))::BIGINT AS n_bpe_tokens
 FROM documents
 """
+
+
+def repetition_batch(t: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per doc (Rae et al. 2021,
+    public): top_bigram_frac = share of bigrams taken by the most
+    frequent one; dup_word_frac = share of tokens whose word occurs
+    more than once. Fully vectorized: one dictionary-encode of the
+    flattened token lists, then lexsort + run-length segmentation —
+    no per-row Python. Single-token docs emit 0.0 for the bigram
+    fraction (the oracle COALESCEs to match)."""
+    toks = pc.split_pattern(t["text"], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = len(toks)
+    flat = toks.flatten()
+    codes = pc.dictionary_encode(flat).indices.to_numpy(
+        zero_copy_only=False
+    )
+    tok_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n), tok_counts)
+    vocab = int(codes.max()) + 1 if len(codes) else 1
+
+    # dup_word_frac: per-(doc, word) counts via one sort
+    key = doc_idx.astype(np.int64) * vocab + codes
+    uk, uc = np.unique(key, return_counts=True)
+    dup_tok = np.bincount(
+        (uk // vocab).astype(np.int64), weights=uc * (uc > 1), minlength=n
+    )
+    dup_frac = dup_tok / np.maximum(tok_counts, 1)
+
+    # top_bigram_frac: adjacent-token pairs within a doc
+    m = doc_idx[:-1] == doc_idx[1:]
+    d = doc_idx[:-1][m]
+    a = codes[:-1][m]
+    b = codes[1:][m]
+    order = np.lexsort((b, a, d))
+    d, a, b = d[order], a[order], b[order]
+    new = np.ones(len(d), dtype=bool)
+    if len(d) > 1:
+        new[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(new)
+    gcounts = np.diff(np.append(starts, len(d)))
+    gdoc = d[starts]
+    doc_starts = np.flatnonzero(
+        np.concatenate(([True], gdoc[1:] != gdoc[:-1]))
+    ) if len(gdoc) else np.empty(0, dtype=np.int64)
+    top = np.zeros(n)
+    if len(gcounts):
+        top[gdoc[doc_starts]] = np.maximum.reduceat(gcounts, doc_starts)
+    tot_bi = np.bincount(d, minlength=n).astype(np.float64)
+    top_frac = top / np.maximum(tot_bi, 1)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "top_bigram_frac": pa.array(np.round(top_frac, 6)),
+            "dup_word_frac": pa.array(np.round(dup_frac, 6)),
+        }
+    )

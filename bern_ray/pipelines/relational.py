@@ -1559,69 +1559,15 @@ def q_repetition_stats(sf_dir: str):
     top_bigram_frac (share of bigrams taken by the most frequent one)
     and dup_word_frac (share of tokens whose word occurs > once).
 
-    Fully vectorized per batch: one dictionary-encode of the flattened
-    token lists, then numpy lexsort + run-length segmentation for the
-    per-(doc, gram) counts — no per-row Python. The classic filters
-    use duplicate LINES (Rae et al. 2021, public Gopher paper); this
-    corpus is single-line so the word/bigram variants carry the
-    signal."""
-
-    def rep_batch(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        n = len(toks)
-        flat = toks.flatten()
-        codes = pc.dictionary_encode(flat).indices.to_numpy(
-            zero_copy_only=False
-        )
-        tok_counts = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False
-        )
-        doc_idx = np.repeat(np.arange(n), tok_counts)
-
-        # dup_word_frac: per-(doc, word) counts via one sort
-        key = doc_idx.astype(np.int64) * (codes.max() + 1) + codes
-        uk, uc = np.unique(key, return_counts=True)
-        dup_tok = np.bincount(
-            (uk // (codes.max() + 1)).astype(np.int64),
-            weights=uc * (uc > 1),
-            minlength=n,
-        )
-        dup_frac = dup_tok / np.maximum(tok_counts, 1)
-
-        # top_bigram_frac: adjacent-token pairs within a doc
-        m = doc_idx[:-1] == doc_idx[1:]
-        d = doc_idx[:-1][m]
-        a = codes[:-1][m]
-        b = codes[1:][m]
-        order = np.lexsort((b, a, d))
-        d, a, b = d[order], a[order], b[order]
-        new = np.ones(len(d), dtype=bool)
-        if len(d) > 1:
-            new[1:] = (
-                (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-            )
-        starts = np.flatnonzero(new)
-        gcounts = np.diff(np.append(starts, len(d)))
-        gdoc = d[starts]
-        doc_starts = np.flatnonzero(
-            np.concatenate(([True], gdoc[1:] != gdoc[:-1]))
-        )
-        top = np.zeros(n)
-        if len(gcounts):
-            top[gdoc[doc_starts]] = np.maximum.reduceat(gcounts, doc_starts)
-        tot_bi = np.bincount(d, minlength=n).astype(np.float64)
-        top_frac = top / np.maximum(tot_bi, 1)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "top_bigram_frac": pa.array(np.round(top_frac, 6)),
-                "dup_word_frac": pa.array(np.round(dup_frac, 6)),
-            }
-        )
-
-    return _docs(sf_dir).map_batches(rep_batch, batch_format="pyarrow")
+    Kernel: `functions/textstats.py repetition_batch` (fully
+    vectorized — one dictionary-encode of the flattened token lists,
+    then lexsort + run-length segmentation; no per-row Python). The
+    classic filters use duplicate LINES (Rae et al. 2021, public
+    Gopher paper); this corpus is single-line so the word/bigram
+    variants carry the signal."""
+    return _docs(sf_dir).map_batches(
+        fts.repetition_batch, batch_format="pyarrow"
+    )
 
 
 SQL_REPETITION_STATS = """

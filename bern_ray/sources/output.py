@@ -179,6 +179,8 @@ def write_outputs(
             clusters.write_parquet(
                 f"{out_dir}/clusters", partition_cols=[partition_by]
             )
+        else:
+            clusters.write_parquet(f"{out_dir}/clusters")
         dens.write_parquet(f"{out_dir}/denotations")
     else:
         dens.write_json(f"{out_dir}/denotations")

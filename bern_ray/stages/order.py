@@ -63,6 +63,9 @@ def _sample_boundaries(
             ]
         )
     )
+    # driver memory stays bounded even at millions of input blocks
+    if len(pooled) > (1 << 20):
+        pooled = pooled[:: len(pooled) // (1 << 20) + 1]
     qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
     idx = np.minimum(
         (qs * len(pooled)).astype(np.int64), len(pooled) - 1
