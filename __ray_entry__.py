@@ -216,6 +216,21 @@ def _media_frames(sf_dir: str):
     return featurize_media(sample_frames(synth_video(docs), 2))
 
 
+def _wordpiece_features(sf_dir: str):
+    """WordPiece featurization (M8): corpus-derived vocab + greedy
+    longest-match encode, 30-word pre-chunk, fixed-width
+    input_ids/input_mask rows. Rows-only (tensor features aren't
+    SQL-expressible); kernels pinned by tests/test_wordpiece.py."""
+    import ray.data
+
+    from bern_ray.functions.wordpiece import wordpiece_features
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return wordpiece_features(docs, vocab_size=4096, max_seq_length=128)
+
+
 def _ann_lsh_topk(sf_dir: str):
     import ray.data
 
@@ -255,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "er_mention_counts": _er_mention_counts,
             "er_cuiless_ratio": _er_cuiless_ratio,
             "er_incremental": _er_incremental,
+            "wordpiece_features": _wordpiece_features,
             "media_features": _media_features,
             "media_resize": _media_resize,
             "media_frames": _media_frames,
