@@ -62,10 +62,15 @@ def run_bench() -> dict:
         _query_vectors,
         q_events_agg,
         q_lineitem_pricing,
+        q_contamination,
+        q_passage_dedup,
+        q_pii_redact,
         q_repetition_stats,
         q_sorted_neighbors,
+        q_tfidf_top_terms,
         q_token_freq,
     )
+    from bern_ray.functions.wordpiece import wordpiece_features
     from bern_ray.sources.pages import read_pages
     from bern_ray.stages.blocking import build_attr_vocab, candidate_pairs
     from bern_ray.stages.scoring import edges_only
@@ -147,6 +152,14 @@ def run_bench() -> dict:
         ("lineitem_pricing", lambda: q_lineitem_pricing(SF_DIR).count()),
         ("repetition_stats", lambda: q_repetition_stats(SF_DIR).count()),
         ("sorted_neighbors", lambda: q_sorted_neighbors(SF_DIR).count()),
+        ("passage_dedup", lambda: q_passage_dedup(SF_DIR).count()),
+        ("pii_redact", lambda: q_pii_redact(SF_DIR).count()),
+        ("contamination", lambda: q_contamination(SF_DIR).count()),
+        ("tfidf_top_terms", lambda: q_tfidf_top_terms(SF_DIR).count()),
+        ("wordpiece_features", lambda: wordpiece_features(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ), vocab_size=4096, max_seq_length=128).count()),
     ):
         t = time.monotonic()
         fn()

@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -160,3 +161,75 @@ def merge_registers(sketches: list[bytes], p: int = 10) -> bytes:
 
 def estimate(sketch: bytes, p: int = 10) -> float:
     return _estimate(np.frombuffer(sketch, dtype=np.uint8), p)
+
+
+# ------------------------------------------------- heavy hitters (MG)
+
+
+def _mg_compress(counts: dict, k: int) -> dict:
+    """Misra-Gries compress of an exact counter to <= k entries:
+    subtract the (k+1)-th largest count from every entry and keep the
+    positive remainder. Standard mergeable-summaries compress (Agarwal
+    et al., PODS 2012): per-compress under-count <= the subtracted
+    threshold, total under-count <= n/(k+1)."""
+    if len(counts) <= k:
+        return dict(counts)
+    thresh = sorted(counts.values(), reverse=True)[k]
+    return {key: c - thresh for key, c in counts.items() if c > thresh}
+
+
+def mg_heavy_hitters(
+    ds: "ray.data.Dataset",
+    key: str,
+    k: int = 64,
+    top_n: int = 10,
+) -> "ray.data.Dataset":
+    """Approximate top-`top_n` most frequent `key` values.
+
+    Scale shape: each batch folds its exact counts into a <=k-entry
+    Misra-Gries summary (the shuffle ships at most k rows per batch,
+    never one row per occurrence or per distinct key); the global
+    groupby sums the summary counts. Guarantees (mergeable-summaries
+    bound): reported_count <= true_count, and every key with
+    true_count > n/(k+1) survives to the global stage — so for
+    top_n << k the heavy tail is exact in practice.
+
+    Returns (key, approx_count) rows, top_n by (count desc, key asc).
+    """
+    from collections import Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = Counter(t[key].to_pylist())
+        mg = _mg_compress(c, k)
+        ks = sorted(mg)
+        return pa.table(
+            {
+                "mg_key": pa.array(
+                    [str(x) for x in ks], type=pa.string()
+                ),
+                "partial": pa.array([mg[x] for x in ks], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=PREP_BATCH
+        )
+        .groupby("mg_key")
+        .sum("partial")
+    )
+    # candidate set is <= k x n_batches rows — tiny; final top-n is a
+    # driver-sized sort
+    return (
+        agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t["mg_key"],
+                    "approx_count": pc.cast(t["sum(partial)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["approx_count", "key"], descending=[True, False])
+        .limit(top_n)
+    )

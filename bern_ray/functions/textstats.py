@@ -307,3 +307,105 @@ def repetition_batch(t: pa.Table) -> pa.Table:
             "dup_word_frac": pa.array(np.round(dup_frac, 6)),
         }
     )
+
+
+# ---------------------------------------------------------- tf-idf
+
+
+def tfidf_top_terms(
+    docs: "ray.data.Dataset", top_n: int = 3
+) -> "ray.data.Dataset":
+    """Top distinctive terms per doc with their tf-idf score.
+
+    Two passes: (1) document frequencies — one distinct-(doc, token)
+    partial per batch into a tiny groupby(token) (vocab-bounded, the
+    df table is broadcast back; a 100-TB corpus bounds it with a
+    min_df threshold exactly like `token_freq`); (2) a SHUFFLE-FREE
+    per-batch pass computing tf and emitting the top rows.
+
+    Selection is by the INTEGER key (tf desc, df asc, term asc) —
+    deterministic across engines, no float-ordering ambiguity — and
+    the reported score is tf * ln(N / df) rounded to 6dp.
+    """
+    import math
+    import re
+
+    from bern_ray.stages.broadcast import get_broadcast, put_broadcast
+
+    tok_re = re.compile(TOKEN_RE)
+
+    # df partial = per-batch sum of per-DOC distincts (one row per
+    # token per batch; summing batch-level distincts would under-count)
+    def df_partial_exact(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in pc.utf8_lower(t["text"]).to_pylist():
+            c.update(set(tok_re.findall(s or "")))
+        toks = sorted(c)
+        return pa.table(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "partial": pa.array([c[w] for w in toks], type=pa.int64()),
+            }
+        )
+
+    n_docs = docs.count()
+    df_rows = (
+        docs.map_batches(df_partial_exact, batch_format="pyarrow")
+        .groupby("token")
+        .sum("partial")
+        .take_all()
+    )
+    df_map = {r["token"]: r["sum(partial)"] for r in df_rows}
+    df_ref = put_broadcast(df_map)
+
+    def top_terms(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dfm = get_broadcast(df_ref)
+        out_doc, out_term, out_score = [], [], []
+        for doc_id, s in zip(
+            t["doc_id"].to_pylist(), pc.utf8_lower(t["text"]).to_pylist()
+        ):
+            tf = Counter(tok_re.findall(s or ""))
+            ranked = sorted(
+                tf.items(), key=lambda kv: (-kv[1], dfm[kv[0]], kv[0])
+            )[:top_n]
+            for term, c in ranked:
+                out_doc.append(doc_id)
+                out_term.append(term)
+                out_score.append(
+                    round(c * math.log(n_docs / dfm[term]), 6)
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "term": pa.array(out_term, type=pa.string()),
+                "tfidf": pa.array(out_score, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(top_terms, batch_format="pyarrow")
+
+
+def tfidf_top_terms_sql(top_n: int = 3) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS d FROM w GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS nn FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok AS term,
+         round(tf.c * ln(n.nn / df.d), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.c DESC, df.d ASC, tf.tok ASC
+         ) AS rn
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM s WHERE rn <= {top_n}
+"""

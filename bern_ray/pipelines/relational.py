@@ -2129,6 +2129,78 @@ GROUP BY n_name
 """
 
 
+# ------------------------------------------------- webtext hygiene ops
+
+
+def _wtx_sql(name: str) -> str:
+    from ..functions import webtext as wtx
+
+    return getattr(wtx, name)()
+
+
+def q_pii_redact(sf_dir: str):
+    """Regex PII redaction (email/phone/IPv4) with per-type counts;
+    PII is planted deterministically on both sides (the corpus has
+    none) so the shared RE2 patterns are the surface under test."""
+    from ..functions import webtext as wtx
+
+    return wtx.pii_redact(_docs(sf_dir))
+
+
+def q_passage_dedup(sf_dir: str):
+    """C4-style keep-first exact passage dedup (20-word windows);
+    planted cross-doc boilerplate passages are the duplicates."""
+    from ..functions import webtext as wtx
+
+    return wtx.passage_dedup(_docs(sf_dir))
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-host rollup parsed from the pages URL column."""
+    from ..functions import webtext as wtx
+    from ..sources.pages import read_pages
+
+    return wtx.domain_stats(read_pages(sf_dir))
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark 5-gram decontamination: broadcast benchmark gram set,
+    shuffle-free corpus membership pass."""
+    from ..functions import webtext as wtx
+
+    return wtx.contamination(_docs(sf_dir))
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 distinctive terms per doc with tf-idf score; selection by
+    the integer key (tf desc, df asc, term asc) so the ordering is
+    engine-deterministic."""
+    return fts.tfidf_top_terms(_docs(sf_dir), top_n=3)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters over event_type. The distinct-key
+    count here is far below k, so the sketch is in its EXACT regime
+    and the oracle compares true counts; the approximate regime (skew,
+    compression, under-count bound) is pytest-pinned in
+    tests/test_sketch.py."""
+    from ..functions.sketch import mg_heavy_hitters
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    )
+    return mg_heavy_hitters(ev, "event_type", k=64, top_n=3)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT event_type AS key, count(*)::BIGINT AS approx_count
+FROM events
+GROUP BY 1
+ORDER BY 2 DESC, 1 ASC
+LIMIT 3
+"""
+
+
 # ------------------------------------------------------------ registry
 
 # name -> (ray_fn, oracle_sql | None)
@@ -2184,4 +2256,10 @@ REGISTRY: dict[str, tuple] = {
     ),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pii_redact": (q_pii_redact, _wtx_sql("pii_redact_sql")),
+    "passage_dedup": (q_passage_dedup, _wtx_sql("passage_dedup_sql")),
+    "domain_stats": (q_domain_stats, _wtx_sql("domain_stats_sql")),
+    "contamination": (q_contamination, _wtx_sql("contamination_sql")),
+    "tfidf_top_terms": (q_tfidf_top_terms, fts.tfidf_top_terms_sql()),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
 }

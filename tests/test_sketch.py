@@ -91,3 +91,53 @@ def test_string_keys(ray_session):
         ray.data.from_arrow(t).repartition(4), key="k", group="g"
     ).to_pandas()
     assert abs(int(out["n_distinct"].iloc[0]) - 250) / 250 < 0.14
+
+
+# ------------------------------------------------- Misra-Gries tests
+
+
+def test_mg_compress_bound():
+    from bern_ray.functions.sketch import _mg_compress
+
+    counts = {f"t{i}": i + 1 for i in range(100)}  # n = 5050
+    k = 9
+    mg = _mg_compress(counts, k)
+    assert len(mg) <= k
+    # under-count, never over-count; error <= subtracted threshold
+    thresh = sorted(counts.values(), reverse=True)[k]
+    for key, c in mg.items():
+        assert c == counts[key] - thresh
+    # the largest items survive
+    assert "t99" in mg and "t98" in mg
+
+
+def test_mg_exact_when_under_k():
+    from bern_ray.functions.sketch import _mg_compress
+
+    counts = {"a": 5, "b": 3}
+    assert _mg_compress(counts, 10) == counts
+
+
+def test_mg_heavy_hitters_skewed(ray_session):
+    import ray.data
+
+    from bern_ray.functions.sketch import mg_heavy_hitters
+
+    # zipf-ish: planted heavy keys + a long uniform tail, spread over
+    # many batches so per-batch compression actually fires
+    keys = []
+    for i in range(4000):
+        keys.append(f"tail-{i}")  # 4000 singletons
+    heavy = {"alpha": 900, "beta": 700, "gamma": 500, "delta": 300}
+    for kk, n in heavy.items():
+        keys.extend([kk] * n)
+    # deterministic interleave so heavies span every batch
+    keys = [keys[(i * 2654435761) % len(keys)] for i in range(len(keys))]
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(8)
+    out = mg_heavy_hitters(ds, "k", k=64, top_n=4).to_pandas()
+    # every key with true_count > n/(k+1) (= ~100) must be reported,
+    # in true order, with reported <= true
+    assert list(out["key"]) == ["alpha", "beta", "gamma", "delta"]
+    for _, row in out.iterrows():
+        assert row["approx_count"] <= heavy[row["key"]]
+        assert row["approx_count"] >= heavy[row["key"]] - len(keys) / 65

@@ -1,0 +1,151 @@
+"""Webtext hygiene operators (functions/webtext.py) ground truth.
+
+The oracle gate covers value equality vs DuckDB; these tests pin the
+semantics directly: planted PII is found and redacted, keep-first
+passage dedup keeps exactly one copy of each boilerplate variant,
+contamination flags exactly the planted docs, and the benchmark side
+of contamination stays broadcast-small."""
+
+import pyarrow as pa
+import pytest
+
+from bern_ray.functions.webtext import (
+    BENCH_MOD,
+    BOILERPLATE,
+    CONTAM_MOD,
+    CONTAM_REM,
+    PASSAGE_WORDS,
+    plant_pii,
+)
+
+
+def test_boilerplate_is_exactly_one_passage():
+    # the planted duplicates only work if every variant is exactly one
+    # full window
+    for b in BOILERPLATE:
+        assert len(b.split()) == PASSAGE_WORDS
+
+
+def test_plant_pii_deterministic():
+    s = plant_pii(30, "base")
+    # 30 hits all three mods
+    assert "user30@mail2.example.com" in s
+    assert "(555) 130-1030" in s
+    assert "10.30.210.31" in s
+    assert plant_pii(1, "base") == "base"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+
+
+def test_pii_redact(docs_ds):
+    from bern_ray.functions.webtext import pii_redact
+
+    out = pii_redact(docs_ds).to_pandas().set_index("doc_id")
+    # planted counts are a pure function of doc_id
+    assert out.loc[30, "n_emails"] == 1
+    assert out.loc[30, "n_phones"] == 1
+    assert out.loc[30, "n_ips"] == 1
+    assert out.loc[1, ["n_emails", "n_phones", "n_ips"]].sum() == 0
+    assert out["redacted_md5"].str.len().eq(32).all()
+
+
+def _load_docs():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    return list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def test_passage_dedup_keep_first(docs_ds):
+    import re
+
+    from bern_ray.functions.webtext import passage_dedup
+
+    out = passage_dedup(docs_ds).to_pandas().set_index("doc_id")
+    assert len(out) == docs_ds.count()
+
+    # exact serial reference: global keep-first over (doc_id, pidx)
+    word_re = re.compile(r"[0-9a-z]+")
+    seen: set[str] = set()
+    exp_pass: dict[int, int] = {}
+    exp_kept: dict[int, int] = {}
+    for doc_id, s in sorted(_load_docs()):
+        words = word_re.findall(
+            (BOILERPLATE[doc_id % 4] + " " + (s or "")).lower()
+        )
+        ps = [
+            " ".join(words[i : i + PASSAGE_WORDS])
+            for i in range(0, len(words), PASSAGE_WORDS)
+        ]
+        exp_pass[doc_id] = len(ps)
+        kept = 0
+        for p in ps:
+            if p not in seen:
+                seen.add(p)
+                kept += 1
+        exp_kept[doc_id] = kept
+    assert out["n_passages"].to_dict() == exp_pass
+    assert out["n_kept"].to_dict() == exp_kept
+    # the planted duplicates actually exercised the keep-first path
+    dropped = out["n_passages"] - out["n_kept"]
+    assert dropped.sum() >= len(out) - 4
+
+
+def test_contamination_flags_planted_docs(docs_ds):
+    import re
+
+    from bern_ray.functions.webtext import _contam_text, contamination
+
+    out = contamination(docs_ds).to_pandas().set_index("doc_id")
+    # benchmark docs are excluded from the output
+    assert not any(i % BENCH_MOD == 0 for i in out.index)
+
+    # exact serial reference
+    word_re = re.compile(r"[0-9a-z]+")
+
+    def grams(doc_id, s):
+        ws = word_re.findall(_contam_text(doc_id, s).lower())
+        return {
+            " ".join(ws[i : i + 5]) for i in range(len(ws) - 4)
+        }
+
+    docs = _load_docs()
+    bench = set()
+    for doc_id, s in docs:
+        if doc_id % BENCH_MOD == 0:
+            bench |= grams(doc_id, s)
+    for doc_id, s in docs:
+        if doc_id % BENCH_MOD == 0:
+            continue
+        assert out.loc[doc_id, "n_shared"] == len(grams(doc_id, s) & bench)
+    planted = [
+        i
+        for i in out.index
+        if i % CONTAM_MOD == CONTAM_REM and i % BENCH_MOD != 0
+    ]
+    assert planted, "corpus should contain planted contaminated docs"
+    assert out.loc[planted, "contaminated"].all()
+    # 10-word phrase -> at least 6 interior 5-grams shared
+    assert (out.loc[planted, "n_shared"] >= 6).all()
+
+
+def test_domain_stats(ray_session):
+    from bern_ray.functions.webtext import domain_stats
+    from bern_ray.sources.pages import read_pages
+
+    out = domain_stats(read_pages("/root/testdata/sf0.001")).to_pandas()
+    assert len(out) == 50  # url_of: doc_id % 50 hosts
+    assert out["n_pages"].sum() == 500
+    row = out[out["host"] == "site7.example"].iloc[0]
+    assert row["min_doc"] == 7
+    assert row["max_doc"] == 457
