@@ -62,9 +62,13 @@ def run_bench() -> dict:
         _query_vectors,
         q_events_agg,
         q_lineitem_pricing,
+        q_approx_quantiles,
         q_contamination,
+        q_dedup_clusters,
         q_passage_dedup,
         q_pii_redact,
+        q_returned_revenue,
+        q_rollup_events,
         q_repetition_stats,
         q_sorted_neighbors,
         q_tfidf_top_terms,
@@ -93,6 +97,9 @@ def run_bench() -> dict:
 
     t1 = time.monotonic()
     # de-stringified hot path: attrs ride the pair sort as int32 codes
+    # and the scorer emits edges only (a_mid, b_mid, score, is_edge) —
+    # the clustering path consumes nothing else, and the decoded-string
+    # output costs a measured 11x per batch (stages/scoring.py)
     vocab = build_attr_vocab(normalized)
     scored = score_pairs(
         candidate_pairs(
@@ -101,6 +108,7 @@ def run_bench() -> dict:
         None,
         concurrency=heavy,
         vocab=vocab,
+        emit="edges",
     ).materialize()
     n_scored = scored.count()  # raw pair evaluations (dups included)
     t_score = time.monotonic() - t1
@@ -156,6 +164,10 @@ def run_bench() -> dict:
         ("pii_redact", lambda: q_pii_redact(SF_DIR).count()),
         ("contamination", lambda: q_contamination(SF_DIR).count()),
         ("tfidf_top_terms", lambda: q_tfidf_top_terms(SF_DIR).count()),
+        ("dedup_clusters", lambda: q_dedup_clusters(SF_DIR).count()),
+        ("returned_revenue", lambda: q_returned_revenue(SF_DIR).count()),
+        ("rollup_events", lambda: q_rollup_events(SF_DIR).count()),
+        ("approx_quantiles", lambda: q_approx_quantiles(SF_DIR).count()),
         ("wordpiece_features", lambda: wordpiece_features(
             ray.data.read_parquet(
                 f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]

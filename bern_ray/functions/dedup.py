@@ -565,3 +565,64 @@ def _embedding_neardup_ivf(
             batch_format="pyarrow",
         )
     )
+
+
+# ------------------------------------------------- near-dup clusters
+
+
+def dedup_clusters(
+    docs: "ray.data.Dataset", threshold: float = 0.9
+) -> "ray.data.Dataset":
+    """Near-duplicate CLUSTERS: minhash pairs -> distributed CC ->
+    per-doc label attach. The canonical-selection step every dedup
+    pipeline runs after pair finding (keep one representative per
+    component, not per pair).
+
+    Output: (doc_id, cluster_id, is_canonical) for EVERY input doc —
+    cluster_id = min doc_id of the doc's near-dup component (singleton
+    docs label themselves), is_canonical = (doc_id == cluster_id), so
+    `filter(is_canonical)` IS the deduped corpus.
+
+    Scale shape: pairs come from the distributed minhash path; CC is
+    `components_labels` (driver kernel under DRIVER_EDGE_LIMIT, else
+    partition-wise contraction — labels never funnel through the
+    driver on the scale path); the attach is a left `bucket_join` on
+    doc_id, so no stage materializes the corpus. Determinism: CC roots
+    are the component-min node id (stages/cc.py _cc_arrays), which is
+    what lets a recursive-CTE SQL oracle agree value-for-value.
+    """
+    from ..stages.cc import components_labels
+    from ..stages.join import bucket_join
+
+    pairs = minhash_neardup(docs, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"src": t["doc_id_a"], "dst": t["doc_id_b"]}
+        ),
+        batch_format="pyarrow",
+    )
+    labels = components_labels(edges)
+    ids = docs.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    joined = bucket_join(
+        ids,
+        labels,
+        left_on="doc_id",
+        right_on="node",
+        left_schema={"doc_id": pa.int64()},
+        right_schema={"node": pa.int64(), "label": pa.int64()},
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cid = pc.coalesce(t["label"], t["doc_id"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pc.cast(cid, pa.int64()),
+                "is_canonical": pc.equal(cid, t["doc_id"]),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -233,3 +233,203 @@ def mg_heavy_hitters(
         .sort(["approx_count", "key"], descending=[True, False])
         .limit(top_n)
     )
+
+
+# --------------------------------------- approximate quantiles (KLL)
+
+
+def _kll_compact(
+    vals: np.ndarray, wts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compact a weighted (value, weight) multiset to <= 2k entries by
+    KLL-style pair-merging of the lowest weight level: sort, then
+    replace adjacent same-weight pairs with one survivor of doubled
+    weight. The survivor coin is derived from the value bits (hash
+    parity), so the sketch is DETERMINISTIC for a given input multiset
+    — re-executed batches produce identical partials (Ray retry
+    safety), at the cost of the textbook's independent-coin analysis;
+    rank error stays O(levels / k) in practice (pytest-pinned)."""
+    while len(vals) > 2 * k:
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        # lowest weight level holding >= 2 items (a lone straggler
+        # stays put — merging unequal weights or inflating one would
+        # bias total mass). Weights are powers of two, so if every
+        # level is a singleton there are < 64 items << 2k and the
+        # loop has already exited.
+        idx = np.empty(0, dtype=np.int64)
+        for wmin in np.unique(wts):
+            idx = np.flatnonzero(wts == wmin)
+            if len(idx) >= 2:
+                break
+        pairs = idx[: 2 * (len(idx) // 2)].reshape(-1, 2)
+        if len(pairs) == 0:
+            break
+        # deterministic coin per pair from the value bits
+        coin = (
+            np.frombuffer(
+                vals[pairs[:, 0]].astype(np.float64).tobytes(),
+                dtype=np.uint64,
+            )
+            >> np.uint64(1)
+        ) & np.uint64(1)
+        survivor = np.where(coin == 0, pairs[:, 0], pairs[:, 1])
+        loser = np.where(coin == 0, pairs[:, 1], pairs[:, 0])
+        wts = wts.copy()
+        wts[survivor] *= 2
+        keep = np.ones(len(vals), dtype=bool)
+        keep[loser] = False
+        vals, wts = vals[keep], wts[keep]
+    return vals, wts
+
+
+def _weighted_quantiles(
+    vals: np.ndarray, wts: np.ndarray, qs: list[float]
+) -> list[float]:
+    order = np.argsort(vals, kind="stable")
+    v, w = vals[order], wts[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        target = q * total
+        i = int(np.searchsorted(cum, target, side="left"))
+        out.append(float(v[min(i, len(v) - 1)]))
+    return out
+
+
+def kll_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 256,
+) -> "ray.data.Dataset":
+    """Approximate quantiles of `col` via a KLL-style compactor.
+
+    Scale shape (same as mg_heavy_hitters): each batch compacts its
+    values to <= 2k weighted survivors — the shuffle ships O(k) rows
+    per batch, never the data — and the final merge re-compacts the
+    concatenated partials in one driver-sized task (n_batches x 2k
+    rows; re-compaction keeps it O(k) even at 10^6 batches because
+    compaction is associative over weighted multisets). The exact
+    counterpart is pipelines/relational.py q_value_quantiles; this is
+    the sketch that replaces it when a global sort is off the table.
+
+    Returns one row per q: (q, value).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        w = np.ones(len(v), dtype=np.int64)
+        cv, cw = _kll_compact(v, w, k)
+        return pa.table(
+            {
+                "v": pa.array(cv, type=pa.float64()),
+                "w": pa.array(cw, type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=PREP_BATCH
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        cv, cw = _kll_compact(v, w, k)
+        est = _weighted_quantiles(cv, cw, list(qs))
+        return pa.table(
+            {
+                "q": pa.array(list(qs), type=pa.float64()),
+                "value": pa.array(est, type=pa.float64()),
+            }
+        )
+
+    # repartition(1): the merge is a single task over sketch-sized
+    # input by construction
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+# ------------------------------------------------------ Bloom filter
+
+
+BLOOM_HASHES = 7  # ~ ln2 * bits/n at bits = 10n -> FP ~ 0.8%
+
+
+def _bloom_positions(keys: list[str], m_bits: int) -> np.ndarray:
+    """k positions per key from double hashing over the md5 halves
+    (Kirsch-Mitzenmacher: h1 + i*h2 is as good as k independent
+    hashes). Vectorized over the key batch."""
+    import hashlib
+
+    h1 = np.empty(len(keys), dtype=np.uint64)
+    h2 = np.empty(len(keys), dtype=np.uint64)
+    for i, s in enumerate(keys):
+        d = hashlib.md5(s.encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little") | 1
+    ii = np.arange(BLOOM_HASHES, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + ii[None, :] * h2[:, None]) % np.uint64(m_bits)
+    return pos.astype(np.int64)
+
+
+def bloom_build(
+    ds: "ray.data.Dataset", key: str, m_bits: int = 1 << 20
+) -> np.ndarray:
+    """Build a Bloom filter (packed uint8 bitmap) over `key`.
+
+    Scale shape: each batch folds its keys into a LOCAL bitmap and the
+    partials reduce by elementwise OR — associative, commutative,
+    idempotent (duplicate/re-executed batches cannot corrupt it), so
+    the shuffle ships m/8 bytes per batch and the driver holds one
+    m/8-byte array, never the keys. Size m_bits to ~10 bits/key for
+    <1% FP; the bitmap broadcasts via ray.put to the probe stage.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        pos = _bloom_positions(
+            [s or "" for s in t[key].to_pylist()], m_bits
+        )
+        np.bitwise_or.at(bm, pos.ravel() // 8, 1 << (pos.ravel() % 8).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=PREP_BATCH
+    ).iter_batches(batch_format="pyarrow"):
+        for raw in b["bm"].to_pylist():
+            out |= np.frombuffer(raw, dtype=np.uint8)
+    return out
+
+
+def bloom_filter_new(
+    increment: "ray.data.Dataset",
+    prior_bloom: np.ndarray,
+    key: str,
+    m_bits: int = 1 << 20,
+) -> "ray.data.Dataset":
+    """Keep only increment rows whose `key` is NOT in the prior Bloom
+    filter — the cheap first gate of incremental exact dedup (no false
+    negatives: a surviving row is definitely new; false positives drop
+    ~FP% of genuinely-new rows, acceptable for corpus hygiene or
+    re-checked by the exact path). The bitmap is broadcast ONCE via
+    ray.put; the probe is a shuffle-free map_batches."""
+    import ray as _ray
+
+    ref = _ray.put(prior_bloom)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bm = _ray.get(ref)
+        keys = [s or "" for s in t[key].to_pylist()]
+        pos = _bloom_positions(keys, m_bits)
+        hit = (
+            (bm[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+        ).all(axis=1)
+        return t.filter(pa.array(~hit))
+
+    return increment.map_batches(probe, batch_format="pyarrow")

@@ -142,6 +142,7 @@ def score_pairs(
     model_loader=None,
     num_gpus: float = 0,
     vocab=None,
+    emit: str = "decoded",
 ) -> "ray.data.Dataset":
     """Run the scorer actor pool over attributed pairs.
 
@@ -164,6 +165,10 @@ def score_pairs(
         ctor["model_loader"] = model_loader
     if vocab is not None:
         ctor["vocab"] = vocab
+    if emit != "decoded":
+        # lean edge-only output (stages/scoring.py): skips the
+        # measured-92% per-row decode for consumers that feed CC
+        ctor["emit"] = emit
     kwargs = {}
     if ctor:
         kwargs["fn_constructor_kwargs"] = ctor
@@ -375,8 +380,15 @@ def linkage_pipeline(
     cc_mode: str = "auto",
     from_html: bool = False,
     concurrency: int | tuple = (1, 8),
+    scored_emit: str = "decoded",
 ) -> "ray.data.Dataset":
     """pages(sf_dir) -> clusters Dataset.
+
+    ``scored_emit="edges"`` makes the scorer emit only
+    (a_mid, b_mid, score, is_edge) — the clustering path needs nothing
+    else, and the decoded-string output costs a measured 11x per batch
+    (stages/scoring.py). Keep the default "decoded" when the
+    scored_pairs checkpoint is itself a consumed artifact.
 
     `normalized` and `scored_pairs` are each consumed by MULTIPLE
     downstream stages (hot-key count + pair-gen + cluster attach;
@@ -420,6 +432,7 @@ def linkage_pipeline(
                 None,
                 concurrency=concurrency,
                 vocab=vocab,
+                emit=scored_emit,
             )
         return score_pairs(
             candidate_pairs(
@@ -431,6 +444,7 @@ def linkage_pipeline(
             normalized,
             concurrency=concurrency,
             dedup_in_attach=True,
+            emit=scored_emit,
         )
 
     scored = checkpointed(

@@ -2129,6 +2129,348 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------------- grouping sets
+
+
+def q_rollup_events(sf_dir: str):
+    """GROUPING SETS rollup in ONE shuffle: counts and value sums at
+    three granularities — (event_type, day_mod7), (event_type), and
+    grand total — emitted from a single per-batch partial pass that
+    writes each input row into all three groupings (sentinels 'ALL' /
+    -1 stand in for aggregated-away dimensions, so no nulls reach the
+    driver's value hash). day_mod7 is arithmetic (epoch_days % 7), not
+    calendar dow — both engines compute it identically by construction."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        dow = (_epoch_us(t["ts"]) // 86_400_000_000) % 7
+        val = t["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "day_mod7": dow, "v": val})
+        fine = df.groupby(
+            ["event_type", "day_mod7"], as_index=False
+        ).agg(n=("v", "size"), s=("v", "sum"))
+        mid = df.groupby("event_type", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum")
+        )
+        mid["day_mod7"] = -1
+        total = pd.DataFrame(
+            {
+                "event_type": ["ALL"],
+                "day_mod7": [-1],
+                "n": [len(df)],
+                "s": [df["v"].sum()],
+            }
+        )
+        out = pd.concat([fine, mid, total], ignore_index=True)
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], type=pa.string()),
+                "day_mod7": pa.array(
+                    out["day_mod7"].astype(np.int64), type=pa.int64()
+                ),
+                "n": pa.array(out["n"].astype(np.int64), type=pa.int64()),
+                "s": pa.array(out["s"], type=pa.float64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day_mod7"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "day_mod7": t["day_mod7"],
+                "n_events": pc.cast(t["n"], pa.int64()),
+                "sum_value": pc.round(t["s"], ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ROLLUP_EVENTS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day_mod7, -1) AS day_mod7,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM (
+  SELECT event_type,
+         (epoch(ts)::BIGINT // 86400) % 7 AS day_mod7,
+         value
+  FROM events
+)
+GROUP BY GROUPING SETS ((event_type, day_mod7), (event_type), ())
+"""
+
+
+# ------------------------------------------- Bloom incremental gate
+
+
+def q_bloom_new_docs(sf_dir: str):
+    """Incremental exact-dedup gate: build a Bloom filter over the
+    PRIOR corpus's content fingerprints (even doc_ids), probe the full
+    corpus, keep rows whose fingerprint the prior has definitely not
+    seen. No false negatives (a survivor is certainly new); false
+    positives (~FP% of new rows silently dropped) are the documented
+    trade for a bitmap that ships in KB where the key set ships in GB.
+    Rows-only: survivors depend on the hash, not SQL-mirrorable."""
+    from ..functions.sketch import bloom_build, bloom_filter_new
+    from ..functions.textstats import fingerprint_batch
+
+    fps = _docs(sf_dir).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+    prior = fps.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    bm = bloom_build(prior, "content_md5", m_bits=1 << 20)
+    return bloom_filter_new(
+        fps, bm, "content_md5", m_bits=1 << 20
+    ).select_columns(["doc_id"])
+
+
+# -------------------------------------------- approximate quantiles
+
+
+def q_approx_quantiles(sf_dir: str):
+    """KLL-sketch quantiles over events.value — the shuffle ships O(k)
+    weighted survivors per batch instead of the data (the exact
+    counterpart is q_value_quantiles, which buckets by value range).
+    Rows-only: the sketch's rank error (pytest-pinned <= ~2/k of rank)
+    is by design not bit-equal to exact SQL quantiles."""
+    from ..functions.sketch import kll_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+    return kll_quantiles(ev, "value", qs=(0.25, 0.5, 0.9, 0.99), k=256)
+
+
+# ------------------------------------------- returned-item revenue
+
+_Q10_LO = np.datetime64("1996-07-01", "us")
+_Q10_HI = np.datetime64("1997-01-01", "us")
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 analog: top-20 customers by revenue lost to returned
+    items in a 6-month window. Join plan by side size: orders and
+    lineitem are pruned at the read and pre-aggregated per batch
+    before each distributed bucket_join; the per-customer result
+    attaches customer attributes through a second bucket_join
+    (customer is a LARGE table at scale — never broadcast); nation is
+    the only broadcast side (25 rows by construction). The top-20 is
+    a partial-topk per batch, then one driver-sized sort."""
+    import pyarrow.parquet as pq
+
+    from ..stages.join import bucket_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nation_names = dict(zip(nation.n_nationkey, nation.n_name))
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        ts = _epoch_us(t["o_orderdate"])
+        keep = (ts >= _Q10_LO.astype(np.int64)) & (
+            ts < _Q10_HI.astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "o_custkey": pa.array(
+                    t["o_custkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        f = t.filter(keep)
+        rev = f["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - f["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": f["l_orderkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "rev": rev,
+                }
+            )
+            .groupby("l_orderkey", as_index=False)["rev"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_returnflag",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    per_order = bucket_join(
+        li,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema={"l_orderkey": pa.int64(), "rev": pa.float64()},
+        right_schema={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["o_custkey", "rev"])
+            .to_pandas()
+            .groupby("o_custkey", as_index=False)["rev"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        per_order.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    attached = bucket_join(
+        per_cust,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema={"o_custkey": pa.int64(), "rev": pa.float64()},
+        right_schema={
+            "c_custkey": pa.int64(),
+            "c_name": pa.string(),
+            "c_acctbal": pa.float64(),
+            "c_nationkey": pa.int64(),
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "revenue": pc.round(t["rev"], ndigits=4),
+                "c_acctbal": t["c_acctbal"],
+                "n_name": pa.array(
+                    pd.Series(nk).map(nation_names), type=pa.string()
+                ),
+            }
+        )
+
+    # partial top-20 per batch, then one tiny global sort
+    def partial_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("revenue", "descending"), ("c_custkey", "ascending")],
+        )
+        return t.take(idx[:20])
+
+    return (
+        attached.map_batches(finish, batch_format="pyarrow")
+        .map_batches(partial_top, batch_format="pyarrow")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_RETURNED_REVENUE = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------- near-dup clusters
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Minhash pairs -> distributed CC -> per-doc cluster label; the
+    canonical-selection step after pair finding. Oracle = recursive-CTE
+    transitive closure with min-label — the first query where the CC
+    stage itself is value-checked against SQL (cc.py min-root
+    determinism is the contract that makes this possible)."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.dedup_clusters(docs, threshold=0.9)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-zA-Z]+') AS ts
+  FROM documents WHERE doc_id < {MINHASH_MAX_DOC}
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(ts) - 2),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+              ELSE [] END AS ss
+  FROM tok
+),
+pr AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.ss) > 0 AND len(b.ss) > 0
+    AND least(len(a.ss), len(b.ss))::DOUBLE
+        / greatest(len(a.ss), len(b.ss)) >= 0.9
+    AND len(list_intersect(a.ss, b.ss))::DOUBLE
+        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.9
+),
+e AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+lab AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(least(d.doc_id, l.mn), d.doc_id) AS cluster_id,
+       coalesce(least(d.doc_id, l.mn), d.doc_id) = d.doc_id AS is_canonical
+FROM (SELECT doc_id FROM documents WHERE doc_id < {MINHASH_MAX_DOC}) d
+LEFT JOIN lab l ON l.doc_id = d.doc_id
+"""
+
+
 # ------------------------------------------------- webtext hygiene ops
 
 
@@ -2262,4 +2604,9 @@ REGISTRY: dict[str, tuple] = {
     "contamination": (q_contamination, _wtx_sql("contamination_sql")),
     "tfidf_top_terms": (q_tfidf_top_terms, fts.tfidf_top_terms_sql()),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
+    "approx_quantiles": (q_approx_quantiles, None),
+    "bloom_new_docs": (q_bloom_new_docs, None),
+    "rollup_events": (q_rollup_events, SQL_ROLLUP_EVENTS),
 }

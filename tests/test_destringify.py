@@ -120,3 +120,41 @@ def test_oid_none_codes_roundtrip(ray_session):
     mids = t["mention_id"].to_numpy(zero_copy_only=False)
     assert (oc[mids == 0] == 0).all()
     assert (oc[mids == 1] == -1).all()
+
+
+def test_edges_emit_matches_decoded_projection(ray_session):
+    """emit='edges' must be exactly the decoded output minus the
+    string columns — same pairs, same scores, same edge decisions —
+    on BOTH the code path and the string path."""
+    ds = ray.data.from_pandas(_mentions_df()).repartition(4).materialize()
+    vocab = build_attr_vocab(ds)
+
+    def proj(df):
+        return (
+            df[["a_mid", "b_mid", "score", "is_edge"]]
+            .sort_values(["a_mid", "b_mid", "score"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    full = score_pairs(
+        candidate_pairs(ds, dedup=False, with_attrs=True, vocab=vocab),
+        None,
+        vocab=vocab,
+    ).to_pandas()
+    lean = score_pairs(
+        candidate_pairs(ds, dedup=False, with_attrs=True, vocab=vocab),
+        None,
+        vocab=vocab,
+        emit="edges",
+    ).to_pandas()
+    assert list(lean.columns) == ["a_mid", "b_mid", "score", "is_edge"]
+    pd.testing.assert_frame_equal(proj(full), proj(lean), check_dtype=False)
+
+    lean_str = score_pairs(
+        candidate_pairs(ds, dedup=False, with_attrs=True),
+        None,
+        emit="edges",
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        proj(full), proj(lean_str), check_dtype=False
+    )

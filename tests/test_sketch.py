@@ -141,3 +141,111 @@ def test_mg_heavy_hitters_skewed(ray_session):
     for _, row in out.iterrows():
         assert row["approx_count"] <= heavy[row["key"]]
         assert row["approx_count"] >= heavy[row["key"]] - len(keys) / 65
+
+
+# ------------------------------------------------------- KLL tests
+
+
+def test_kll_compact_bound_and_mass():
+    import numpy as np
+
+    from bern_ray.functions.sketch import _kll_compact
+
+    rng = np.random.RandomState(7)
+    v = rng.rand(10000)
+    w = np.ones(len(v), dtype=np.int64)
+    cv, cw = _kll_compact(v, w, k=64)
+    assert len(cv) <= 2 * 64
+    assert cw.sum() == 10000  # pair-merge conserves total mass
+    assert set(np.unique(cw)) <= {2**i for i in range(40)}
+
+
+def test_kll_compact_deterministic():
+    import numpy as np
+
+    from bern_ray.functions.sketch import _kll_compact
+
+    rng = np.random.RandomState(11)
+    v = rng.rand(5000)
+    w = np.ones(len(v), dtype=np.int64)
+    a = _kll_compact(v.copy(), w.copy(), k=32)
+    b = _kll_compact(v.copy(), w.copy(), k=32)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_kll_quantiles_accuracy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.sketch import kll_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = rng.lognormal(0, 1, 50000)
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(vals, type=pa.float64())})
+    ).repartition(8)
+    out = (
+        kll_quantiles(ds, "value", qs=(0.25, 0.5, 0.9, 0.99), k=256)
+        .to_pandas()
+        .set_index("q")["value"]
+    )
+    s = np.sort(vals)
+    n = len(s)
+    for q in (0.25, 0.5, 0.9, 0.99):
+        est = out.loc[q]
+        # rank error: where does the estimate land in the true order?
+        rank = np.searchsorted(s, est) / n
+        assert abs(rank - q) < 0.02, (q, est, rank)
+
+
+# ----------------------------------------------------- Bloom tests
+
+
+def test_bloom_no_false_negatives(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.sketch import bloom_build, bloom_filter_new
+
+    m = 1 << 17  # bits
+    prior_keys = [f"doc-{i}" for i in range(2000)]
+    prior = ray.data.from_arrow(
+        pa.table({"k": pa.array(prior_keys, type=pa.string())})
+    ).repartition(4)
+    bm = bloom_build(prior, "k", m_bits=m)
+    assert bm.dtype == np.uint8 and len(bm) == m // 8
+
+    # probe: 2000 seen + 2000 new
+    inc_keys = prior_keys + [f"new-{i}" for i in range(2000)]
+    inc = ray.data.from_arrow(
+        pa.table({"k": pa.array(inc_keys, type=pa.string())})
+    ).repartition(4)
+    out = bloom_filter_new(inc, bm, "k", m_bits=m).to_pandas()
+    survived = set(out["k"])
+    # NO false negatives: every seen key is filtered out
+    assert not (survived & set(prior_keys))
+    # false positives bounded: ~10 bits/key, 7 hashes -> ~1% FP
+    fp = 2000 - len(survived)
+    assert fp / 2000 < 0.05, fp
+
+
+def test_bloom_build_or_merge_idempotent(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.sketch import bloom_build
+
+    keys = [f"x-{i}" for i in range(500)]
+    t = pa.table({"k": pa.array(keys * 3, type=pa.string())})
+    a = bloom_build(
+        ray.data.from_arrow(t).repartition(1), "k", m_bits=1 << 16
+    )
+    b = bloom_build(
+        ray.data.from_arrow(t).repartition(6), "k", m_bits=1 << 16
+    )
+    assert (a == b).all()  # OR-merge is partition-invariant
