@@ -462,3 +462,148 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % {BENCH_MOD} <> 0
 """
+
+
+# ----------------------------------------------- url canonicalization
+
+# Messy-URL planting: a pure function of doc_id exercising every rule
+# (scheme case, host case, default port, tracking params, fragment,
+# trailing slash). The corpus pages URL is clean by construction, so
+# both sides plant the same mess and the kernels are the surface under
+# test — same pattern as pii_redact.
+_TRACK_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "ref")
+
+
+def plant_url(doc_id: int) -> str:
+    host = f"Site{doc_id % 50}.Example"
+    url = f"{'HTTPS' if doc_id % 2 == 0 else 'http'}://{host}"
+    if doc_id % 3 == 0:
+        url += ":443" if doc_id % 2 == 0 else ":80"
+    url += f"/Articles/p/{doc_id}"
+    if doc_id % 4 == 0:
+        url += "/"
+    q = []
+    if doc_id % 5 == 0:
+        q.append(f"utm_source=feed{doc_id % 3}")
+    if doc_id % 7 == 0:
+        q.append(f"id={doc_id}")
+    if doc_id % 5 == 2:
+        q.append("ref=sidebar")
+    if q:
+        url += "?" + "&".join(q)
+    if doc_id % 6 == 0:
+        url += "#section-2"
+    return url
+
+
+def plant_url_sql() -> str:
+    return """(
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END
+      || '://Site' || (doc_id % 50) || '.Example'
+      || CASE WHEN doc_id % 3 = 0
+              THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+              ELSE '' END
+      || '/Articles/p/' || doc_id
+      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      || CASE WHEN len(concat_ws('&',
+              CASE WHEN doc_id % 5 = 0 THEN 'utm_source=feed' || (doc_id % 3) END,
+              CASE WHEN doc_id % 7 = 0 THEN 'id=' || doc_id END,
+              CASE WHEN doc_id % 5 = 2 THEN 'ref=sidebar' END)) > 0
+           THEN '?' || concat_ws('&',
+              CASE WHEN doc_id % 5 = 0 THEN 'utm_source=feed' || (doc_id % 3) END,
+              CASE WHEN doc_id % 7 = 0 THEN 'id=' || doc_id END,
+              CASE WHEN doc_id % 5 = 2 THEN 'ref=sidebar' END)
+           ELSE '' END
+      || CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END
+    )"""
+
+
+def canonicalize_urls(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Canonical URL per doc: lowercase scheme+host, strip default
+    ports (:80 http / :443 https), drop tracking query params
+    (utm_*, ref), strip fragments and trailing slashes. Stateless
+    shuffle-free map_batches — the dedup-key step that precedes any
+    URL-level dedup in a crawl pipeline."""
+    import re
+
+    split_re = re.compile(
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#:]+)"
+        r"(?::(?P<port>\d+))?(?P<path>[^?#]*)"
+        r"(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+    )
+
+    def canon_one(u: str) -> str:
+        m = split_re.match(u)
+        if m is None:
+            return u
+        scheme = m.group("scheme").lower()
+        host = m.group("host").lower()
+        port = m.group("port")
+        path = m.group("path") or ""
+        query = m.group("query")
+        if port and not (
+            (scheme == "http" and port == "80")
+            or (scheme == "https" and port == "443")
+        ):
+            host += ":" + port
+        path = path.rstrip("/")
+        out = f"{scheme}://{host}{path}"
+        if query:
+            kept = [
+                p
+                for p in query.split("&")
+                if p and p.split("=", 1)[0] not in _TRACK_PARAMS
+            ]
+            if kept:
+                out += "?" + "&".join(kept)
+        return out
+
+    def batch(t: pa.Table) -> pa.Table:
+        urls = [plant_url(d) for d in t["doc_id"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array(urls, type=pa.string()),
+                "canonical_url": pa.array(
+                    [canon_one(u) for u in urls], type=pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(batch, batch_format="pyarrow")
+
+
+def canonicalize_urls_sql() -> str:
+    u = plant_url_sql()
+    return f"""
+WITH raw AS (SELECT doc_id, {u} AS url FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:(\\d+)', 1) AS port,
+         rtrim(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/') AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM raw
+),
+q AS (
+  SELECT doc_id, url, scheme, host, port, path,
+         array_to_string(list_filter(
+           string_split(query, '&'),
+           p -> len(p) > 0 AND NOT list_contains(
+             ['utm_source','utm_medium','utm_campaign','ref'],
+             string_split(p, '=')[1])
+         ), '&') AS kept
+  FROM parts
+)
+SELECT doc_id, url,
+       scheme || '://' || host
+       || CASE WHEN len(port) > 0
+               AND NOT (scheme = 'http' AND port = '80')
+               AND NOT (scheme = 'https' AND port = '443')
+               THEN ':' || port ELSE '' END
+       || path
+       || CASE WHEN len(kept) > 0 THEN '?' || kept ELSE '' END
+       AS canonical_url
+FROM q
+"""

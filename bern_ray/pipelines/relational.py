@@ -2513,6 +2513,16 @@ def q_contamination(sf_dir: str):
     return wtx.contamination(_docs(sf_dir))
 
 
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization (lowercase scheme/host, default-port and
+    tracking-param strip, fragment/trailing-slash removal) — the
+    dedup-key step before URL-level dedup; messy URLs planted
+    deterministically on both sides."""
+    from ..functions import webtext as wtx
+
+    return wtx.canonicalize_urls(_docs(sf_dir))
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Top-3 distinctive terms per doc with tf-idf score; selection by
     the integer key (tf desc, df asc, term asc) so the ordering is
@@ -2609,4 +2619,5 @@ REGISTRY: dict[str, tuple] = {
     "approx_quantiles": (q_approx_quantiles, None),
     "bloom_new_docs": (q_bloom_new_docs, None),
     "rollup_events": (q_rollup_events, SQL_ROLLUP_EVENTS),
+    "canonical_urls": (q_canonical_urls, _wtx_sql("canonicalize_urls_sql")),
 }
