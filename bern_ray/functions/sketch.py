@@ -196,10 +196,16 @@ def mg_heavy_hitters(
 
     Returns (key, approx_count) rows, top_n by (count desc, key asc).
     """
-    from collections import Counter
-
     def partial(t: pa.Table) -> pa.Table:
-        c = Counter(t[key].to_pylist())
+        # exact per-batch counts via the Arrow kernel (one pass, no
+        # per-row Python), then MG-compress to <= k entries
+        vc = pc.value_counts(t[key].combine_chunks())
+        c = dict(
+            zip(
+                vc.field("values").to_pylist(),
+                vc.field("counts").to_pylist(),
+            )
+        )
         mg = _mg_compress(c, k)
         ks = sorted(mg)
         return pa.table(
