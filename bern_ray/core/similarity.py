@@ -137,7 +137,15 @@ def jaro(a_strs, b_strs, max_len: int = MAX_LEN) -> np.ndarray:
     packedB = np.take_along_axis(B, orderB, axis=1)
     k = np.arange(L)
     valid = k[None, :] < m[:, None]
-    trans = ((packedA != packedB) & valid).sum(axis=1).astype(np.float64) / 2.0
+    # transpositions = HALF the mismatched packed positions, with the
+    # classic strcmp95 INTEGER halving (an odd mismatch count floors:
+    # 3 -> 1, not 1.5) — this is what DuckDB's
+    # jaro_winkler_similarity and the C lineage implement, and the
+    # fuzzy-join oracle (SQL_FUZZY_JOIN_NAMES) verifies the kernels
+    # bit-for-bit against each other
+    trans = (
+        ((packedA != packedB) & valid).sum(axis=1) // 2
+    ).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         j = (
             m / np.maximum(la, 1)
@@ -163,7 +171,10 @@ def jaro_winkler(
     eq &= k[None, :] < lim[:, None]
     # common prefix length = count of leading True
     cp = np.where(eq.all(axis=1), lim, eq.argmin(axis=1))
-    return jj + cp * p * (1.0 - jj)
+    # classic Winkler BOOST THRESHOLD: the prefix bonus applies only
+    # when jaro exceeds 0.7 (strcmp95 lineage; DuckDB implements the
+    # same rule — the fuzzy-join oracle pins the two kernels equal)
+    return np.where(jj > 0.7, jj + cp * p * (1.0 - jj), jj)
 
 
 def ngram_hash_vectors(
@@ -226,12 +237,14 @@ def _jaro_scalar(s1: str, s2: str) -> float:
         return 0.0
     bm = [b[j] for j in range(lb) if mb[j]]
     am = [a[i] for i in ma]
-    t = sum(x != y for x, y in zip(am, bm)) / 2.0
+    t = sum(x != y for x, y in zip(am, bm)) // 2  # strcmp95 halving
     return (m / la + m / lb + (m - t) / m) / 3.0
 
 
 def _jaro_winkler_scalar(s1: str, s2: str, p: float = 0.1) -> float:
     j = _jaro_scalar(s1, s2)
+    if j <= 0.7:  # Winkler boost threshold (strcmp95 lineage)
+        return j
     cp = 0
     for x, y in zip(s1.encode()[:4], s2.encode()[:4]):
         if x != y:
