@@ -148,3 +148,44 @@ def test_scorer_model_seam_through_actor_pool(ray_session):
     ).to_pandas()
     # cosine=1 everywhere: sim = 0.3*jw + 0.3*lev + 0.4; score = 0.2*sim
     assert (out["score"] > 0.08).all()
+
+
+def test_jw_and_levenshtein_match_duckdb():
+    """The fuzzy-join oracle assumes our kernels are bit-equal to
+    DuckDB's jaro_winkler_similarity / levenshtein. Pin it with a
+    deterministic adversarial fuzz (dense alphabets force the
+    transposition-halving and boost-threshold edge cases)."""
+    import random
+
+    import duckdb
+
+    from bern_ray.core.similarity import jaro_winkler, levenshtein
+
+    random.seed(77)
+    pairs = []
+    for alpha in ("ab01", "xyz"):
+        for _ in range(400):
+            pairs.append(
+                (
+                    "".join(
+                        random.choice(alpha)
+                        for _ in range(random.randint(1, 22))
+                    ),
+                    "".join(
+                        random.choice(alpha)
+                        for _ in range(random.randint(1, 22))
+                    ),
+                )
+            )
+    a = [x for x, _ in pairs]
+    b = [y for _, y in pairs]
+    jw = jaro_winkler(a, b)
+    lev = levenshtein(a, b)
+    con = duckdb.connect()
+    for (x, y), j, d in zip(pairs, jw, lev):
+        dj, dd = con.sql(
+            "SELECT jaro_winkler_similarity(?, ?), levenshtein(?, ?)",
+            params=[x, y, x, y],
+        ).fetchone()
+        assert abs(dj - j) < 1e-12, (x, y, j, dj)
+        assert dd == int(d), (x, y, d, dd)
