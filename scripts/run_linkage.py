@@ -44,6 +44,11 @@ def main() -> None:
                     help="hive-partition column for the clusters sink")
     ap.add_argument("--max-actors", type=int, default=16,
                     help="cap for each stage's autoscaling actor pool")
+    ap.add_argument("--lean-scored", action="store_true",
+                    help="scorer emits edges only (a_mid, b_mid, score, "
+                         "is_edge) — skips the measured-92%% per-row attr "
+                         "decode; use when the scored_pairs checkpoint is "
+                         "not itself a consumed artifact")
     args = ap.parse_args()
 
     import ray
@@ -72,6 +77,7 @@ def main() -> None:
         cc_mode=args.cc_mode,
         from_html=args.from_html,
         concurrency=(1, args.max_actors),
+        scored_emit="edges" if args.lean_scored else "decoded",
     )
     write_outputs(clusters, args.output, partition_by=args.partition_by)
     n = ray.data.read_parquet(f"{args.output}/clusters").count()
