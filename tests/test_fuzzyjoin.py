@@ -1,0 +1,65 @@
+"""fuzzy_join semantics on a constructed corpus: blocking recall trade
+is explicit (cross-block pairs are never compared), threshold filters
+within-block candidates, and the JW column equals the pinned kernel."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from bern_ray.core.similarity import jaro_winkler
+from bern_ray.functions.fuzzyjoin import fuzzy_join, suffix_digits_block
+
+
+def test_suffix_digits_block():
+    out = suffix_digits_block(["Item#000123", "x042", "nodigits", ""])
+    assert list(out) == [123, 42, -1, -1]
+
+
+@pytest.fixture(scope="module")
+def joined(ray_session):
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_id": pa.array([1, 2, 3], type=pa.int64()),
+                "l_name": pa.array(
+                    ["Widget#001", "Widget#002", "Gadget#777"]
+                ),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "r_id": pa.array([10, 20, 30], type=pa.int64()),
+                "r_name": pa.array(
+                    # typo of Widget#001 (same block 001); exact
+                    # Gadget#777; a block-777 stranger
+                    ["Widgot#001", "Gadget#777", "Zzzzzz#777"]
+                ),
+            }
+        )
+    )
+    return fuzzy_join(
+        left, right, block_fn=suffix_digits_block, threshold=0.9
+    ).to_pandas()
+
+
+def test_matches_and_threshold(joined):
+    got = {(r.l_id, r.r_id) for r in joined.itertuples()}
+    # typo match + exact match; the block-777 stranger scores < 0.9;
+    # Widget#002 has no same-block candidate at all
+    assert got == {(1, 10), (3, 20)}
+
+
+def test_jw_column_is_the_pinned_kernel(joined):
+    row = joined[(joined.l_id == 1) & (joined.r_id == 10)].iloc[0]
+    expect = jaro_winkler(["Widget#001"], ["Widgot#001"])[0]
+    assert abs(row.jw - round(expect, 6)) < 1e-9
+
+
+def test_cross_block_pairs_never_compared(joined):
+    # Gadget#777 vs Widget#001 is similar-ish but different block —
+    # must be absent regardless of threshold
+    assert not ((joined.l_id == 3) & (joined.r_id == 10)).any()
