@@ -2417,6 +2417,72 @@ LIMIT 20
 """
 
 
+# ------------------------------------------------------- semi join
+
+
+def q_orders_with_returns(sf_dir: str):
+    """SEMI join (EXISTS): orders having at least one returned line,
+    via the join kernel's documented probe form — a left bucket_join
+    whose right side is per-bucket drop_duplicates on the key (a key's
+    rows all land in one bucket, so per-bucket distinct is globally
+    exact), then keep matched rows. Completes the join family
+    (inner/left/anti already oracle-checked)."""
+    from ..stages.join import bucket_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def ret_keys(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R"))
+        # per-batch distinct — the in-bucket distinct finishes the job
+        keys = pc.unique(f["l_orderkey"].combine_chunks())
+        return pa.table(
+            {
+                "r_orderkey": keys,
+                "hit": pa.array(
+                    np.ones(len(keys), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    returned = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(ret_keys, batch_format="pyarrow")
+
+    joined = bucket_join(
+        orders,
+        returned,
+        left_on="o_orderkey",
+        right_on="r_orderkey",
+        left_schema={
+            "o_orderkey": pa.int64(),
+            "o_custkey": pa.int64(),
+            "o_totalprice": pa.float64(),
+        },
+        right_schema={"r_orderkey": pa.int64(), "hit": pa.int64()},
+        how="left",
+        right_prepare=lambda df: df.drop_duplicates("r_orderkey"),
+    )
+    return joined.map_batches(
+        lambda t: t.filter(
+            pc.is_valid(t["hit"])
+        ).select(["o_orderkey", "o_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ORDERS_WITH_RETURNS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+"""
+
+
 # -------------------------------------------------- fuzzy A-B join
 
 
@@ -2729,4 +2795,5 @@ REGISTRY: dict[str, tuple] = {
     "canonical_urls": (q_canonical_urls, _wtx_sql("canonicalize_urls_sql")),
     "fuzzy_join_names": (q_fuzzy_join_names, SQL_FUZZY_JOIN_NAMES),
     "edit_distance_names": (q_edit_distance_names, SQL_EDIT_DISTANCE_NAMES),
+    "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
 }
