@@ -75,20 +75,35 @@ def _shingle_sets(texts: list[str], k: int) -> list[np.ndarray]:
 
 
 def _minhash_band_rows(t: pa.Table, k: int) -> pa.Table:
-    """(band, doc_id) rows only — token sets are NOT shipped through
+    """(band, doc_id, sig64) rows — token sets are NOT shipped through
     the shuffle (carrying them per band row multiplied shuffle volume
-    by the band count)."""
+    by the band count). ``sig64`` is one 64-bit fold of the FULL
+    minhash signature: exact-duplicate contents agree on it, so the
+    oversized-band path can collapse duplicate classes without ever
+    seeing the text."""
     texts = t["text"].to_pylist()
     doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
     flat, starts = token_shingles(texts, k=k)
     sig = minhash_signatures(flat, starts, num_perm=MINHASH_PERMS)
     bands = band_keys(sig, bands=MINHASH_BANDS, rows=MINHASH_ROWS)
+    # order-sensitive fold of the whole signature row (splitmix chain)
+    acc = np.zeros(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(sig.shape[1]):
+            z = acc ^ sig[:, c].astype(np.uint64)
+            z = (z + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
+                0xBF58476D1CE4E5B9
+            )
+            acc = z ^ (z >> np.uint64(29))
     n = len(texts)
     rep = np.repeat(np.arange(n), MINHASH_BANDS)
     return pa.table(
         {
             "band": pa.array(bands.ravel().tolist(), type=pa.string()),
             "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
+            "sig64": pa.array(
+                acc.astype(np.int64)[rep], type=pa.int64()
+            ),
         }
     )
 
@@ -103,45 +118,125 @@ def _band_bucket(t: pa.Table) -> pa.Table:
     )
 
 
-def _band_pairs_bucket(g: pd.DataFrame) -> pa.Table:
-    """Vectorized all-pairs within every band group of one bucket
-    (cap=None: the oracle is the full pair set, and oversized groups
-    are exact-duplicate classes whose output is quadratic by
-    definition)."""
+# all-pairs guard: bands at or under this size emit the FULL pair set
+# (the DuckDB all-pairs oracle regime); larger bands switch to the
+# duplicate-class collapse + spanning emission below — O(n) per band
+# instead of O(n^2) on a boilerplate band
+DEFAULT_BAND_CAP = 512
+
+
+def _oversized_band_pairs(
+    ids: np.ndarray, sigs: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded pair emission for ONE band segment larger than `cap`.
+
+    1. Collapse exact-duplicate contents (identical full-signature
+       fold sig64): each class emits a STAR to its min doc_id — those
+       pairs verify at jaccard 1.0 by construction, so the component
+       stays intact with class-size-1 edges, never class-size^2.
+    2. The class REPRESENTATIVES (unique contents) emit all-pairs if
+       they fit under the cap, else the star+chain spanning set from
+       stages/blocking.py segment_pairs.
+
+    Above the cap the pair INVENTORY is a spanning subset (documented
+    recall trade, same shape as linkage blocking's MAX_ALLPAIRS): its
+    verified CC closure equals the full set's for duplicate-class
+    bands (pytest-pinned), while cross-class chain edges that fail
+    verification can split what all-pairs would have joined — the
+    standard LSH-cap trade, chosen over 10^12-pair emission.
+    """
     from ..stages.blocking import segment_pairs
 
-    g = g.drop_duplicates(["band", "doc_id"])
-    g = g.sort_values(["band", "doc_id"], kind="mergesort").reset_index(
-        drop=True
+    order = np.lexsort((ids, sigs))
+    ids_s, sigs_s = ids[order], sigs[order]
+    new_cls = np.empty(len(ids_s), dtype=bool)
+    new_cls[0] = True
+    new_cls[1:] = sigs_s[1:] != sigs_s[:-1]
+    cls_starts = np.flatnonzero(new_cls)
+    cls_sizes = np.diff(np.append(cls_starts, len(ids_s)))
+    # star within each duplicate class: rep (min doc_id = first in the
+    # lexsort) -> every other member
+    rep_idx = np.repeat(cls_starts, cls_sizes)
+    member = np.arange(len(ids_s))
+    in_star = member != rep_idx
+    a_parts = [ids_s[rep_idx[in_star]]]
+    b_parts = [ids_s[member[in_star]]]
+    # representatives = unique contents; pair them (all-pairs under
+    # the cap, spanning star+chain above it)
+    reps = np.sort(ids_s[cls_starts])
+    ai, bi = segment_pairs(
+        np.array([0]), np.array([len(reps)]), cap=cap
     )
-    bands = g["band"].to_numpy(dtype=object)
-    n = len(g)
-    if n == 0:
+    a_parts.append(reps[ai])
+    b_parts.append(reps[bi])
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    swap = a > b
+    return np.where(swap, b, a), np.where(swap, a, b)
+
+
+def _band_pairs_bucket(band_cap: int | None = DEFAULT_BAND_CAP):
+    """Pair generation for every band group of one bucket: vectorized
+    all-pairs for bands up to ``band_cap`` (the oracle regime); the
+    duplicate-class collapse above it (_oversized_band_pairs) — a
+    Python loop per OVERSIZED band only, rare by definition."""
+
+    def fn(g: pd.DataFrame) -> pa.Table:
+        from ..stages.blocking import segment_pairs
+
+        g = g.drop_duplicates(["band", "doc_id"])
+        g = g.sort_values(["band", "doc_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        bands = g["band"].to_numpy(dtype=object)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id_a": pa.array([], type=pa.int64()),
+                    "doc_id_b": pa.array([], type=pa.int64()),
+                }
+            )
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = bands[1:] != bands[:-1]
+        starts = np.flatnonzero(new_run)
+        sizes = np.diff(np.append(starts, n))
+        ids = g["doc_id"].to_numpy()
+        if band_cap is None:
+            small = np.ones(len(sizes), dtype=bool)
+        else:
+            small = sizes <= band_cap
+        ai, bi = segment_pairs(starts[small], sizes[small], cap=None)
+        a_parts = [ids[ai]]
+        b_parts = [ids[bi]]
+        if not small.all():
+            sigs = g["sig64"].to_numpy()
+            for st, sz in zip(starts[~small], sizes[~small]):
+                a, b = _oversized_band_pairs(
+                    ids[st : st + sz], sigs[st : st + sz], band_cap
+                )
+                a_parts.append(a)
+                b_parts.append(b)
         return pa.table(
             {
-                "doc_id_a": pa.array([], type=pa.int64()),
-                "doc_id_b": pa.array([], type=pa.int64()),
+                "doc_id_a": pa.array(
+                    np.concatenate(a_parts), type=pa.int64()
+                ),
+                "doc_id_b": pa.array(
+                    np.concatenate(b_parts), type=pa.int64()
+                ),
             }
         )
-    new_run = np.empty(n, dtype=bool)
-    new_run[0] = True
-    new_run[1:] = bands[1:] != bands[:-1]
-    starts = np.flatnonzero(new_run)
-    sizes = np.diff(np.append(starts, n))
-    ai, bi = segment_pairs(starts, sizes, cap=None)
-    ids = g["doc_id"].to_numpy()
-    return pa.table(
-        {
-            "doc_id_a": pa.array(ids[ai], type=pa.int64()),
-            "doc_id_b": pa.array(ids[bi], type=pa.int64()),
-        }
-    )
+
+    return fn
 
 
 def minhash_neardup(
     docs: "ray.data.Dataset",
     threshold: float = 0.9,
     shingle_k: int = 3,
+    band_cap: int | None = DEFAULT_BAND_CAP,
 ) -> "ray.data.Dataset":
     """LSH candidates verified by EXACT shingle-set Jaccard >= threshold.
 
@@ -150,6 +245,14 @@ def minhash_neardup(
     With 32 bands x 4 rows, detection probability at j=0.9 is
     1-(1-0.9^4)^32 ≈ 1-4e-16 — effectively exhaustive at the verify
     threshold, which is what lets the DuckDB all-pairs oracle agree.
+
+    ``band_cap`` bounds in-band pair emission: bands up to the cap
+    emit ALL pairs (the oracle regime — quadratic only within a
+    bounded band); larger bands collapse exact-duplicate contents to
+    a star + a spanning set over unique contents
+    (_oversized_band_pairs) so a 10^6-member boilerplate band costs
+    O(n) pairs, not 10^12. Pass ``band_cap=None`` for unconditional
+    all-pairs.
 
     Execution shape: (1) one pass emits (band, doc_id) rows; (2) one
     bucketed groupby generates candidate pairs vectorized; (3) pairs
@@ -184,7 +287,7 @@ def minhash_neardup(
         _band_bucket, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
     )
     pairs = band_rows.groupby("bucket").map_groups(
-        _band_pairs_bucket, batch_format="pandas"
+        _band_pairs_bucket(band_cap), batch_format="pandas"
     )
 
     def side(name: str):
@@ -571,7 +674,9 @@ def _embedding_neardup_ivf(
 
 
 def dedup_clusters(
-    docs: "ray.data.Dataset", threshold: float = 0.9
+    docs: "ray.data.Dataset",
+    threshold: float = 0.9,
+    band_cap: int | None = DEFAULT_BAND_CAP,
 ) -> "ray.data.Dataset":
     """Near-duplicate CLUSTERS: minhash pairs -> distributed CC ->
     per-doc label attach. The canonical-selection step every dedup
@@ -594,7 +699,7 @@ def dedup_clusters(
     from ..stages.cc import components_labels
     from ..stages.join import bucket_join
 
-    pairs = minhash_neardup(docs, threshold=threshold)
+    pairs = minhash_neardup(docs, threshold=threshold, band_cap=band_cap)
     edges = pairs.map_batches(
         lambda t: pa.table(
             {"src": t["doc_id_a"], "dst": t["doc_id_b"]}

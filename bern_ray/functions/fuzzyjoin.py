@@ -114,10 +114,28 @@ def fuzzy_join(
 
 
 def suffix_digits_block(names: list[str], k: int = 3) -> np.ndarray:
-    """Block key = the name's last-k digits as an int — the standard
-    identifier-suffix block for codes whose prefixes are shared."""
+    """Block key = the name's last-k characters encoded as an int64.
+
+    Equality of the key is EXACTLY string equality of the raw k-char
+    tail (the SQL oracle's ``substr(name, -k)`` block predicate): a
+    tail of <= 8 UTF-8 bytes is embedded injectively via
+    ``int.from_bytes`` (so non-digit tails form distinct blocks, they
+    do not collapse into one); longer tails fall back to a 63-bit
+    blake2b digest (collision probability ~n^2/2^63 — negligible, and
+    a collision only ADDS candidate pairs that the jw threshold then
+    filters, it never drops oracle pairs)."""
+    import hashlib
+
     out = np.empty(len(names), dtype=np.int64)
     for i, s in enumerate(names):
-        tail = (s or "")[-k:]
-        out[i] = int(tail) if tail.isdigit() else -1
+        raw = (s or "")[-k:].encode("utf-8")
+        if len(raw) <= 8:
+            out[i] = int.from_bytes(raw, "big")
+        else:
+            out[i] = (
+                int.from_bytes(
+                    hashlib.blake2b(raw, digest_size=8).digest(), "big"
+                )
+                >> 1
+            )
     return out

@@ -121,7 +121,9 @@ def hll_distinct(
         ]
         return pa.table(
             {
-                group: pa.array(list(gvals), type=pa.string()),
+                # preserve the input group dtype (int groups stay int —
+                # a string() cast here would raise ArrowInvalid on them)
+                group: pa.array(list(gvals), type=t.schema.field(group).type),
                 "regs": pa.array(sketches, type=pa.binary()),
             }
         )
@@ -292,6 +294,11 @@ def _kll_compact(
 def _weighted_quantiles(
     vals: np.ndarray, wts: np.ndarray, qs: list[float]
 ) -> list[float]:
+    if len(vals) == 0:
+        # empty / all-NaN input column: NaN per requested quantile
+        # (matches SQL quantile-over-empty semantics) instead of an
+        # IndexError on cum[-1]
+        return [float("nan")] * len(qs)
     order = np.argsort(vals, kind="stable")
     v, w = vals[order], wts[order]
     cum = np.cumsum(w)
@@ -339,10 +346,25 @@ def kll_quantiles(
     parts = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=PREP_BATCH
     )
+    # zero-weight sentinel: an empty/all-NaN column otherwise yields a
+    # ZERO-block dataset after the partials and the merge task never
+    # runs (no schema at all); the sentinel guarantees one merge call,
+    # and its weight-0 row is dropped before estimation
+    sentinel = ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array([0.0], type=pa.float64()),
+                "w": pa.array([0], type=pa.int64()),
+            }
+        )
+    )
+    parts = parts.union(sentinel)
 
     def merge(t: pa.Table) -> pa.Table:
         v = t["v"].to_numpy(zero_copy_only=False)
         w = t["w"].to_numpy(zero_copy_only=False)
+        keep = w > 0
+        v, w = v[keep], w[keep]
         cv, cw = _kll_compact(v, w, k)
         est = _weighted_quantiles(cv, cw, list(qs))
         return pa.table(

@@ -312,27 +312,85 @@ def repetition_batch(t: pa.Table) -> pa.Table:
 # ---------------------------------------------------------- tf-idf
 
 
+# above this many docs the broadcast-df path is presumed driver-unsafe
+# (web-text vocabulary grows ~linearly with corpus size, hapax-heavy)
+# and tfidf_top_terms auto-switches to the fully distributed df-attach
+TFIDF_BROADCAST_MAX_DOCS = 200_000
+
+
+def _tf_rows(t: pa.Table, tok_re) -> pa.Table:
+    """Explode a doc batch to one (doc_id, token, tf) row per DISTINCT
+    (doc, token) — the shared pass-1 of both tf-idf paths."""
+    out_doc, out_tok, out_tf = [], [], []
+    from collections import Counter
+
+    for doc_id, s in zip(
+        t["doc_id"].to_pylist(), pc.utf8_lower(t["text"]).to_pylist()
+    ):
+        for tok, c in Counter(tok_re.findall(s or "")).items():
+            out_doc.append(doc_id)
+            out_tok.append(tok)
+            out_tf.append(c)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "token": pa.array(out_tok, type=pa.string()),
+            "tf": pa.array(out_tf, type=pa.int64()),
+        }
+    )
+
+
+def _token_h64(tokens: list[str]) -> np.ndarray:
+    """Stable 63-bit token hash (join co-location key; exactness comes
+    from the post-merge string-equality filter, never from the hash)."""
+    out = np.empty(len(tokens), dtype=np.int64)
+    for i, s in enumerate(tokens):
+        out[i] = (
+            int.from_bytes(
+                hashlib.blake2b(
+                    s.encode("utf-8"), digest_size=8
+                ).digest(),
+                "big",
+            )
+            >> 1
+        )
+    return out
+
+
 def tfidf_top_terms(
-    docs: "ray.data.Dataset", top_n: int = 3
+    docs: "ray.data.Dataset", top_n: int = 3, mode: str = "auto"
 ) -> "ray.data.Dataset":
     """Top distinctive terms per doc with their tf-idf score.
-
-    Two passes: (1) document frequencies — one distinct-(doc, token)
-    partial per batch into a tiny groupby(token) (vocab-bounded, the
-    df table is broadcast back; a 100-TB corpus bounds it with a
-    min_df threshold exactly like `token_freq`); (2) a SHUFFLE-FREE
-    per-batch pass computing tf and emitting the top rows.
 
     Selection is by the INTEGER key (tf desc, df asc, term asc) —
     deterministic across engines, no float-ordering ambiguity — and
     the reported score is tf * ln(N / df) rounded to 6dp.
+
+    Two execution paths (pytest-pinned identical), dispatched like
+    functions/dedup.py's embedding_neardup:
+
+    - ``broadcast`` (row count <= TFIDF_BROADCAST_MAX_DOCS): the df
+      table collects to a driver dict and broadcasts once; pass 2 is
+      shuffle-free. Right for dictionary-bounded corpora.
+    - ``joined`` (the 100-TB path): NOTHING vocabulary-sized touches
+      the driver. Pass 1 explodes docs to (doc_id, token, tf) rows;
+      df is a distributed groupby(token); df attaches back to the
+      term rows via the bucketed hash join on a 63-bit token hash
+      (exact: the merge post-filters on string equality of the token
+      itself, so a hash collision can only co-locate, never mis-join);
+      the per-doc top-n is one more bucketed shuffle on doc_id with a
+      vectorized in-bucket head(top_n). Per-task memory is bounded by
+      bucket count on both shuffles.
     """
     import math
     import re
 
-    from bern_ray.stages.broadcast import get_broadcast, put_broadcast
-
     tok_re = re.compile(TOKEN_RE)
+    n_docs = docs.count()
+    if mode == "auto":
+        mode = (
+            "broadcast" if n_docs <= TFIDF_BROADCAST_MAX_DOCS else "joined"
+        )
 
     # df partial = per-batch sum of per-DOC distincts (one row per
     # token per batch; summing batch-level distincts would under-count)
@@ -350,43 +408,142 @@ def tfidf_top_terms(
             }
         )
 
-    n_docs = docs.count()
-    df_rows = (
+    df_agg = (
         docs.map_batches(df_partial_exact, batch_format="pyarrow")
         .groupby("token")
         .sum("partial")
-        .take_all()
     )
-    df_map = {r["token"]: r["sum(partial)"] for r in df_rows}
-    df_ref = put_broadcast(df_map)
 
-    def top_terms(t: pa.Table) -> pa.Table:
-        from collections import Counter
+    if mode == "broadcast":
+        from bern_ray.stages.broadcast import get_broadcast, put_broadcast
 
-        dfm = get_broadcast(df_ref)
-        out_doc, out_term, out_score = [], [], []
-        for doc_id, s in zip(
-            t["doc_id"].to_pylist(), pc.utf8_lower(t["text"]).to_pylist()
-        ):
-            tf = Counter(tok_re.findall(s or ""))
-            ranked = sorted(
-                tf.items(), key=lambda kv: (-kv[1], dfm[kv[0]], kv[0])
-            )[:top_n]
-            for term, c in ranked:
-                out_doc.append(doc_id)
-                out_term.append(term)
-                out_score.append(
-                    round(c * math.log(n_docs / dfm[term]), 6)
-                )
+        df_map = {
+            r["token"]: r["sum(partial)"] for r in df_agg.take_all()
+        }
+        df_ref = put_broadcast(df_map)
+
+        def top_terms(t: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            dfm = get_broadcast(df_ref)
+            out_doc, out_term, out_score = [], [], []
+            for doc_id, s in zip(
+                t["doc_id"].to_pylist(),
+                pc.utf8_lower(t["text"]).to_pylist(),
+            ):
+                tf = Counter(tok_re.findall(s or ""))
+                ranked = sorted(
+                    tf.items(), key=lambda kv: (-kv[1], dfm[kv[0]], kv[0])
+                )[:top_n]
+                for term, c in ranked:
+                    out_doc.append(doc_id)
+                    out_term.append(term)
+                    out_score.append(
+                        round(c * math.log(n_docs / dfm[term]), 6)
+                    )
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_doc, type=pa.int64()),
+                    "term": pa.array(out_term, type=pa.string()),
+                    "tfidf": pa.array(out_score, type=pa.float64()),
+                }
+            )
+
+        return docs.map_batches(top_terms, batch_format="pyarrow")
+
+    # ------------------------------------------- joined (scale) path
+    import pandas as pd
+
+    from bern_ray.stages.join import SHUFFLE_PREP_ROWS, bucket_join
+
+    term_rows = docs.map_batches(
+        lambda t: _tf_rows(t, tok_re), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.append_column(
+            "h64", pa.array(_token_h64(t["token"].to_pylist()))
+        ),
+        batch_format="pyarrow",
+        batch_size=SHUFFLE_PREP_ROWS,
+    )
+    df_rows = df_agg.map_batches(
+        lambda t: pa.table(
+            {
+                "h64": pa.array(_token_h64(t["token"].to_pylist())),
+                "r_token": t["token"],
+                "df": pc.cast(t["sum(partial)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=SHUFFLE_PREP_ROWS,
+    )
+    attached = bucket_join(
+        term_rows,
+        df_rows,
+        left_on="h64",
+        right_on="h64",
+        left_schema={
+            "h64": pa.int64(),
+            "doc_id": pa.int64(),
+            "token": pa.string(),
+            "tf": pa.int64(),
+        },
+        right_schema={
+            "h64": pa.int64(),
+            "r_token": pa.string(),
+            "df": pa.int64(),
+        },
+    )
+
+    def exact_and_bucket(t: pa.Table) -> pa.Table:
+        # collision guard: keep only true token matches, then key the
+        # second shuffle on a doc_id bucket (bounded task memory)
+        t = t.filter(pc.equal(t["token"], t["r_token"]))
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> (
+                np.uint64(33)
+            )
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "term": pa.array(out_term, type=pa.string()),
-                "tfidf": pa.array(out_score, type=pa.float64()),
+                "doc_id": t["doc_id"],
+                "token": t["token"],
+                "tf": t["tf"],
+                "df": t["df"],
+                "bucket": pa.array((h % 256).astype(np.int64)),
             }
         )
 
-    return docs.map_batches(top_terms, batch_format="pyarrow")
+    bucketed = attached.map_batches(
+        exact_and_bucket,
+        batch_format="pyarrow",
+        batch_size=SHUFFLE_PREP_ROWS,
+    )
+
+    def top_per_doc(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["doc_id", "tf", "df", "token"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        top = g.groupby("doc_id", sort=False).head(top_n)
+        tfidf = np.round(
+            top["tf"].to_numpy(dtype=np.float64)
+            * np.log(n_docs / top["df"].to_numpy(dtype=np.float64)),
+            6,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    top["doc_id"].to_numpy(dtype=np.int64)
+                ),
+                "term": pa.array(top["token"].tolist(), type=pa.string()),
+                "tfidf": pa.array(tfidf, type=pa.float64()),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(
+        top_per_doc, batch_format="pandas"
+    )
 
 
 def tfidf_top_terms_sql(top_n: int = 3) -> str:

@@ -452,7 +452,15 @@ def linkage_pipeline(
         _score,
         checkpoint_root,
         lineage=["normalized"],
-        config={**cfg, "salt_threshold": salt_threshold},
+        # scored_emit changes the artifact SCHEMA (edge-only vs decoded)
+        # — it must be part of the content key so flipping the flag
+        # between runs invalidates the checkpoint instead of silently
+        # reusing a wrong-schema parquet
+        config={
+            **cfg,
+            "salt_threshold": salt_threshold,
+            "scored_emit": scored_emit,
+        },
     )
     if checkpoint_root is None:
         scored = scored.materialize()

@@ -88,6 +88,18 @@ class PairScorer:
             return self._score_codes(batch)
         n = batch.num_rows
         if n == 0:
+            if self.emit == "edges" and "a_mid" in batch.schema.names:
+                # mirror the non-empty edges branch — an empty batch
+                # must not inject the full decoded schema into an
+                # otherwise 4-column edge dataset
+                return pa.table(
+                    {
+                        "a_mid": batch["a_mid"],
+                        "b_mid": batch["b_mid"],
+                        "score": pa.array([], type=pa.float64()),
+                        "is_edge": pa.array([], type=pa.bool_()),
+                    }
+                )
             return batch.append_column(
                 "score", pa.array([], type=pa.float64())
             ).append_column("is_edge", pa.array([], type=pa.bool_()))

@@ -2,7 +2,10 @@
 entry and compare against oracle_sql() via DuckDB (row count, schema
 names, order-insensitive values). Usage:
 
-    python scripts/check_correctness.py [sf_dir]
+    python scripts/check_correctness.py [sf_dir] [query1,query2,...]
+
+An optional comma-separated second argument restricts the gate to the
+named queries (fast re-check after touching one operator family).
 """
 
 import sys
@@ -62,6 +65,12 @@ def main():
     import __ray_entry__ as E
 
     qs = E.queries()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = E.oracle_sql()
     con = duckdb.connect()
     for tname in (

@@ -141,3 +141,71 @@ def test_embedding_neardup_ivf_matches_bruteforce(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(brute, ivf, check_dtype=False)
+
+
+def _dup_band_corpus():
+    """60 exact copies of one boilerplate doc + 3 distinct docs + one
+    near-dup pair — every band of the boilerplate class has 60
+    members, far over the forced cap of 8."""
+    boiler = "breaking news the quick brown fox jumps over the lazy dog today again"
+    base = (
+        "completely different alpha beta gamma delta epsilon zeta eta "
+        "theta iota kappa lambda omicron pi rho sigma tau upsilon phi "
+        "chi psi omega one two three four five six "
+    )
+    # 30 tokens, single final-token edit -> jaccard 27/29 ~ 0.931
+    near_a = base + "seven"
+    near_b = base + "eight"
+    texts = [boiler] * 60 + [
+        near_a,
+        near_b,
+        "unrelated lorem ipsum dolor sit amet consectetur adipiscing elit",
+        "another standalone document with its own vocabulary entirely",
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def test_band_cap_emits_linear_pairs(ray_session):
+    """An oversized duplicate band emits O(n) pairs (the star over the
+    exact-duplicate class), never O(n^2) — and every emitted pair still
+    verifies at jaccard 1.0."""
+    import ray.data
+
+    from bern_ray.functions.dedup import minhash_neardup
+
+    ds = ray.data.from_arrow(_dup_band_corpus()).repartition(3)
+    capped = minhash_neardup(ds, threshold=0.9, band_cap=8).to_pandas()
+    # the 60-member class yields exactly 59 star pairs (plus the one
+    # planted near-dup pair), NOT 60*59/2 = 1770
+    n_class_pairs = len(capped[capped.doc_id_a < 60])
+    assert n_class_pairs == 59, n_class_pairs
+    assert (capped[capped.doc_id_a < 60].jaccard == 1.0).all()
+    assert (60, 61) in set(zip(capped.doc_id_a, capped.doc_id_b))
+
+
+def test_band_cap_clusters_identical(ray_session):
+    """dedup_clusters over the capped path equals the uncapped path —
+    the spanning star preserves component structure."""
+    import ray.data
+
+    from bern_ray.functions.dedup import dedup_clusters
+
+    t = _dup_band_corpus()
+
+    def run(cap):
+        ds = ray.data.from_arrow(t).repartition(3)
+        out = dedup_clusters(ds, threshold=0.9, band_cap=cap).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    capped = run(8)
+    full = run(None)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(capped, full, check_dtype=False)
+    # the boilerplate class is one component rooted at doc 0
+    assert (capped[capped.doc_id < 60].cluster_id == 0).all()

@@ -13,8 +13,18 @@ from bern_ray.functions.fuzzyjoin import fuzzy_join, suffix_digits_block
 
 
 def test_suffix_digits_block():
-    out = suffix_digits_block(["Item#000123", "x042", "nodigits", ""])
-    assert list(out) == [123, 42, -1, -1]
+    # key equality <=> string equality of the raw k-char tail (the SQL
+    # oracle's substr(name, -3) predicate): same tail -> same key,
+    # different tails -> different keys, INCLUDING non-digit tails
+    out = suffix_digits_block(
+        ["Item#000123", "x123", "nodigits", "abcxyz", "morexyz", ""]
+    )
+    assert out[0] == out[1]  # both tails "123"
+    assert out[3] == out[4]  # both tails "xyz"
+    # non-digit tails do NOT collapse into one block
+    assert out[2] != out[3] and out[2] != out[5] and out[3] != out[5]
+    # a digit tail never collides with a non-digit tail
+    assert out[0] not in (out[2], out[3], out[5])
 
 
 @pytest.fixture(scope="module")

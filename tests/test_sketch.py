@@ -249,3 +249,46 @@ def test_bloom_build_or_merge_idempotent(ray_session):
         ray.data.from_arrow(t).repartition(6), "k", m_bits=1 << 16
     )
     assert (a == b).all()  # OR-merge is partition-invariant
+
+
+def test_hll_int_group_column(ray_session):
+    """A non-string group column must flow through (the partial
+    preserves the input dtype instead of forcing pa.string())."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.sketch import hll_distinct
+
+    t = pa.table(
+        {
+            "k": pa.array(list(range(400)) * 2, type=pa.int64()),
+            "g": pa.array(([1] * 400 + [2] * 400), type=pa.int64()),
+        }
+    )
+    out = hll_distinct(
+        ray.data.from_arrow(t).repartition(4), "k", "g", p=10
+    ).to_pandas()
+    assert set(out["g"]) == {1, 2}
+    for _, row in out.iterrows():
+        assert abs(row["n_distinct"] - 400) / 400 < 0.14
+
+
+def test_kll_empty_and_all_nan(ray_session):
+    """Empty / all-NaN input yields NaN per requested quantile, not an
+    IndexError in the weighted-quantile merge."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.sketch import kll_quantiles
+
+    t = pa.table(
+        {"v": pa.array([float("nan")] * 10, type=pa.float64())}
+    )
+    out = kll_quantiles(
+        ray.data.from_arrow(t), "v", qs=(0.5, 0.9)
+    ).to_pandas()
+    assert list(out["q"]) == [0.5, 0.9]
+    assert out["value"].isna().all()
