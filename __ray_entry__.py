@@ -68,6 +68,42 @@ def _er_clusters(sf_dir: str):
     return linkage_pipeline(sf_dir)
 
 
+def _er_clusters_model(sf_dir: str):
+    """Flagship clusters scored by the TRAINED logistic pair model
+    (weights loaded from bern_ray/resources/pair_model.npz once per
+    scorer actor) instead of the frozen ensemble — the evidenced model
+    seam (reference loads TF checkpoints once per process,
+    run_ner.py:361-444). Clusters are pytest-pinned identical to the
+    ensemble's (tests/test_pair_model.py); rows-only driver check."""
+    from bern_ray.pipelines.linkage import linkage_pipeline
+    from bern_ray.stages.scoring import default_pair_model_path
+
+    return linkage_pipeline(
+        sf_dir, pair_model_path=default_pair_model_path()
+    )
+
+
+def _er_stage_metrics(sf_dir: str):
+    """Per-stage ops rollup (reference service_checker.py:174-182
+    latency stats analog): run the flagship THROUGH checkpoints under
+    a scratch root, then aggregate each stage's _MANIFEST.json +
+    parquet sidecars into one row per stage (rows, wall, bytes,
+    lineage). Rows-only: wall times are machine facts, not
+    SQL-derivable."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from bern_ray.pipelines.linkage import linkage_pipeline
+    from bern_ray.state.metrics import stage_metrics
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/bern_ray_metrics_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    linkage_pipeline(sf_dir, checkpoint_root=root).count()
+    return stage_metrics(root)
+
+
 def _er_mention_counts(sf_dir: str):
     """Entity counts per document (reference count_entities,
     server.py:526-538) — partial per-batch counts then a tiny groupby."""
@@ -123,7 +159,7 @@ def _er_cuiless_ratio(sf_dir: str):
         g = df.groupby("etype", as_index=False).agg(
             n=("miss", "size"), n_miss=("miss", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
@@ -267,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "er_normalized": _er_normalized,
             "er_scored_pairs": _er_scored_pairs,
             "er_clusters": _er_clusters,
+            "er_clusters_model": _er_clusters_model,
+            "er_stage_metrics": _er_stage_metrics,
             "er_mention_counts": _er_mention_counts,
             "er_cuiless_ratio": _er_cuiless_ratio,
             "er_incremental": _er_incremental,

@@ -143,6 +143,7 @@ def score_pairs(
     num_gpus: float = 0,
     vocab=None,
     emit: str = "decoded",
+    pair_model_loader=None,
 ) -> "ray.data.Dataset":
     """Run the scorer actor pool over attributed pairs.
 
@@ -155,7 +156,10 @@ def score_pairs(
 
     ``model_loader`` / ``num_gpus`` form the GPU seam: the loader
     runs once per actor in ``__init__`` (see stages/scoring.py) and
-    ``num_gpus`` reserves accelerator slots per scorer actor."""
+    ``num_gpus`` reserves accelerator slots per scorer actor.
+    ``pair_model_loader`` loads a TRAINED pair model (e.g.
+    scoring.load_pair_model(npz_path)) once per actor — it replaces
+    the frozen ensemble with batched model inference."""
     if normalized is None and vocab is None:
         pairs = pairs.map_batches(_key_to_block_key, batch_format="pyarrow")
     elif normalized is not None and "a_surface" not in pairs.schema().names:
@@ -163,6 +167,8 @@ def score_pairs(
     ctor = {}
     if model_loader is not None:
         ctor["model_loader"] = model_loader
+    if pair_model_loader is not None:
+        ctor["pair_model_loader"] = pair_model_loader
     if vocab is not None:
         ctor["vocab"] = vocab
     if emit != "decoded":
@@ -381,8 +387,15 @@ def linkage_pipeline(
     from_html: bool = False,
     concurrency: int | tuple = (1, 8),
     scored_emit: str = "decoded",
+    pair_model_path: str | None = None,
 ) -> "ray.data.Dataset":
     """pages(sf_dir) -> clusters Dataset.
+
+    ``pair_model_path`` swaps the frozen scoring ensemble for a
+    TRAINED logistic pair model loaded from an .npz checkpoint once
+    per scorer actor (stages/scoring.py LogisticPairModel) — the
+    evidenced model seam; clusters are pytest-pinned identical to the
+    ensemble's on the fixture corpus.
 
     ``scored_emit="edges"`` makes the scorer emit only
     (a_mid, b_mid, score, is_edge) — the clustering path needs nothing
@@ -399,7 +412,21 @@ def linkage_pipeline(
     pinning, Ray's lazy re-execution would re-run extraction once per
     consumer.
     """
-    cfg = {"sf_dir": sf_dir, "from_html": from_html, "v": 2}
+    pair_model_loader = None
+    if pair_model_path is not None:
+        from ..stages.scoring import load_pair_model
+
+        pair_model_loader = load_pair_model(pair_model_path)
+    cfg = {
+        "sf_dir": sf_dir,
+        "from_html": from_html,
+        "v": 2,
+        **(
+            {"pair_model": pair_model_path}
+            if pair_model_path is not None
+            else {}
+        ),
+    }
     normalized = checkpointed(
         "normalized",
         lambda: extract_normalize_mentions(
@@ -433,6 +460,7 @@ def linkage_pipeline(
                 concurrency=concurrency,
                 vocab=vocab,
                 emit=scored_emit,
+                pair_model_loader=pair_model_loader,
             )
         return score_pairs(
             candidate_pairs(
@@ -445,6 +473,7 @@ def linkage_pipeline(
             concurrency=concurrency,
             dedup_in_attach=True,
             emit=scored_emit,
+            pair_model_loader=pair_model_loader,
         )
 
     scored = checkpointed(

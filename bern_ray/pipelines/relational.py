@@ -54,6 +54,17 @@ def q_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(fts.langid_batch, batch_format="pyarrow")
 
 
+def q_langid_trigram(sf_dir: str):
+    """Char-trigram cosine language ID (functions/textstats.py
+    langid_trigram_batch) — the production-shaped classifier beside
+    the oracle-matched stopword vote; rows-only (profile cosine isn't
+    SQL-mirrorable), accuracy pinned on planted multilingual docs in
+    tests/test_webtext.py."""
+    return _docs(sf_dir).map_batches(
+        fts.langid_trigram_batch, batch_format="pyarrow"
+    )
+
+
 def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(
         fts.fingerprint_batch, batch_format="pyarrow"
@@ -348,7 +359,7 @@ def q_events_agg(sf_dir: str):
             .groupby("event_type", as_index=False)
             .agg(n=("value", "size"), s=("value", "sum"))
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
@@ -451,6 +462,109 @@ FROM events
 """
 
 
+def q_running_sum(sf_dir: str):
+    """Per-user cumulative value sum ordered by (ts, event_id) — the
+    ordered PREFIX-AGGREGATE window (SUM ... ROWS UNBOUNDED PRECEDING),
+    complementing running_count's row_number.
+
+    Scale shape: same bucket-and-segment as running_count — one
+    hash(user)%K shuffle, then ONE global np.cumsum per bucket with a
+    per-segment base subtraction (no per-user Python). Left-fold
+    accumulation order matches the SQL window's streaming order, so
+    the rounded floats agree value-for-value."""
+    from ..stages.bucketed import bucketed_apply, segments
+
+    def cumsum_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        tsr = _epoch_us(t["ts"])
+        order = np.lexsort((eid, tsr, uid))
+        v = val[order]
+        starts, sizes = segments(uid[order])
+        cs = np.cumsum(v)
+        base = np.concatenate([[0.0], cs])[starts]
+        running = cs - np.repeat(base, sizes)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "running_value": pa.array(
+                    np.round(running, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return bucketed_apply(ev, "user_id", cumsum_bucket)
+
+
+SQL_RUNNING_SUM = """
+SELECT event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ), 6) AS running_value
+FROM events
+"""
+
+
+def q_outer_join_balances(sf_dir: str):
+    """FULL OUTER JOIN through the distributed bucket join: the mod-3
+    customer slice against the mod-2 slice on c_custkey, so the result
+    exercises matched rows AND both unmatched directions (left-only
+    where k%3=0 and k%2!=0, right-only the reverse). The engine's
+    outer mode coalesces the key, null-fills the off side — the join
+    family completion (inner/left/semi/anti/outer all oracle-checked).
+    """
+    from ..stages.join import bucket_join
+
+    def side(mod: int, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+            keep = keys % mod == 0
+            return pa.table(
+                {
+                    "k" if mod == 3 else "k2": pa.array(
+                        keys[keep], type=pa.int64()
+                    ),
+                    col: pc.round(
+                        t["c_acctbal"].filter(pa.array(keep)), ndigits=2
+                    ),
+                }
+            )
+
+        return fn
+
+    cust = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    left = cust().map_batches(side(3, "l_bal"), batch_format="pyarrow")
+    right = cust().map_batches(side(2, "r_bal"), batch_format="pyarrow")
+    joined = bucket_join(
+        left,
+        right,
+        left_on="k",
+        right_on="k2",
+        left_schema={"k": pa.int64(), "l_bal": pa.float64()},
+        right_schema={"k2": pa.int64(), "r_bal": pa.float64()},
+        how="outer",
+    )
+    return joined.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "l_bal", "r_bal"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_OUTER_JOIN_BALANCES = """
+WITH l AS (SELECT c_custkey AS k, round(c_acctbal, 2) AS l_bal
+           FROM customer WHERE c_custkey % 3 = 0),
+     r AS (SELECT c_custkey AS k, round(c_acctbal, 2) AS r_bal
+           FROM customer WHERE c_custkey % 2 = 0)
+SELECT COALESCE(l.k, r.k) AS c_custkey, l.l_bal, r.r_bal
+FROM l FULL OUTER JOIN r ON l.k = r.k
+"""
+
+
 def q_segment_revenue(sf_dir: str):
     """orders x customer broadcast hash join -> revenue per market
     segment. customer is the small side: `ray.put` once, vectorized
@@ -480,7 +594,7 @@ def q_segment_revenue(sf_dir: str):
         g = df.groupby("c_mktsegment", as_index=False).agg(
             n=("price", "size"), s=("price", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -529,7 +643,7 @@ def q_lineitem_pricing(sf_dir: str):
         g = df.groupby(
             ["l_returnflag", "l_linestatus"], as_index=False
         ).agg(n=("qty", "size"), sq=("qty", "sum"), sr=("rev", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -791,7 +905,7 @@ def q_window_tumbling(sf_dir: str):
         g = df.groupby(["window_start", "event_type"], as_index=False).agg(
             n=("value", "size"), s=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         _events(sf_dir, ["ts", "event_type", "value"])
@@ -841,7 +955,7 @@ def q_window_sliding(sf_dir: str):
         g = df.groupby(["window_start", "event_type"], as_index=False).agg(
             n=("value", "size"), s=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         _events(sf_dir, ["ts", "event_type", "value"])
@@ -1261,7 +1375,7 @@ def q_shipping_priority(sf_dir: str):
             .groupby("l_orderkey", as_index=False)["rev"]
             .sum()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1293,7 +1407,7 @@ def q_shipping_priority(sf_dir: str):
         df = t.to_pandas().sort_values(
             ["rev", "l_orderkey"], ascending=[False, True]
         )
-        return pa.Table.from_pandas(df.head(10), preserve_index=False)
+        return pa.Table.from_pandas(df.head(10), preserve_index=False).replace_schema_metadata(None)
 
     top = (
         joined.map_batches(partial_top, batch_format="pyarrow")
@@ -1384,7 +1498,7 @@ def q_cust_no_orders(sf_dir: str):
             .groupby("c_mktsegment", as_index=False)
             .size()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         joined.map_batches(anti_count, batch_format="pyarrow")
@@ -1508,7 +1622,7 @@ def q_distinct_users(sf_dir: str):
 
     def pair_dedup(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(["event_type", "user_id"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def count_bucket(t: pa.Table) -> pa.Table:
         df = (
@@ -1517,7 +1631,7 @@ def q_distinct_users(sf_dir: str):
             .groupby("event_type", as_index=False)
             .size()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     ev = _events(sf_dir, ["event_type", "user_id"]).map_batches(
         pair_dedup, batch_format="pyarrow"
@@ -1670,7 +1784,7 @@ def q_source_quality(sf_dir: str):
             ntok=("ntok", "sum"),
             en=("en", "sum"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         _docs(sf_dir)
@@ -1747,7 +1861,7 @@ def q_event_pivot(sf_dir: str):
         g = df.drop(columns="event_type").groupby(
             "user_id", as_index=False
         ).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         _events(sf_dir, ["user_id", "event_type"])
@@ -1796,7 +1910,7 @@ def q_props_extract(sf_dir: str):
             .groupby("event_type", as_index=False)
             .agg(n=("k", "size"), s=("k", "sum"))
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         _events(sf_dir, ["event_type", "props"])
@@ -1887,7 +2001,7 @@ def q_group_quantiles(sf_dir: str):
             .groupby(["event_type", "cents"], as_index=False)
             .size()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     hist = (
         _events(sf_dir, ["event_type", "value"])
@@ -2069,7 +2183,7 @@ def q_local_supplier_volume(sf_dir: str):
             .groupby(["l_orderkey", "s_nationkey"], as_index=False)["rev"]
             .sum()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -2093,7 +2207,7 @@ def q_local_supplier_volume(sf_dir: str):
         df = t.to_pandas()
         df = df[df.s_nationkey == df.c_nationkey]
         g = df.groupby("s_nationkey", as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         joined.map_batches(nation_partial, batch_format="pyarrow")
@@ -2316,7 +2430,7 @@ def q_returned_revenue(sf_dir: str):
             .groupby("l_orderkey", as_index=False)["rev"]
             .sum()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -2344,7 +2458,7 @@ def q_returned_revenue(sf_dir: str):
             .groupby("o_custkey", as_index=False)["rev"]
             .sum()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     per_cust = (
         per_order.map_batches(cust_partial, batch_format="pyarrow")
@@ -2733,6 +2847,7 @@ REGISTRY: dict[str, tuple] = {
     "fold_docs": (q_fold_docs, SQL_FOLD_DOCS),
     "doc_stats": (q_doc_stats, fts.doc_stats_sql()),
     "langid": (q_langid, fts.langid_sql()),
+    "langid_trigram": (q_langid_trigram, None),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "token_freq": (q_token_freq, fts.token_freq_sql(min_count=50)),
     "blocking_keys": (q_blocking_keys, SQL_BLOCKING_KEYS),
@@ -2746,6 +2861,8 @@ REGISTRY: dict[str, tuple] = {
     "events_agg": (q_events_agg, SQL_EVENTS_AGG),
     "user_topk": (q_user_topk, SQL_USER_TOPK),
     "running_count": (q_running_count, SQL_RUNNING_COUNT),
+    "running_sum": (q_running_sum, SQL_RUNNING_SUM),
+    "outer_join_balances": (q_outer_join_balances, SQL_OUTER_JOIN_BALANCES),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),

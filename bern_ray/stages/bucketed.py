@@ -62,7 +62,10 @@ def bucketed_apply(
     """
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
+        # strip pandas metadata parquet readers attach to schemas: a
+        # metadata-carrying schema is unhashable in this pyarrow, which
+        # disables Ray Data's cheap schema-dedup on every block concat
+        return t.replace_schema_metadata(None).append_column(
             "_bucket", pa.array(key_buckets(t[key], num_buckets))
         )
 

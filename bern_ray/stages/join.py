@@ -68,7 +68,9 @@ def bucket_join(
     carries (key included) with its Arrow type — passed explicitly so
     no lazy ``.schema()`` execution is triggered. Non-key column names
     must be disjoint across sides (rename before joining). ``how`` is
-    'inner' or 'left'; a left join null-fills the right columns.
+    'inner', 'left' or 'outer'; a left join null-fills the right
+    columns, a full outer join null-fills both sides and COALESCES the
+    key column (right-only rows surface under ``left_on``).
 
     ``left_prepare`` (optional) runs on the left frame inside each
     bucket before the merge — the hook that lets callers fold a
@@ -80,8 +82,8 @@ def bucket_join(
     into an exact SEMI/ANTI join probe (a key's rows all land in one
     bucket, so per-bucket distinct is globally exact).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: only inner/left supported")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how={how!r}: only inner/left/outer supported")
     left_cols = list(left_schema)
     right_cols = list(right_schema)
     overlap = (set(left_cols) & set(right_cols)) - (
@@ -99,6 +101,9 @@ def bucket_join(
 
     def tag(on_col: str, side: int, schema: dict):
         def fn(t: pa.Table) -> pa.Table:
+            # drop pandas metadata from read schemas (unhashable in
+            # this pyarrow — breaks Ray's schema-dedup fast path)
+            t = t.replace_schema_metadata(None)
             keys = t[on_col].to_numpy(zero_copy_only=False)
             cols: dict[str, pa.Array | pa.ChunkedArray] = {
                 "__b": pa.array(_bucket_ints(keys, num_buckets)),
@@ -147,6 +152,10 @@ def bucket_join(
         if right_prepare is not None:
             r = right_prepare(r)
         m = l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        if how == "outer" and left_on != right_on:
+            # right-only rows carry their key in right_on; surface it
+            # under the canonical left_on column
+            m[left_on] = m[left_on].fillna(m[right_on])
         return pa.table(
             {
                 c: pa.Array.from_pandas(m[c], type=typ)

@@ -36,6 +36,60 @@ from ..core.similarity import (
 )
 
 EDGE_THRESHOLD = 0.75
+# logistic pair model decision threshold (sigmoid output space)
+MODEL_EDGE_THRESHOLD = 0.5
+
+# similarity feature vector fed to a trained pair model, in order
+PAIR_FEATURES = ("jw", "lev", "cos", "same_oid", "fold_eq")
+
+
+class LogisticPairModel:
+    """Trained logistic scorer over PAIR_FEATURES, weights loaded from
+    an .npz checkpoint file — the evidenced form of the reference's
+    load-model-once-per-process seam (run_ner.py:361-589 loads TF
+    estimators once and serves batches; here the weight file loads
+    once per ACTOR via PairScorer(pair_model_loader=...)).
+
+    Trained offline by scripts/train_pair_model.py to reproduce the
+    frozen ensemble's edge decisions on the fixture corpus (decision
+    agreement asserted 1.0 at train time and pytest-pinned)."""
+
+    def __init__(self, path: str):
+        import numpy as _np
+
+        ckpt = _np.load(path)
+        self.w = ckpt["w"].astype(np.float64)
+        self.b = float(ckpt["b"])
+        if len(self.w) != len(PAIR_FEATURES):
+            raise ValueError(
+                f"checkpoint has {len(self.w)} weights, expected "
+                f"{len(PAIR_FEATURES)}"
+            )
+
+    def __call__(self, F: np.ndarray) -> np.ndarray:
+        """(n, 5) feature matrix -> (n,) edge probability."""
+        z = F @ self.w + self.b
+        return 1.0 / (1.0 + np.exp(-z))
+
+
+def load_pair_model(path: str):
+    """Picklable zero-arg loader factory for score_pairs(...)."""
+
+    def loader():
+        return LogisticPairModel(path)
+
+    return loader
+
+
+def default_pair_model_path() -> str:
+    """The checked-in checkpoint written by scripts/train_pair_model.py."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources",
+        "pair_model.npz",
+    )
 
 
 class PairScorer:
@@ -54,13 +108,25 @@ class PairScorer:
 
     def __init__(
         self,
-        threshold: float = EDGE_THRESHOLD,
+        threshold: float | None = None,
         model_loader=None,
         vocab=None,
         emit: str = "decoded",
+        pair_model_loader=None,
     ):
         if emit not in ("decoded", "edges"):
             raise ValueError(f"emit={emit!r}: 'decoded' or 'edges'")
+        # trained pair model (e.g. LogisticPairModel): loaded ONCE per
+        # actor; scores PAIR_FEATURES instead of the fixed ensemble
+        self.pair_model = (
+            pair_model_loader() if pair_model_loader is not None else None
+        )
+        if threshold is None:
+            threshold = (
+                MODEL_EDGE_THRESHOLD
+                if self.pair_model is not None
+                else EDGE_THRESHOLD
+            )
         # emit="edges": skip the per-row surface/oid decode and return
         # only (a_mid, b_mid, score, is_edge). MEASURED on this target
         # (1M-pair batch, replicate-32 corpus): kernels 1.4 s, decode +
@@ -82,6 +148,34 @@ class PairScorer:
             self.vocab_s, self.vocab_o = vocab.arrays()
         else:
             self.vocab_s = self.vocab_o = None
+
+    def _final_score(
+        self,
+        jw: np.ndarray,
+        lv: np.ndarray,
+        cos: np.ndarray,
+        pair_inv: np.ndarray,
+        same_oid: np.ndarray,
+        fold_eq: np.ndarray,
+    ) -> np.ndarray:
+        """Per-pair score from per-UNIQUE-pair kernels (expanded via
+        pair_inv): the frozen ensemble, or the loaded pair model over
+        PAIR_FEATURES when one was given."""
+        if self.pair_model is not None:
+            F = np.stack(
+                [
+                    jw[pair_inv],
+                    lv[pair_inv],
+                    cos[pair_inv],
+                    same_oid.astype(np.float64),
+                    fold_eq.astype(np.float64),
+                ],
+                axis=1,
+            )
+            return self.pair_model(F)
+        sim = (0.3 * jw + 0.3 * lv + 0.4 * cos)[pair_inv]
+        base = np.where(same_oid, 1.0, np.where(fold_eq, 0.9, 0.0))
+        return 0.8 * base + 0.2 * sim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "a_sc" in batch.schema.names:
@@ -124,8 +218,6 @@ class PairScorer:
         lv = levenshtein_sim(sa, sb)
         E = self.embed(uniq_s.tolist())
         cos = cosine_pairs(E[upa], E[upb])
-        sim_u = 0.3 * jw + 0.3 * lv + 0.4 * cos
-        sim = sim_u[pair_inv]
         same_oid = np.fromiter(
             (x is not None and x == y for x, y in zip(a_oid, b_oid)),
             dtype=bool,
@@ -143,8 +235,7 @@ class PairScorer:
             fold_eq = both_miss & (folds[ia] == folds[ib])
         else:
             fold_eq = np.zeros(n, dtype=bool)
-        base = np.where(same_oid, 1.0, np.where(fold_eq, 0.9, 0.0))
-        score = 0.8 * base + 0.2 * sim
+        score = self._final_score(jw, lv, cos, pair_inv, same_oid, fold_eq)
         if self.emit == "edges" and "a_mid" in batch.schema.names:
             return pa.table(
                 {
@@ -218,7 +309,6 @@ class PairScorer:
         lv = levenshtein_sim(sa, sb)
         E = self.embed(uniq_s.tolist())
         cos = cosine_pairs(E[upa], E[upb])
-        sim = (0.3 * jw + 0.3 * lv + 0.4 * cos)[pair_inv]
         same_oid = (a_oc == b_oc) & (a_oc >= 0)
         both_miss = (a_oc < 0) & (b_oc < 0)
         if both_miss.any():
@@ -229,8 +319,7 @@ class PairScorer:
             fold_eq = both_miss & (folds[upa] == folds[upb])[pair_inv]
         else:
             fold_eq = np.zeros(n, dtype=bool)
-        base = np.where(same_oid, 1.0, np.where(fold_eq, 0.9, 0.0))
-        score = 0.8 * base + 0.2 * sim
+        score = self._final_score(jw, lv, cos, pair_inv, same_oid, fold_eq)
         if self.emit == "edges":
             return pa.table(
                 {

@@ -89,3 +89,39 @@ def test_content_key_mismatch_recomputes(ray_session, tmp_path):
     c = checkpointed("st", factory_v(7), root, config={"sf": "b"})
     assert c.count() == 7 and calls == [5, 7]
     assert read_manifest(root, "st")["content_key"] is not None
+
+
+def test_stage_metrics_rollup(ray_session, tmp_path):
+    """The metrics rollup (state/metrics.py) turns each completed
+    stage's _MANIFEST.json + parquet sidecars into one queryable row
+    with consistent rows/bytes/lineage facts."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.state.checkpoint import checkpointed, read_manifest
+    from bern_ray.state.metrics import stage_metrics
+
+    root = str(tmp_path / "ckpt")
+
+    def mk(n):
+        return lambda: ray.data.from_arrow(
+            pa.table({"x": pa.array(range(n), type=pa.int64())})
+        )
+
+    checkpointed("alpha", mk(100), root, lineage=["pages"], config={"v": 1})
+    checkpointed(
+        "beta", mk(40), root, lineage=["alpha"], config={"v": 1}
+    )
+    df = stage_metrics(root).to_pandas().set_index("stage")
+    assert set(df.index) == {"alpha", "beta"}
+    assert df.loc["alpha", "rows"] == 100
+    assert df.loc["beta", "rows"] == 40
+    assert (df["bytes"] > 0).all() and (df["n_files"] >= 1).all()
+    assert list(df.loc["beta", "lineage"]) == ["alpha"]
+    assert (
+        df.loc["alpha", "content_key"]
+        == read_manifest(root, "alpha")["content_key"]
+    )
+    # wall times are real measurements
+    assert (df["wall_sec"] > 0).all()

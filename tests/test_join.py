@@ -132,3 +132,50 @@ def test_column_collision_rejected(ray_session):
             left_schema={"k": pa.int64()},
             right_schema={"j": pa.int64(), "k": pa.int64()},
         )
+
+
+def test_outer_join(ray_session):
+    """Full outer mode: matched rows join, left-only and right-only
+    rows both surface with the key coalesced into the left_on column
+    and the off side null-filled."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.stages.join import bucket_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], type=pa.int64()),
+                "lv": pa.array([10, 20, 30], type=pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k2": pa.array([2, 3, 4], type=pa.int64()),
+                "rv": pa.array([200, 300, 400], type=pa.int64()),
+            }
+        )
+    )
+    out = (
+        bucket_join(
+            left,
+            right,
+            left_on="k",
+            right_on="k2",
+            left_schema={"k": pa.int64(), "lv": pa.int64()},
+            right_schema={"k2": pa.int64(), "rv": pa.int64()},
+            how="outer",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].tolist()[:3] == [10, 20, 30]
+    assert pa.Table.from_pandas(out).column("lv").null_count == 1
+    assert out["rv"].tolist()[1:] == [200, 300, 400]
+    assert pa.Table.from_pandas(out).column("rv").null_count == 1

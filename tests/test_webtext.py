@@ -173,3 +173,32 @@ def test_canonicalize_urls_rules(docs_ds):
     # via doc 2 (%5==2 -> ref=sidebar dropped; %2==0 -> https)
     c2 = out.loc[2, "canonical_url"]
     assert "ref=" not in c2 and c2.startswith("https://site2.example")
+
+
+def test_langid_trigram_planted():
+    """Trigram-cosine language ID labels planted de/es/fr/en snippets
+    correctly — including words NOT in any seed list (sub-word
+    generalization the stopword vote cannot do) — and reports 'und'
+    on empty/no-letter docs."""
+    import pyarrow as pa
+
+    from bern_ray.functions.textstats import langid_trigram_batch
+
+    docs = [
+        ("the children were walking to school in the morning", "en"),
+        ("die kinder gingen morgens zur schule und lernten dort", "de"),
+        ("los niños caminaban a la escuela por la mañana", "es"),
+        ("les enfants marchaient vers l'école le matin", "fr"),
+        ("", "und"),
+        ("12345 67890 !!!", "und"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array([d for d, _ in docs], type=pa.string()),
+        }
+    )
+    out = langid_trigram_batch(t)
+    assert out["pred_lang"].to_pylist() == [lang for _, lang in docs]
+    conf = out["confidence"].to_pylist()
+    assert all(c > 0.15 for c in conf[:4]) and conf[4] == 0.0
