@@ -461,3 +461,97 @@ def bloom_filter_new(
         return t.filter(pa.array(~hit))
 
     return increment.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------- Count-Min frequency
+
+
+CM_DEPTH = 4
+
+
+def _cm_rows(keys: list[str], width: int) -> np.ndarray:
+    """(depth, n) column indices via Kirsch-Mitzenmacher double
+    hashing over the md5 halves (same construction as the Bloom
+    filter — k row-hashes from two)."""
+    import hashlib
+
+    h1 = np.empty(len(keys), dtype=np.uint64)
+    h2 = np.empty(len(keys), dtype=np.uint64)
+    for i, s in enumerate(keys):
+        d = hashlib.md5(s.encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little") | 1
+    ii = np.arange(CM_DEPTH, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pos = (h1[None, :] + ii[:, None] * h2[None, :]) % np.uint64(width)
+    return pos.astype(np.int64)
+
+
+def cm_build(
+    ds: "ray.data.Dataset", key: str, width: int = 1 << 14
+) -> np.ndarray:
+    """Build a Count-Min sketch (depth x width int64 matrix) over
+    ``key`` occurrences (Cormode & Muthukrishnan 2005).
+
+    Scale shape (same as bloom_build): each batch folds its keys into
+    a LOCAL counter matrix; partials reduce by elementwise SUM —
+    associative and commutative, so the shuffle ships depth*width*8
+    bytes per batch and the driver holds ONE matrix, never the keys.
+    Estimate error: count <= est <= count + e*N/width with prob
+    1 - (1/2)^depth (one-sided overestimate only).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        M = np.zeros((CM_DEPTH, width), dtype=np.int64)
+        pos = _cm_rows([s or "" for s in t[key].to_pylist()], width)
+        for d in range(CM_DEPTH):
+            np.add.at(M[d], pos[d], 1)
+        return pa.table(
+            {"cm": pa.array([M.tobytes()], type=pa.binary())}
+        )
+
+    out = np.zeros((CM_DEPTH, width), dtype=np.int64)
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=PREP_BATCH
+    ).iter_batches(batch_format="pyarrow"):
+        for raw in b["cm"].to_pylist():
+            out += np.frombuffer(raw, dtype=np.int64).reshape(
+                CM_DEPTH, width
+            )
+    return out
+
+
+def cm_estimate(
+    sketch: np.ndarray, keys: list[str], width: int = 1 << 14
+) -> np.ndarray:
+    """Point-frequency estimates for ``keys`` (min over depth rows)."""
+    pos = _cm_rows(keys, width)
+    ests = np.stack(
+        [sketch[d][pos[d]] for d in range(sketch.shape[0])]
+    )
+    return ests.min(axis=0)
+
+
+def cm_topk_estimates(
+    ds: "ray.data.Dataset",
+    key: str,
+    candidates: list[str],
+    width: int = 1 << 14,
+) -> "ray.data.Dataset":
+    """Estimated frequencies for a candidate key list via one
+    Count-Min pass — the companion to mg_heavy_hitters (MG finds the
+    candidates, CM re-estimates them without a second data shuffle).
+    Returns (key, est_count) rows."""
+    import ray as _ray
+    import ray.data as _rd
+
+    cm = cm_build(ds, key, width=width)
+    est = cm_estimate(cm, candidates, width=width)
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(candidates, type=pa.string()),
+                "est_count": pa.array(est, type=pa.int64()),
+            }
+        )
+    )

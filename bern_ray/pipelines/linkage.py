@@ -417,16 +417,15 @@ def linkage_pipeline(
         from ..stages.scoring import load_pair_model
 
         pair_model_loader = load_pair_model(pair_model_path)
-    cfg = {
-        "sf_dir": sf_dir,
-        "from_html": from_html,
-        "v": 2,
-        **(
-            {"pair_model": pair_model_path}
-            if pair_model_path is not None
-            else {}
-        ),
-    }
+    cfg = {"sf_dir": sf_dir, "from_html": from_html, "v": 2}
+    # the pair model changes SCORING (and hence clusters) but not
+    # extraction — scope it to the scored/clusters content keys so
+    # flipping the model never invalidates the normalized checkpoint
+    score_cfg = (
+        {"pair_model": pair_model_path}
+        if pair_model_path is not None
+        else {}
+    )
     normalized = checkpointed(
         "normalized",
         lambda: extract_normalize_mentions(
@@ -487,6 +486,7 @@ def linkage_pipeline(
         # reusing a wrong-schema parquet
         config={
             **cfg,
+            **score_cfg,
             "salt_threshold": salt_threshold,
             "scored_emit": scored_emit,
         },
@@ -499,6 +499,11 @@ def linkage_pipeline(
         lambda: cluster_mentions(normalized, edges, cc_mode=cc_mode),
         checkpoint_root,
         lineage=["normalized", "scored_pairs"],
-        config={**cfg, "salt_threshold": salt_threshold, "cc": cc_mode},
+        config={
+            **cfg,
+            **score_cfg,
+            "salt_threshold": salt_threshold,
+            "cc": cc_mode,
+        },
     )
     return clusters

@@ -2840,6 +2840,26 @@ LIMIT 3
 """
 
 
+def q_heavy_hitters_cm(sf_dir: str):
+    """MG -> Count-Min composition (functions/sketch.py): Misra-Gries
+    finds the candidate keys (driver-sized, top_n rows), one Count-Min
+    pass re-estimates their frequencies without a second data shuffle.
+    Rows-only: CM is a one-sided overestimate (true <= est <=
+    true + eN/width w.h.p.), pytest-pinned in tests/test_sketch.py."""
+    from ..functions.sketch import cm_topk_estimates, mg_heavy_hitters
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    )
+    cands = [
+        r["key"]
+        for r in mg_heavy_hitters(
+            ev, "event_type", k=64, top_n=3
+        ).take_all()
+    ]
+    return cm_topk_estimates(ev, "event_type", sorted(cands))
+
+
 # ------------------------------------------------------------ registry
 
 # name -> (ray_fn, oracle_sql | None)
@@ -2904,6 +2924,7 @@ REGISTRY: dict[str, tuple] = {
     "contamination": (q_contamination, _wtx_sql("contamination_sql")),
     "tfidf_top_terms": (q_tfidf_top_terms, fts.tfidf_top_terms_sql()),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "heavy_hitters_cm": (q_heavy_hitters_cm, None),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
     "approx_quantiles": (q_approx_quantiles, None),

@@ -159,6 +159,46 @@ def from_pubtator(lines: "ray.data.Dataset") -> "ray.data.Dataset":
     return lines.map_batches(parse_pubtator_batch, batch_format="pyarrow")
 
 
+def parse_denotations_batch(t: pa.Table) -> pa.Table:
+    """Inverse of `denotations_bucket`: PubAnnotation-style document
+    rows (url, denotations list<struct>) back to a flat table
+    (url, begin, end, obj, ids) — the read half of S5, so
+    PubAnnotation output is also a first-class SOURCE. Vectorized:
+    one flatten + one repeat, no per-document Python."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "begin": pa.array([], type=pa.int64()),
+                "end": pa.array([], type=pa.int64()),
+                "obj": pa.array([], type=pa.string()),
+                "ids": pa.array([], type=pa.list_(pa.string())),
+            }
+        )
+    dens = t["denotations"].combine_chunks()
+    counts = t["n_denotations"].to_numpy(zero_copy_only=False)
+    urls = np.repeat(
+        np.asarray(t["url"].to_pylist(), dtype=object), counts
+    )
+    flat = dens.flatten()
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "begin": flat.field("begin"),
+            "end": flat.field("end"),
+            "obj": flat.field("obj"),
+            "ids": flat.field("ids"),
+        }
+    )
+
+
+def from_denotations(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """PubAnnotation document Dataset -> flat denotation rows."""
+    return docs.map_batches(
+        parse_denotations_batch, batch_format="pyarrow"
+    )
+
+
 def write_outputs(
     clusters: "ray.data.Dataset",
     out_dir: str,

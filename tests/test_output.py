@@ -133,3 +133,49 @@ def test_write_outputs_partitioned(ray_session, tmp_path):
     back = ray.data.read_parquet(f"{out}/clusters").to_pandas()
     assert len(back) == 3
     assert os.path.isdir(f"{out}/denotations")
+
+
+def test_denotations_roundtrip(ray_session):
+    """to_denotations -> from_denotations recovers every (url, begin,
+    end, obj, ids) row — the PubAnnotation write->read round-trip."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.sources.output import from_denotations, to_denotations
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                ["u1", "u1", "u2", "u3", "u3", "u3"], type=pa.string()
+            ),
+            "start": pa.array([5, 0, 3, 9, 1, 1], type=pa.int64()),
+            "end": pa.array([8, 2, 6, 12, 4, 3], type=pa.int64()),
+            "cluster_id": pa.array(
+                ["A", "B", "A", "C", "B", "A"], type=pa.string()
+            ),
+            "ids": pa.array(
+                [["x"], [], ["y", "z"], [], ["w"], []],
+                type=pa.list_(pa.string()),
+            ),
+        }
+    )
+    docs = to_denotations(
+        ray.data.from_arrow(t).repartition(3), num_buckets=4
+    )
+    flat = (
+        from_denotations(docs)
+        .to_pandas()
+        .sort_values(["url", "begin", "obj"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        t.to_pandas()
+        .rename(columns={"start": "begin", "cluster_id": "obj"})
+        .sort_values(["url", "begin", "obj"])
+        .reset_index(drop=True)[["url", "begin", "end", "obj", "ids"]]
+    )
+    flat["ids"] = flat["ids"].map(list)
+    exp["ids"] = exp["ids"].map(list)
+    pd.testing.assert_frame_equal(flat, exp)

@@ -81,3 +81,46 @@ def test_model_clusters_identical(ray_session):
     base = run()
     model = run(pair_model_path=default_pair_model_path())
     pd.testing.assert_frame_equal(base, model)
+
+
+def test_model_flip_preserves_normalized_checkpoint(
+    ray_session, tmp_path
+):
+    """Switching pair_model_path invalidates the scored_pairs and
+    clusters checkpoints (scoring changed) but NOT the normalized
+    checkpoint (extraction didn't) — the content-key scoping in
+    linkage_pipeline."""
+    import json
+    import os
+
+    from bern_ray.pipelines.linkage import linkage_pipeline
+    from bern_ray.stages.scoring import default_pair_model_path
+
+    root = str(tmp_path / "ckpt")
+    linkage_pipeline(SF, checkpoint_root=root, concurrency=(1, 4)).count()
+
+    def manifest(name):
+        with open(os.path.join(root, name, "_MANIFEST.json")) as f:
+            return json.load(f)
+
+    norm_key = manifest("normalized")["content_key"]
+    scored_key = manifest("scored_pairs")["content_key"]
+    norm_mtime = os.path.getmtime(
+        os.path.join(root, "normalized", "_MANIFEST.json")
+    )
+    linkage_pipeline(
+        SF,
+        checkpoint_root=root,
+        concurrency=(1, 4),
+        pair_model_path=default_pair_model_path(),
+    ).count()
+    # normalized untouched (same key, manifest not rewritten)
+    assert manifest("normalized")["content_key"] == norm_key
+    assert (
+        os.path.getmtime(
+            os.path.join(root, "normalized", "_MANIFEST.json")
+        )
+        == norm_mtime
+    )
+    # scoring stage recomputed under a new content key
+    assert manifest("scored_pairs")["content_key"] != scored_key

@@ -292,3 +292,30 @@ def test_kll_empty_and_all_nan(ray_session):
     ).to_pandas()
     assert list(out["q"]) == [0.5, 0.9]
     assert out["value"].isna().all()
+
+
+def test_count_min_bounds_and_merge(ray_session):
+    """Count-Min estimates are one-sided: true <= est <= true + eN/w
+    (here width >> distinct keys, so est == true); partial-sum merge
+    is partition-invariant."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.sketch import cm_build, cm_estimate
+
+    rng = np.random.default_rng(5)
+    keys = [f"k{int(i)}" for i in rng.zipf(1.5, size=20_000) if i < 50]
+    t = pa.table({"k": pa.array(keys, type=pa.string())})
+    true = {}
+    for s in keys:
+        true[s] = true.get(s, 0) + 1
+    a = cm_build(ray.data.from_arrow(t).repartition(1), "k", width=1 << 14)
+    b = cm_build(ray.data.from_arrow(t).repartition(7), "k", width=1 << 14)
+    assert (a == b).all()  # sum-merge is partition-invariant
+    probe = sorted(true)[:20]
+    est = cm_estimate(a, probe, width=1 << 14)
+    for s, e in zip(probe, est):
+        assert e >= true[s]  # never under-counts
+        assert e <= true[s] + len(keys) * 2.718 / (1 << 14) + 1
