@@ -83,6 +83,114 @@ def _er_clusters_model(sf_dir: str):
     )
 
 
+def _er_blocking_quality(sf_dir: str):
+    """Standard ER blocking evaluation (SparkER/JedAI-style metrics,
+    cf. PAPERS.md): PAIR COMPLETENESS = fraction of ground-truth
+    same-entity pairs (mentions sharing a resolved oid) surviving
+    blocking, REDUCTION RATIO = 1 - candidates / C(N,2). Everything
+    is computed from AGGREGATES — true-pair counts come from oid
+    group sizes (sum of C(n,2)), found-pair counts from a same-oid
+    filter over deduped candidates — so no stage materializes a pair
+    inventory beyond the candidates the pipeline already generates.
+    Rows-only (one summary row)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bern_ray.pipelines.linkage import extract_normalize_mentions
+    from bern_ray.sources.pages import read_pages
+    from bern_ray.stages.blocking import candidate_pairs
+
+    normalized = extract_normalize_mentions(
+        read_pages(sf_dir), concurrency=(1, 4)
+    ).materialize()
+    n_mentions = normalized.count()
+
+    # ground truth: sum C(n,2) over oid groups — per-batch count
+    # partials -> groupby(oid).sum -> per-batch C(n,2) partials; only
+    # scalar partial sums ever reach the driver (oid cardinality never
+    # does)
+    def oid_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(
+            pc.drop_null(t["oid"].combine_chunks())
+        )
+        return pa.table(
+            {
+                "oid": vc.field("values"),
+                "partial": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def comb2_partial(t: pa.Table) -> pa.Table:
+        c = t["sum(partial)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c2": pa.array(
+                    [int((c * (c - 1) // 2).sum())], type=pa.int64()
+                )
+            }
+        )
+
+    n_true = int(
+        sum(
+            r["c2"]
+            for r in normalized.map_batches(
+                oid_partial, batch_format="pyarrow"
+            )
+            .groupby("oid")
+            .sum("partial")
+            .map_batches(comb2_partial, batch_format="pyarrow")
+            .take_all()
+        )
+    )
+
+    # candidates with attrs (dedup=False: the global dedup kernel
+    # keeps only id columns, so the unique-pair + same-oid counts fold
+    # into ONE bucketed pass here — a pair's copies share a_mid, so
+    # in-bucket drop_duplicates is globally exact)
+    from bern_ray.stages.bucketed import bucketed_apply
+
+    pairs = candidate_pairs(normalized, dedup=False, with_attrs=True)
+
+    def uniq_and_hits(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(
+            ["a_mid", "b_mid", "a_oid", "b_oid"]
+        ).to_pandas().drop_duplicates(["a_mid", "b_mid"])
+        same = df["a_oid"].notna() & (df["a_oid"] == df["b_oid"])
+        return pa.table(
+            {
+                "n_pairs": pa.array([len(df)], type=pa.int64()),
+                "hits": pa.array([int(same.sum())], type=pa.int64()),
+            }
+        )
+
+    counts = bucketed_apply(pairs, "a_mid", uniq_and_hits).take_all()
+    n_cand = int(sum(r["n_pairs"] for r in counts))
+    n_found = int(sum(r["hits"] for r in counts))
+    total_pairs = n_mentions * (n_mentions - 1) // 2
+    return pa.table(
+        {
+            "n_mentions": pa.array([n_mentions], type=pa.int64()),
+            "n_true_pairs": pa.array([n_true], type=pa.int64()),
+            "n_candidate_pairs": pa.array([n_cand], type=pa.int64()),
+            "n_true_found": pa.array([n_found], type=pa.int64()),
+            "pair_completeness": pa.array(
+                [round(n_found / n_true, 6) if n_true else 1.0],
+                type=pa.float64(),
+            ),
+            "reduction_ratio": pa.array(
+                [
+                    round(1.0 - n_cand / total_pairs, 6)
+                    if total_pairs
+                    else 1.0
+                ],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
 def _er_stage_metrics(sf_dir: str):
     """Per-stage ops rollup (reference service_checker.py:174-182
     latency stats analog): run the flagship THROUGH checkpoints under
@@ -305,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "er_clusters": _er_clusters,
             "er_clusters_model": _er_clusters_model,
             "er_stage_metrics": _er_stage_metrics,
+            "er_blocking_quality": _er_blocking_quality,
             "er_mention_counts": _er_mention_counts,
             "er_cuiless_ratio": _er_cuiless_ratio,
             "er_incremental": _er_incremental,

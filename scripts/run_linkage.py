@@ -49,6 +49,11 @@ def main() -> None:
                          "is_edge) — skips the measured-92%% per-row attr "
                          "decode; use when the scored_pairs checkpoint is "
                          "not itself a consumed artifact")
+    ap.add_argument("--pair-model", default=None, metavar="NPZ",
+                    help="path to a trained logistic pair-model "
+                         "checkpoint (scripts/train_pair_model.py); "
+                         "loads once per scorer actor and replaces the "
+                         "frozen ensemble")
     args = ap.parse_args()
 
     import ray
@@ -78,6 +83,7 @@ def main() -> None:
         from_html=args.from_html,
         concurrency=(1, args.max_actors),
         scored_emit="edges" if args.lean_scored else "decoded",
+        pair_model_path=args.pair_model,
     )
     write_outputs(clusters, args.output, partition_by=args.partition_by)
     n = ray.data.read_parquet(f"{args.output}/clusters").count()
