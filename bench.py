@@ -12,10 +12,11 @@ processes (num_cpus=8 then 32) on the same input and reports both
 throughputs + scaling efficiency (the sandbox rendering of the north
 rule's N vs 4N cluster criterion; see BASELINE.md).
 
-$GRAFT_BENCH_TRIALS (default 2) repeats the headline linkage phase
-within the shared session and reports the median trial (best-of for
-k=2) plus the full trial list — co-tenant noise on this sandbox swings
-single runs by ±40%, so one snapshot is not comparable across rounds.
+$GRAFT_BENCH_TRIALS (default 3) repeats the headline linkage phase
+within the shared session and reports the median trial (mean of the
+middle pair for even k) plus the full trial list — co-tenant noise on
+this sandbox swings single runs by ±40%, so one snapshot is not
+comparable across rounds.
 """
 
 from __future__ import annotations
@@ -57,7 +58,11 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from bern_ray.functions.ann import ann_topk
-    from bern_ray.functions.dedup import exact_dedup, minhash_neardup
+    from bern_ray.functions.dedup import (
+        DEFAULT_BAND_CAP,
+        exact_dedup,
+        minhash_neardup,
+    )
     from bern_ray.pipelines.linkage import (
         extract_normalize_mentions,
         score_pairs,
@@ -153,18 +158,26 @@ def run_bench() -> dict:
     # median-of-k headline trials (fresh timing per trial, shared Ray
     # session): this sandbox shows ±40% co-tenant wall-time swings
     # between identical runs (BASELINE.md), so one snapshot can read
-    # as a 2x regression. Sorted by e2e, the reported trial is index
-    # (k-1)//2 — the median for odd k, the FASTER of the middle pair
-    # for even k (best-of-2 at the default). Scaling legs stay
-    # single-trial: the --scaling protocol medians across paired legs.
+    # as a 2x regression. The default is 3 trials for a TRUE median;
+    # for even k the headline e2e/phase times are the MEAN of the two
+    # middle trials (not the faster one, which would bias the headline
+    # optimistic vs single-trial rounds). headline_trials always
+    # carries the full list for cross-round comparison. Scaling legs
+    # stay single-trial: the --scaling protocol medians across paired
+    # legs.
     n_trials = (
-        1 if scaling_leg else int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
+        1 if scaling_leg else int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
     )
     trials = []
     for _ in range(n_trials):
         trials.append(headline_once())
     trials.sort(key=lambda r: r["e2e"])
-    picked = trials[(len(trials) - 1) // 2]
+    mid = (len(trials) - 1) // 2
+    picked = trials[mid]
+    if len(trials) % 2 == 0:
+        upper = trials[mid + 1]
+        for key in ("e2e", "t_extract", "t_score", "t_cluster"):
+            picked[key] = (picked[key] + upper[key]) / 2.0
     e2e = picked["e2e"]
     t_extract, t_score, t_cluster = (
         picked["t_extract"],
@@ -200,7 +213,8 @@ def run_bench() -> dict:
         ("exact_dedup", lambda: exact_dedup(
             ray.data.read_parquet(f"{SF_DIR}/documents.parquet")).count()),
         ("minhash_neardup", lambda: minhash_neardup(
-            ray.data.read_parquet(f"{SF_DIR}/documents.parquet")).count()),
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet"),
+            band_cap=DEFAULT_BAND_CAP).count()),
         ("token_freq", lambda: q_token_freq(SF_DIR).count()),
         ("events_agg", lambda: q_events_agg(SF_DIR).count()),
         ("lineitem_pricing", lambda: q_lineitem_pricing(SF_DIR).count()),

@@ -175,7 +175,7 @@ def _oversized_band_pairs(
     return np.where(swap, b, a), np.where(swap, a, b)
 
 
-def _band_pairs_bucket(band_cap: int | None = DEFAULT_BAND_CAP):
+def _band_pairs_bucket(band_cap: int | None = None):
     """Pair generation for every band group of one bucket: vectorized
     all-pairs for bands up to ``band_cap`` (the oracle regime); the
     duplicate-class collapse above it (_oversized_band_pairs) — a
@@ -236,23 +236,27 @@ def minhash_neardup(
     docs: "ray.data.Dataset",
     threshold: float = 0.9,
     shingle_k: int = 3,
-    band_cap: int | None = DEFAULT_BAND_CAP,
+    band_cap: int | None = None,
 ) -> "ray.data.Dataset":
     """LSH candidates verified by EXACT shingle-set Jaccard >= threshold.
 
     Similarity space = distinct 3-token shingles (sequences, not token
     sets — token sets are degenerate on small-vocabulary corpora).
     With 32 bands x 4 rows, detection probability at j=0.9 is
-    1-(1-0.9^4)^32 ≈ 1-4e-16 — effectively exhaustive at the verify
-    threshold, which is what lets the DuckDB all-pairs oracle agree.
+    1-(1-0.9^4)^32 ≈ 1-4e-16 at the verify threshold — and the
+    DEFAULT ``band_cap=None`` emits ALL in-band pairs, so the default
+    output is exactly the DuckDB all-pairs oracle regime.
 
-    ``band_cap`` bounds in-band pair emission: bands up to the cap
-    emit ALL pairs (the oracle regime — quadratic only within a
-    bounded band); larger bands collapse exact-duplicate contents to
-    a star + a spanning set over unique contents
-    (_oversized_band_pairs) so a 10^6-member boilerplate band costs
-    O(n) pairs, not 10^12. Pass ``band_cap=None`` for unconditional
-    all-pairs.
+    Setting ``band_cap`` (opt-in, for scale runs — bench.py passes
+    ``DEFAULT_BAND_CAP``) bounds in-band pair emission: bands up to
+    the cap still emit all pairs; LARGER bands collapse
+    exact-duplicate contents to a star + a spanning set over unique
+    contents (_oversized_band_pairs), so a 10^6-member boilerplate
+    band costs O(n) pairs, not 10^12. That is a documented RECALL
+    TRADE: a chain edge between non-identical contents that fails
+    Jaccard verification can split a cluster the all-pairs regime
+    would join. Capped runs report the elision through the
+    ``dropped_pairs`` counter (cap_metrics()).
 
     Execution shape: (1) one pass emits (band, doc_id) rows; (2) one
     bucketed groupby generates candidate pairs vectorized; (3) pairs
@@ -676,12 +680,19 @@ def _embedding_neardup_ivf(
 def dedup_clusters(
     docs: "ray.data.Dataset",
     threshold: float = 0.9,
-    band_cap: int | None = DEFAULT_BAND_CAP,
+    band_cap: int | None = None,
 ) -> "ray.data.Dataset":
     """Near-duplicate CLUSTERS: minhash pairs -> distributed CC ->
     per-doc label attach. The canonical-selection step every dedup
     pipeline runs after pair finding (keep one representative per
     component, not per pair).
+
+    The default ``band_cap=None`` keeps the pair inventory exactly the
+    all-pairs oracle regime (the recursive-CTE SQL oracle agrees
+    value-for-value). Setting a cap (scale opt-in) inherits
+    minhash_neardup's documented recall trade — capped clusters can be
+    FINER than the oracle's when a spanning chain edge fails
+    verification.
 
     Output: (doc_id, cluster_id, is_canonical) for EVERY input doc —
     cluster_id = min doc_id of the doc's near-dup component (singleton

@@ -116,21 +116,25 @@ def fuzzy_join(
 def suffix_digits_block(names: list[str], k: int = 3) -> np.ndarray:
     """Block key = the name's last-k characters encoded as an int64.
 
-    Equality of the key is EXACTLY string equality of the raw k-char
-    tail (the SQL oracle's ``substr(name, -k)`` block predicate): a
-    tail of <= 8 UTF-8 bytes is embedded injectively via
-    ``int.from_bytes`` (so non-digit tails form distinct blocks, they
-    do not collapse into one); longer tails fall back to a 63-bit
-    blake2b digest (collision probability ~n^2/2^63 — negligible, and
-    a collision only ADDS candidate pairs that the jw threshold then
-    filters, it never drops oracle pairs)."""
+    Equality of the key tracks string equality of the raw k-char tail
+    (the SQL oracle's ``substr(name, -k)`` block predicate): a tail of
+    <= 7 UTF-8 bytes is embedded INJECTIVELY via a length prefix +
+    ``int.from_bytes`` (the prefix keeps ``'\\x00ab'`` and ``'ab'``
+    distinct; max value 7*2^56 + 2^56 < 2^63, so the int64 never
+    overflows); longer tails fall back to a 63-bit blake2b digest.
+    The digest path is one-sided only in the DROP direction: a
+    collision never drops an oracle pair, but it can merge two oracle
+    blocks, and a cross-block candidate that then passes the jw
+    threshold is an EXTRA emitted row the substr-equality oracle
+    excludes — probability ~n^2/2^63 per key population, negligible at
+    oracle scale but not zero."""
     import hashlib
 
     out = np.empty(len(names), dtype=np.int64)
     for i, s in enumerate(names):
         raw = (s or "")[-k:].encode("utf-8")
-        if len(raw) <= 8:
-            out[i] = int.from_bytes(raw, "big")
+        if len(raw) <= 7:
+            out[i] = int.from_bytes(bytes([len(raw)]) + raw, "big")
         else:
             out[i] = (
                 int.from_bytes(

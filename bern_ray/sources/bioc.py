@@ -65,27 +65,53 @@ from ..core.fold import fold_text_str
 from .pubtator import _MENTION_TYPE, MUTATION_TYPES, recover_spans
 
 
+def _infon(el: "ElTree.Element", key: str) -> str | None:
+    """DIRECT-child infon lookup. A descendant search (`.//*`) would
+    let an annotation's type infon masquerade as the passage type when
+    the passage's own infon is missing or serialized after the
+    annotations — silently misrouting title/abstract text."""
+    for infon in el.findall("infon"):
+        if infon.get("key") == key:
+            return infon.text
+    return None
+
+
 def _parse_document(doc: "ElTree.Element", type_filter) -> dict:
     id_el = doc.find("id")
     url = (id_el.text or "") if id_el is not None else ""
-    texts = {"title": "", "abstract": ""}
+    # passages kept in document order; title = the 'title' passage,
+    # abstract = every other TYPED passage joined in offset order (the
+    # reference's shape is exactly title+abstract, convert.py:235-241;
+    # real-world BioC carries N 'paragraph'/'section' passages, which
+    # fuse into the same content stream here)
+    title_text = ""
+    body_parts: list[str] = []
     raw_mentions: list[dict] = []
-    for passage in doc.iter("passage"):
-        ptype_el = passage.find(".//*[@key='type']")
-        ptype = ptype_el.text if ptype_el is not None else None
+    error: str | None = None
+    for p_idx, passage in enumerate(doc.iter("passage")):
+        ptype = _infon(passage, "type")
+        if ptype is None:
+            # missing passage-type infon: flag the row rather than
+            # silently dropping (or misrouting) its text
+            error = "BioC passage missing direct infon key='type'"
         for child in passage:
             if child.tag == "text":
-                if ptype in texts:
-                    texts[ptype] = child.text or ""
+                if ptype == "title":
+                    title_text = child.text or ""
+                elif ptype is not None:
+                    body_parts.append(child.text or "")
             elif child.tag == "annotation":
-                etype_el = child.find(".//*[@key='type']")
-                etype = etype_el.text if etype_el is not None else ""
+                etype = _infon(child, "type") or ""
                 if type_filter is not None and etype not in type_filter:
                     continue
                 loc = child.find("location")
                 text_el = child.find("text")
                 if loc is None or text_el is None:
                     continue
+                try:
+                    loc_offset = int(loc.get("offset", "0"))
+                except ValueError:
+                    loc_offset = 0
                 infons = child.findall("infon")
                 ident = infons[0].text if infons else None
                 raw_mentions.append(
@@ -93,16 +119,33 @@ def _parse_document(doc: "ElTree.Element", type_filter) -> dict:
                         "surface": fold_text_str(text_el.text or ""),
                         "etype": etype,
                         "ids": [ident] if ident else [],
+                        # sort key monotone under BOTH BioC offset
+                        # conventions (document-global and
+                        # passage-local): annotations never cross
+                        # passage boundaries, so (passage, offset)
+                        # orders identically to the global offset
+                        "_order": (p_idx, loc_offset),
                     }
                 )
-    title = fold_text_str(texts["title"])
-    abstract = fold_text_str(texts["abstract"])
+    title = fold_text_str(title_text)
+    abstract = fold_text_str(" ".join(p for p in body_parts if p))
     content = title + " " + abstract if abstract else title
+    # the reference SORTS mentions by start before span recovery
+    # (convert.py:257-265 get_bestplus_spans): n-th-occurrence
+    # assignment is order-sensitive, so out-of-offset-order
+    # annotation serialization must not swap repeated surfaces
+    raw_mentions.sort(key=lambda m: m["_order"])
     # n-th-occurrence relocation against the fused text; unlocatable
     # mentions drop (reference's get_bestplus_spans 'No text' rows)
     spans = recover_spans([m["surface"] for m in raw_mentions], content)
     mentions = [
-        {**m, "start": s, "end": e}
+        {
+            "surface": m["surface"],
+            "etype": m["etype"],
+            "ids": m["ids"],
+            "start": s,
+            "end": e,
+        }
         for m, (s, e) in zip(raw_mentions, spans)
         if s >= 0
     ]
@@ -112,7 +155,7 @@ def _parse_document(doc: "ElTree.Element", type_filter) -> dict:
         "title": title,
         "abstract": abstract,
         "mentions": mentions,
-        "error": None,
+        "error": error,
     }
 
 
@@ -126,8 +169,10 @@ def parse_bioc_chunk(
         if not chunk:
             continue
         try:
+            # chunk may be str or raw bytes (binary column); malformed
+            # XML or undecodable bytes become error rows, not crashes
             root = ElTree.fromstring(chunk)
-        except ElTree.ParseError as pe:
+        except (ElTree.ParseError, ValueError, UnicodeDecodeError) as pe:
             rows.append(
                 {
                     "url": "",
