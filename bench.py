@@ -58,6 +58,7 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from bern_ray.functions.ann import ann_topk
+    from bern_ray.sources.pq import read_parquet_clean
     from bern_ray.functions.dedup import (
         DEFAULT_BAND_CAP,
         exact_dedup,
@@ -93,7 +94,7 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     # warm the page cache so we measure compute+shuffle, not cold disk
-    ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    read_parquet_clean(f"{SF_DIR}/documents.parquet").count()
 
     scaling_leg = os.environ.get("GRAFT_SCALING_LEG") == "1"
 
@@ -211,9 +212,9 @@ def run_bench() -> dict:
     # --- secondary pipelines ---------------------------------------
     for name, fn in () if scaling_leg else (
         ("exact_dedup", lambda: exact_dedup(
-            ray.data.read_parquet(f"{SF_DIR}/documents.parquet")).count()),
+            read_parquet_clean(f"{SF_DIR}/documents.parquet")).count()),
         ("minhash_neardup", lambda: minhash_neardup(
-            ray.data.read_parquet(f"{SF_DIR}/documents.parquet"),
+            read_parquet_clean(f"{SF_DIR}/documents.parquet"),
             band_cap=DEFAULT_BAND_CAP).count()),
         ("token_freq", lambda: q_token_freq(SF_DIR).count()),
         ("events_agg", lambda: q_events_agg(SF_DIR).count()),
@@ -230,7 +231,7 @@ def run_bench() -> dict:
         ("rollup_events", lambda: q_rollup_events(SF_DIR).count()),
         ("approx_quantiles", lambda: q_approx_quantiles(SF_DIR).count()),
         ("wordpiece_features", lambda: wordpiece_features(
-            ray.data.read_parquet(
+            read_parquet_clean(
                 f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
             ), vocab_size=4096, max_seq_length=128).count()),
     ):
@@ -240,16 +241,50 @@ def run_bench() -> dict:
 
     if not scaling_leg:
         t = time.monotonic()
-        embs = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        embs = read_parquet_clean(f"{SF_DIR}/embeddings.parquet")
         Q, qids = _query_vectors(SF_DIR)
         ann_topk(embs, Q, qids, k=10).count()
         queries["ann_topk"] = round(time.monotonic() - t, 3)
+
+    # per-stage ds.stats() compute times (VERDICT r4 #8): operator-level
+    # remote wall totals let a reviewer separate code changes from this
+    # sandbox's ±40% co-tenant wall-clock noise without re-running A/Bs
+    import re as _re
+
+    def _stage_stats(ds) -> dict:
+        out = {}
+        cur = None
+        try:
+            for line in ds.stats().splitlines():
+                m = _re.match(r"Operator \d+ (\S+):", line)
+                if m:
+                    cur = m.group(1)[:100]
+                m2 = _re.search(
+                    r"Remote wall time:.*?\s([0-9.]+(?:ms|s|m|us))"
+                    r" total",
+                    line,
+                )
+                if m2 and cur:
+                    out[cur] = m2.group(1)
+        except Exception:
+            pass
+        return out
+
+    stage_stats = (
+        {}
+        if scaling_leg
+        else {
+            "extract_normalize": _stage_stats(normalized),
+            "block_score": _stage_stats(scored),
+        }
+    )
 
     result = {
         "metric": "e2e_linkage_sec",
         "value": round(e2e, 3),
         "unit": "sec",
         "headline_trials": trial_e2e,
+        "stage_stats": stage_stats,
         "queries": queries,
         "n_mentions": n_mentions,
         "n_candidate_pairs": n_pairs,

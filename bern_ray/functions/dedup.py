@@ -212,12 +212,22 @@ def _band_pairs_bucket(band_cap: int | None = None):
         b_parts = [ids[bi]]
         if not small.all():
             sigs = g["sig64"].to_numpy()
+            n_capped = 0
+            n_elided = 0
             for st, sz in zip(starts[~small], sizes[~small]):
                 a, b = _oversized_band_pairs(
                     ids[st : st + sz], sigs[st : st + sz], band_cap
                 )
+                n_capped += 1
+                n_elided += int(sz) * (int(sz) - 1) // 2 - len(a)
                 a_parts.append(a)
                 b_parts.append(b)
+            # log what was dropped (SURVEY §7.5): one fire-and-forget
+            # report per bucket kernel call that actually capped
+            from ..state.counters import add as _counter_add
+
+            _counter_add("minhash_bands_capped", n_capped)
+            _counter_add("minhash_pairs_elided", n_elided)
         return pa.table(
             {
                 "doc_id_a": pa.array(

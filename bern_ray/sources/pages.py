@@ -34,6 +34,7 @@ import ray.data
 
 from ..core.fold import fold_text
 from . import dicts
+from .pq import read_parquet_clean
 
 _BASE_TS = np.datetime64("2024-03-01T00:00:00", "us")
 
@@ -145,7 +146,7 @@ def read_pages(
     the pool saturated; at real scale one block per input file-chunk
     does the same job.
     """
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang"],
         override_num_blocks=num_blocks,

@@ -86,5 +86,40 @@ def stage_metrics_table(checkpoint_root: str) -> pa.Table:
     )
 
 
+def cap_metrics_table() -> pa.Table:
+    """Session cap/skew counters (state/counters.py) in the
+    stage_metrics row shape: one `cap:<name>` row per counter with the
+    count in `rows`. SURVEY §7.5's "log what was dropped" surface —
+    band caps, per-block pair caps and hot-key salting report here."""
+    from .counters import snapshot
+
+    try:
+        counts = snapshot()
+    except Exception:  # no Ray session (pure-driver contexts)
+        counts = {}
+    names = sorted(counts)
+    return pa.table(
+        {
+            "stage": pa.array([f"cap:{n}" for n in names], pa.string()),
+            "rows": pa.array(
+                [int(counts[n]) for n in names], pa.int64()
+            ),
+            "wall_sec": pa.array([0.0] * len(names), pa.float64()),
+            "rows_per_sec": pa.array([0.0] * len(names), pa.float64()),
+            "bytes": pa.array([0] * len(names), pa.int64()),
+            "n_files": pa.array([0] * len(names), pa.int64()),
+            "n_columns": pa.array([0] * len(names), pa.int64()),
+            "lineage": pa.array(
+                [[] for _ in names], pa.list_(pa.string())
+            ),
+            "content_key": pa.array([None] * len(names), pa.string()),
+        }
+    )
+
+
 def stage_metrics(checkpoint_root: str) -> "ray.data.Dataset":
-    return ray.data.from_arrow(stage_metrics_table(checkpoint_root))
+    t = stage_metrics_table(checkpoint_root)
+    caps = cap_metrics_table()
+    if caps.num_rows:
+        t = pa.concat_tables([t, caps])
+    return ray.data.from_arrow(t)

@@ -64,14 +64,20 @@ def main():
 
     import __ray_entry__ as E
 
-    qs = E.queries()
+    # the FULL surface (driver-retired twins included) when available;
+    # the driver itself sees the consolidated 50-entry queries()
+    qs = E.full_queries() if hasattr(E, "full_queries") else E.queries()
     if len(sys.argv) > 2:
         only = set(sys.argv[2].split(","))
         unknown = only - set(qs)
         if unknown:
             raise SystemExit(f"unknown queries: {sorted(unknown)}")
         qs = {k: v for k, v in qs.items() if k in only}
-    oracles = E.oracle_sql()
+    oracles = (
+        E.full_oracle_sql()
+        if hasattr(E, "full_oracle_sql")
+        else E.oracle_sql()
+    )
     con = duckdb.connect()
     for tname in (
         "region nation customer supplier part orders lineitem events "
