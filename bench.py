@@ -341,6 +341,25 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
 
+    # discarded warm-up leg (default on): the first leg launched after
+    # heavy work on this sandbox runs ~2x slow (page cache / co-tenant
+    # settling — measured in the r4 judge session, BASELINE.md), so a
+    # short throwaway hi-CPU leg settles the box before the first
+    # counted pair
+    if os.environ.get("GRAFT_SCALING_WARMUP", "1") == "1":
+        warm_env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(hi),
+            GRAFT_REPLICATE="32",
+            GRAFT_SCALING_LEG="1",
+        )
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=warm_env,
+            capture_output=True,
+            text=True,
+        )
+
     pairs = []
     for _ in range(trials):
         r_lo = one(lo)
