@@ -1305,6 +1305,100 @@ FROM m WHERE surface <> ''
 """
 
 
+def q_pubmed_roundtrip(sf_dir: str):
+    """PubMed citation XML + PMC full-text XML WRITE -> PARSE
+    round-trip (S8 wire formats, reference download.py:45-177 and
+    download.py:179-424): synthesize one token-normalized efetch
+    citation and one PMC article per document from its folded text,
+    parse both back through sources/pubmed.py, and compare against an
+    oracle that computes the same title/abstract directly from the
+    documents table — identity through the XML format is the checked
+    property. Token-normalized synthesis (alnum tokens joined by
+    single spaces) makes XML escaping and the parser's whitespace
+    collapse exact no-ops, so both engines compute identical strings.
+
+    Scale shape: per-batch synthesis + parse, no shuffle at all."""
+    from ..sources.pubmed import parse_pmc_chunk, parse_pubmed_chunk
+
+    def synth(t: pa.Table) -> pa.Table:
+        s = fold_text(t["text"]).to_pandas().astype(str)
+        url = t["doc_id"].to_pandas().astype(str)
+        title = s.str.extract(r"^([A-Za-z0-9]+)", expand=False).fillna("")
+        abstract = s.str.findall(r"[A-Za-z0-9]+").str.join(" ")
+        keep = title != ""
+        url, title, abstract = url[keep], title[keep], abstract[keep]
+        pubmed = (
+            "<pre><PubmedArticle><MedlineCitation><PMID>"
+            + url
+            + "</PMID><Article><ArticleTitle>"
+            + title
+            + "</ArticleTitle><Abstract><AbstractText>"
+            + abstract
+            + "</AbstractText></Abstract></Article>"
+            + "</MedlineCitation></PubmedArticle></pre>"
+        )
+        # abstract rides the abstract <p>; the title token repeats in a
+        # body <sec><p> so the body-flatten path is exercised too
+        pmc = (
+            '<article><front><article-meta>'
+            '<article-id pub-id-type="pmc">'
+            + url
+            + "</article-id><title-group><article-title>"
+            + title
+            + "</article-title></title-group><abstract><p>"
+            + abstract
+            + "</p></abstract></article-meta></front><body><sec><p>"
+            + title
+            + "</p></sec></body></article>"
+        )
+        return pa.table(
+            {
+                "pubmed_xml": pa.array(pubmed, type=pa.string()),
+                "pmc_xml": pa.array(pmc, type=pa.string()),
+            }
+        )
+
+    chunks = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+
+    def parse_both(t: pa.Table) -> pa.Table:
+        def project(parsed: pa.Table, src: str) -> pa.Table:
+            return pa.table(
+                {
+                    "src": pa.array(
+                        [src] * len(parsed), type=pa.string()
+                    ),
+                    "url": parsed["url"],
+                    "title": parsed["title"],
+                    "abstract": parsed["abstract"],
+                }
+            )
+
+        return pa.concat_tables(
+            [
+                project(parse_pubmed_chunk(t, "pubmed_xml"), "pubmed"),
+                project(parse_pmc_chunk(t, "pmc_xml"), "pmc"),
+            ]
+        )
+
+    return chunks.map_batches(parse_both, batch_format="pyarrow")
+
+
+SQL_PUBMED_ROUNDTRIP = f"""
+WITH f AS (SELECT CAST(doc_id AS VARCHAR) AS url,
+                  {fold_sql('text')} AS t FROM documents),
+n AS (SELECT url,
+             regexp_extract(t, '^[A-Za-z0-9]+') AS title,
+             array_to_string(
+                 regexp_extract_all(t, '[A-Za-z0-9]+'), ' '
+             ) AS abstract
+      FROM f WHERE regexp_extract(t, '^[A-Za-z0-9]+') <> '')
+SELECT 'pubmed' AS src, url, title, abstract FROM n
+UNION ALL
+SELECT 'pmc' AS src, url, title,
+       abstract || ' ' || title AS abstract FROM n
+"""
+
+
 # --------------------------------------- multi-way joins / windows (r3)
 
 # TPC-H-Q3-style cutoff: median order date of the synthetic corpus so
@@ -3103,6 +3197,7 @@ DRIVER_EXCLUDE = {
     "bloom_new_docs",  # sketch (pytest error bounds)
     "ngram_jaccard_neardup",  # same path as minhash_neardup
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
+    "pubmed_roundtrip",  # S8 XML wire formats (local gate + pytest)
     "sample_docs",  # subsumed by stratified_sample
     "events_agg",  # plain groupby, subsumed by rollup_events
     "user_rank",  # rank window, subsumed by user_topk
@@ -3154,6 +3249,7 @@ REGISTRY: dict[str, tuple] = {
         SQL_PUBTATOR_TITLE_SPLIT,
     ),
     "pubtator_roundtrip": (q_pubtator_roundtrip, SQL_PUBTATOR_ROUNDTRIP),
+    "pubmed_roundtrip": (q_pubmed_roundtrip, SQL_PUBMED_ROUNDTRIP),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "cust_no_orders": (q_cust_no_orders, SQL_CUST_NO_ORDERS),
     "user_rank": (q_user_rank, SQL_USER_RANK),

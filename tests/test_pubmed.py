@@ -128,3 +128,56 @@ def test_parse_error_and_dataset_roundtrip(ray_session):
         ray.data.from_arrow(pa.table({"xml": pa.array([PMC])}))
     ).to_pandas()
     assert pmc_out["url"].iloc[0] == "PMC42"
+
+
+def test_pubmed_roundtrip_query_matches_oracle(ray_session, tmp_path):
+    """q_pubmed_roundtrip == its DuckDB oracle on adversarial text:
+    XML-special characters, exotic whitespace and >50-char words all
+    vanish under the token-normalized synthesis, so write->parse is an
+    exact identity through BOTH wire formats."""
+    import duckdb
+    import pandas as pd
+
+    from bern_ray.pipelines.relational import (
+        SQL_PUBMED_ROUNDTRIP,
+        q_pubmed_roundtrip,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "Tricky <tag> & \"quoted\" text with 'entities'",
+                "word " + "x" * 60 + " tail\r\n\ttabbed nbsp",
+                "...leading punctuation only, no title token?!",
+                "plain ascii text",
+            ],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+
+    got = (
+        q_pubmed_roundtrip(str(sf))
+        .to_pandas()
+        .sort_values(["src", "url"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = (
+        con.execute(SQL_PUBMED_ROUNDTRIP)
+        .df()
+        .sort_values(["src", "url"])
+        .reset_index(drop=True)
+    )
+    # doc 3 has no leading alnum token -> filtered on both sides
+    assert len(got) == 6
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # the >50-char word was truncated by the fold on both sides
+    long_doc = got[(got.src == "pubmed") & (got.url == "2")]
+    assert "x" * 50 in long_doc.abstract.iloc[0]
+    assert "x" * 51 not in long_doc.abstract.iloc[0]
