@@ -305,6 +305,19 @@ def repetition_batch(t: pa.Table) -> pa.Table:
 TFIDF_BROADCAST_MAX_DOCS = 200_000
 
 
+def _as_string_array(arr) -> pa.Array:
+    """One contiguous int32-offset StringArray: combines chunks and
+    downcasts large_string (whose offsets are int64 — the raw buffer
+    readers below would silently misread them as int32). Ray Data
+    batches are far below the 2 GiB int32 payload bound, so the
+    downcast never overflows here."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    return arr
+
+
 # byte class table for TOKEN_RE = [0-9a-zA-Z]+ (tokens are ASCII
 # alnum runs of the lowered text, so a byte LUT is exact)
 _ALNUM = np.zeros(256, dtype=bool)
@@ -323,9 +336,7 @@ def _explode_tokens(texts) -> tuple[np.ndarray, pa.Array]:
     one fancy index into a fresh StringArray. ~2.3x the old per-row
     re.findall + Counter pass, byte-identical output (measured
     BASELINE.md r5)."""
-    low = pc.utf8_lower(texts)
-    if isinstance(low, pa.ChunkedArray):
-        low = low.combine_chunks()
+    low = _as_string_array(pc.utf8_lower(texts))
     if low.null_count:
         low = pc.fill_null(low, "")
     n = len(low)
@@ -408,12 +419,11 @@ def _token_h64(tokens) -> np.ndarray:
     Vectorized FNV-1a straight over the Arrow string buffer: <= 32
     numpy column passes, zero per-row Python (measured 7x the old
     blake2b-per-token loop, BASELINE.md r5). Tokens sharing their
-    first 32 bytes AND truncated length collide — which only
+    first 32 bytes AND full byte length collide — which only
     CO-LOCATES them (the join post-filters on token equality)."""
-    if isinstance(tokens, pa.ChunkedArray):
-        tokens = tokens.combine_chunks()
-    if not isinstance(tokens, pa.Array):
+    if not isinstance(tokens, (pa.Array, pa.ChunkedArray)):
         tokens = pa.array(list(tokens), type=pa.string())
+    tokens = _as_string_array(tokens)
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.int64)
@@ -421,7 +431,8 @@ def _token_h64(tokens) -> np.ndarray:
         tokens.offset : tokens.offset + n + 1
     ].astype(np.int64)
     data = np.frombuffer(tokens.buffers()[2], dtype=np.uint8)
-    lens = np.minimum(np.diff(offs), 32)
+    true_lens = np.diff(offs)
+    lens = np.minimum(true_lens, 32)
     starts = offs[:-1]
     h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
     cap = len(data) - 1 if len(data) else 0
@@ -433,7 +444,7 @@ def _token_h64(tokens) -> np.ndarray:
             b[m] = data[pos[m]]
             nh = (h ^ b) * np.uint64(0x100000001B3)
             h = np.where(m, nh, h)
-        h = (h ^ lens.astype(np.uint64)) * np.uint64(0x100000001B3)
+        h = (h ^ true_lens.astype(np.uint64)) * np.uint64(0x100000001B3)
     return (h >> np.uint64(1)).astype(np.int64)
 
 
@@ -704,7 +715,7 @@ def _trigram_hash_counts(
     consistently between documents and profiles). Ragged per-doc
     positions come from one repeat+arange; counting is one np.unique
     over packed (doc, code) int keys. No per-row Python anywhere."""
-    arr = (
+    arr = _as_string_array(
         texts
         if isinstance(texts, (pa.Array, pa.ChunkedArray))
         else pa.array(list(texts), type=pa.string())
@@ -712,9 +723,9 @@ def _trigram_hash_counts(
     clean = pc.replace_substring_regex(
         pc.utf8_lower(arr), _WORD_SPLIT_RE, " "
     )
-    padded = pc.binary_join_element_wise(" ", clean, " ", "")
-    if isinstance(padded, pa.ChunkedArray):
-        padded = padded.combine_chunks()
+    padded = _as_string_array(
+        pc.binary_join_element_wise(" ", clean, " ", "")
+    )
     n = len(padded)
     empty = (
         np.empty(0, dtype=np.int64),
