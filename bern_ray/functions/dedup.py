@@ -222,12 +222,16 @@ def _band_pairs_bucket(band_cap: int | None = None):
                 n_elided += int(sz) * (int(sz) - 1) // 2 - len(a)
                 a_parts.append(a)
                 b_parts.append(b)
-            # log what was dropped (SURVEY §7.5): one fire-and-forget
+            # log what was dropped (SURVEY §7.5): one non-blocking
             # report per bucket kernel call that actually capped
-            from ..state.counters import add as _counter_add
+            from ..state.counters import add_many as _counter_add_many
 
-            _counter_add("minhash_bands_capped", n_capped)
-            _counter_add("minhash_pairs_elided", n_elided)
+            _counter_add_many(
+                {
+                    "minhash_bands_capped": n_capped,
+                    "minhash_pairs_elided": n_elided,
+                }
+            )
         return pa.table(
             {
                 "doc_id_a": pa.array(

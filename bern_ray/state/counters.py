@@ -6,8 +6,14 @@ pair caps, hot-key salting) trades recall or balance for scale; a
 100-TB operator must be able to SEE that trade happening. The
 counters live in one tiny named Ray actor — the canonical
 shared-mutable-state case the Dataset API can't express — and
-kernels report fire-and-forget (one .remote() per bucket kernel call
-that actually capped something; zero overhead on the un-capped path).
+kernels report with NON-BLOCKING actor submissions: a blocking
+round-trip per capped kernel call measured 10-20% of the headline
+block_score phase at 32 CPUs (BASELINE.md r5), all of it actor RPC
+latency inside hot data tasks. Submission from a live Ray Data
+worker is reliable (the core worker owns the queue; dropping the
+ObjectRef does not cancel an actor task), so the only consistency
+gap is IN-FLIGHT messages at read time — `snapshot()` closes it by
+settling: it re-reads until two consecutive reads agree.
 
 Rollup surface: `snapshot()` feeds `state.metrics.stage_metrics`,
 which appends one `cap:<name>` row per counter — so the flagship's
@@ -16,6 +22,9 @@ per-stage wall/rows facts.
 """
 
 from __future__ import annotations
+
+import time
+from collections import deque
 
 import ray
 
@@ -30,6 +39,10 @@ class _CounterActor:
     def add(self, name: str, n: int = 1) -> None:
         self._c[name] = self._c.get(name, 0) + int(n)
 
+    def add_many(self, counts: dict) -> None:
+        for name, n in counts.items():
+            self._c[name] = self._c.get(name, 0) + int(n)
+
     def snapshot(self) -> dict[str, int]:
         return dict(self._c)
 
@@ -38,6 +51,9 @@ class _CounterActor:
 
 
 _HANDLE = None
+# bounded ref retention: keeps recent submissions alive long enough
+# for error surfacing without growing per-process memory
+_PENDING: deque = deque(maxlen=64)
 
 
 def _actor():
@@ -50,17 +66,37 @@ def _actor():
 
 
 def add(name: str, n: int) -> None:
-    """Increment from a worker kernel. The ray.get is deliberate: a
-    fire-and-forget actor call submitted just before the calling task
-    returns can be dropped with the caller's context (observed), and
-    the blocking round-trip costs one RPC per kernel call that
-    actually capped something — zero on the un-capped path."""
+    """Increment from a worker kernel — non-blocking (zero stall on
+    the data task; the capped path used to pay a full actor RPC
+    round-trip per call)."""
     if n:
-        ray.get(_actor().add.remote(name, int(n)))
+        _PENDING.append(_actor().add.remote(name, int(n)))
 
 
-def snapshot() -> dict[str, int]:
-    return ray.get(_actor().snapshot.remote())
+def add_many(counts: dict) -> None:
+    """Increment several counters in ONE submission (a kernel call
+    that capped usually reports 2-3 related counts)."""
+    counts = {k: int(v) for k, v in counts.items() if v}
+    if counts:
+        _PENDING.append(_actor().add_many.remote(counts))
+
+
+def snapshot(settle_sec: float = 0.1, max_wait_sec: float = 2.0) -> dict:
+    """Read the counters, settling in-flight worker submissions: the
+    adds are async, so re-read until two consecutive snapshots agree
+    (bounded by `max_wait_sec`). Callers read AFTER their dataset
+    action returned, so every add was already submitted from a live
+    worker — settling only waits out delivery, not generation."""
+    a = _actor()
+    prev = ray.get(a.snapshot.remote())
+    deadline = time.monotonic() + max_wait_sec
+    while time.monotonic() < deadline:
+        time.sleep(settle_sec)
+        cur = ray.get(a.snapshot.remote())
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def reset() -> None:
