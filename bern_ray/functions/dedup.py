@@ -756,3 +756,153 @@ def dedup_clusters(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------- substring-level dedup
+
+
+def _window_rows(t: pa.Table, k: int) -> pa.Table:
+    """Explode a doc batch to one row per k-token window:
+    (h: int64 rolling digest, doc_id, idx: window start token index).
+
+    Tokenization is the frozen TOKEN_RE byte-LUT kernel
+    (textstats._explode_tokens), so the SQL oracle's
+    regexp_extract_all(lower(text), '[0-9a-zA-Z]+') sees the same
+    token sequence. The window digest is an order-sensitive
+    polynomial over full-token FNV hashes — distinct windows collide
+    with probability ~n^2/2^64 (same documented regime as
+    passage_dedup's md5 keying); a collision can only mark a window
+    duplicated, never lose one."""
+    from .textstats import _explode_tokens, _token_h64
+
+    parent, toks = _explode_tokens(t["text"])
+    n = len(parent)
+    empty = pa.table(
+        {
+            "h": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "idx": pa.array([], type=pa.int64()),
+        }
+    )
+    if n < k:
+        return empty
+    th = _token_h64(toks).astype(np.uint64)
+    m = n - k + 1
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    hw = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            hw = hw * mix + th[j : m + j]
+    # a window is real only if all k tokens share one document
+    sel = np.flatnonzero(parent[:m] == parent[k - 1 :])
+    if len(sel) == 0:
+        return empty
+    starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+    sizes = np.diff(np.append(starts, n))
+    idx_in_doc = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    return pa.table(
+        {
+            "h": pa.array(hw[sel].view(np.int64), type=pa.int64()),
+            "doc_id": pc.take(
+                t["doc_id"], pa.array(parent[sel], type=pa.int64())
+            ),
+            "idx": pa.array(idx_in_doc[sel], type=pa.int64()),
+        }
+    )
+
+
+def duplicated_spans(
+    docs: "ray.data.Dataset", k: int = 8, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Substring-level dedup (the suffix-array technique of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    rendered shuffle-shaped): find every MAXIMAL token span that is
+    part of some k-token window occurring >= 2 times anywhere in the
+    corpus (across or within documents).
+
+    Output: (doc_id, start_tok, end_tok, n_windows) — one row per
+    maximal duplicated island, token indices 0-based inclusive, so a
+    cleaning pass drops tokens start_tok..end_tok.
+
+    Scale shape (100 TB): the window inventory is one row per token —
+    the same O(corpus) bound a distributed suffix array pays — and it
+    never materializes anywhere: two bucketed shuffles, (1) on the
+    64-bit window digest (segments of size >= 2 inside a bucket are
+    the duplicated windows — equal digests always co-bucket, so the
+    decision is global), (2) on doc_id (vectorized gaps-and-islands
+    merge of consecutive window indices). Per-task memory is bounded
+    by bucket count, never key cardinality (stages/bucketed.py).
+
+    No reference analog (LLM-pipeline family); the within-group
+    running-index machinery mirrors convert.py:428-461's
+    n-th-occurrence counter.
+    """
+    from ..stages.bucketed import bucketed_apply, segments
+
+    inv = docs.map_batches(
+        lambda t: _window_rows(t, k), batch_format="pyarrow"
+    )
+
+    def dup_windows(bt: pa.Table) -> pa.Table:
+        h = bt["h"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        _, sizes = segments(h[order])
+        kept = order[np.repeat(sizes >= 2, sizes)]
+        ki = pa.array(kept, type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.take(bt["doc_id"], ki),
+                "idx": pc.take(bt["idx"], ki),
+            }
+        )
+
+    def islands(bt: pa.Table) -> pa.Table:
+        d = bt["doc_id"].to_numpy(zero_copy_only=False)
+        i = bt["idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, d))
+        d, i = d[order], i[order]
+        brk = np.r_[True, (d[1:] != d[:-1]) | (i[1:] - i[:-1] > 1)]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, len(d)))
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts], type=pa.int64()),
+                "start_tok": pa.array(i[starts], type=pa.int64()),
+                "end_tok": pa.array(
+                    i[starts + sizes - 1] + k - 1, type=pa.int64()
+                ),
+                "n_windows": pa.array(sizes, type=pa.int64()),
+            }
+        )
+
+    dups = bucketed_apply(inv, "h", dup_windows, num_buckets)
+    return bucketed_apply(dups, "doc_id", islands, num_buckets)
+
+
+def duplicated_spans_sql(k: int = 8) -> str:
+    """DuckDB oracle: grams by text equality (the digest regime above
+    agrees except on ~n^2/2^64 collisions), islands via the classic
+    idx - row_number() gaps-and-islands grouping."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-zA-Z]+') AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS idx,
+         array_to_string(ts[i:i + {k} - 1], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(ts) - {k} + 1)) AS s(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dw AS (
+  SELECT doc_id, idx,
+         idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+           AS grp
+  FROM g JOIN dup USING (gram)
+)
+SELECT doc_id,
+       min(idx)::BIGINT AS start_tok,
+       (max(idx) + {k} - 1)::BIGINT AS end_tok,
+       count(*)::BIGINT AS n_windows
+FROM dw GROUP BY doc_id, grp
+"""

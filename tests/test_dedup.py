@@ -209,3 +209,97 @@ def test_band_cap_clusters_identical(ray_session):
     pd.testing.assert_frame_equal(capped, full, check_dtype=False)
     # the boilerplate class is one component rooted at doc 0
     assert (capped[capped.doc_id < 60].cluster_id == 0).all()
+
+
+def test_duplicated_spans_planted(ray_session):
+    """Planted shared 10-token run across two docs -> one maximal
+    island per doc covering exactly the run; unique docs emit nothing;
+    a within-doc repeat also counts (corpus count >= 2)."""
+    import ray.data
+
+    from bern_ray.functions.dedup import duplicated_spans
+
+    run = " ".join(f"shared{i}" for i in range(10))  # 10 tokens
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    f"alpha beta {run} gamma delta",
+                    f"one two three four {run} five",
+                    "entirely unique words nowhere repeated at all here",
+                    # within-doc repeat: the same 8-token run twice
+                    " ".join(f"w{i}" for i in range(8))
+                    + " xx "
+                    + " ".join(f"w{i}" for i in range(8)),
+                ]
+            ),
+        }
+    )
+    got = (
+        duplicated_spans(ray.data.from_arrow(t), k=8)
+        .to_pandas()
+        .sort_values(["doc_id", "start_tok"])
+        .reset_index(drop=True)
+    )
+    rows = list(
+        got[["doc_id", "start_tok", "end_tok", "n_windows"]].itertuples(
+            index=False, name=None
+        )
+    )
+    # doc 1: run at tokens 2..11 -> 3 windows (10-8+1), island 2..11
+    # doc 2: run at tokens 4..13 -> island 4..13
+    # doc 4: w0..w7 at 0..7 and 9..16 (xx at 8) -> two islands
+    assert rows == [
+        (1, 2, 11, 3),
+        (2, 4, 13, 3),
+        (4, 0, 7, 1),
+        (4, 9, 16, 1),
+    ]
+
+
+def test_duplicated_spans_short_and_empty_docs(ray_session):
+    """Docs with < k tokens (or no text) produce no windows and never
+    crash the buffer kernels."""
+    import ray.data
+
+    from bern_ray.functions.dedup import duplicated_spans
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["a b c", None, ""]),
+        }
+    )
+    assert duplicated_spans(ray.data.from_arrow(t), k=8).count() == 0
+
+
+def test_duplicated_spans_matches_duckdb_oracle(ray_session):
+    """Value-identical to the gram-text SQL oracle on the real table
+    (the digest regime differs only on ~n^2/2^64 collisions)."""
+    import duckdb
+
+    from bern_ray.pipelines.relational import (
+        SQL_DUPLICATED_SPANS,
+        q_duplicated_spans,
+    )
+
+    got = (
+        q_duplicated_spans(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "start_tok"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = (
+        con.sql(SQL_DUPLICATED_SPANS)
+        .df()
+        .sort_values(["doc_id", "start_tok"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ["doc_id", "start_tok", "end_tok", "n_windows"]:
+        assert got[c].tolist() == exp[c].tolist(), c
