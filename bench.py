@@ -76,6 +76,7 @@ def run_bench() -> dict:
         q_approx_quantiles,
         q_contamination,
         q_dedup_clusters,
+        q_duplicated_spans,
         q_fuzzy_join_names,
         q_passage_dedup,
         q_pii_redact,
@@ -226,6 +227,7 @@ def run_bench() -> dict:
         ("contamination", lambda: q_contamination(SF_DIR).count()),
         ("tfidf_top_terms", lambda: q_tfidf_top_terms(SF_DIR).count()),
         ("dedup_clusters", lambda: q_dedup_clusters(SF_DIR).count()),
+        ("duplicated_spans", lambda: q_duplicated_spans(SF_DIR).count()),
         ("fuzzy_join_names", lambda: q_fuzzy_join_names(SF_DIR).count()),
         ("returned_revenue", lambda: q_returned_revenue(SF_DIR).count()),
         ("rollup_events", lambda: q_rollup_events(SF_DIR).count()),

@@ -906,3 +906,170 @@ SELECT doc_id,
        count(*)::BIGINT AS n_windows
 FROM dw GROUP BY doc_id, grp
 """
+
+
+def remove_duplicated_spans(
+    docs: "ray.data.Dataset", k: int = 8, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """The actionable half of substring dedup: apply
+    `duplicated_spans` islands to the corpus and emit the CLEANED
+    text — (doc_id, n_tokens, n_kept, clean_text) for every doc,
+    clean_text = the doc's kept tokens (lowered TOKEN_RE token space)
+    joined by single spaces, '' when everything was duplicated.
+
+    Scale shape: islands (tiny — one row per maximal duplicated run)
+    are tag-unioned with the docs and shuffled ONCE on doc_id via
+    bucketed_apply; the bucket kernel tokenizes its docs with the
+    byte-LUT kernel, builds the drop mask for all islands at once with
+    one diff+cumsum over global token coordinates, and re-joins kept
+    tokens per doc with pc.binary_join over a ListArray — no per-doc
+    Python, no driver hop.
+    """
+    from ..stages.bucketed import bucketed_apply
+    from .textstats import _explode_tokens
+
+    islands = duplicated_spans(docs, k, num_buckets)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "start_tok": pa.nulls(n, pa.int64()),
+                "end_tok": pa.nulls(n, pa.int64()),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def tag_islands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.nulls(n, pa.string()),
+                "start_tok": t["start_tok"],
+                "end_tok": t["end_tok"],
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    unioned = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        islands.map_batches(tag_islands, batch_format="pyarrow")
+    )
+
+    def clean_kernel(bt: pa.Table) -> pa.Table:
+        side = bt["_side"].to_numpy(zero_copy_only=False)
+        dmask = side == 0
+        dt = bt.filter(pa.array(dmask))
+        it = bt.filter(pa.array(~dmask))
+        ndocs = dt.num_rows
+        if ndocs == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "n_kept": pa.array([], type=pa.int64()),
+                    "clean_text": pa.array([], type=pa.string()),
+                }
+            )
+        parent, toks = _explode_tokens(dt["text"])
+        n = len(parent)
+        counts = np.bincount(parent, minlength=ndocs)
+        doc_starts = np.r_[0, np.cumsum(counts)]
+        keep = np.ones(n, dtype=bool)
+        if it.num_rows and n:
+            ids = dt["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            rowpos = order[
+                np.searchsorted(
+                    ids[order],
+                    it["doc_id"].to_numpy(zero_copy_only=False),
+                )
+            ]
+            gs = doc_starts[rowpos] + it["start_tok"].to_numpy(
+                zero_copy_only=False
+            )
+            ge = doc_starts[rowpos] + it["end_tok"].to_numpy(
+                zero_copy_only=False
+            )
+            diff = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(diff, gs, 1)
+            np.add.at(diff, ge + 1, -1)
+            keep = np.cumsum(diff[:n]) == 0
+        kept_counts = (
+            np.bincount(parent[keep], minlength=ndocs)
+            if n
+            else np.zeros(ndocs, dtype=np.int64)
+        )
+        offsets = np.r_[0, np.cumsum(kept_counts)].astype(np.int32)
+        kept_toks = (
+            toks.filter(pa.array(keep))
+            if n
+            else pa.array([], type=pa.string())
+        )
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), kept_toks), " "
+        )
+        return pa.table(
+            {
+                "doc_id": dt["doc_id"],
+                "n_tokens": pa.array(counts, type=pa.int64()),
+                "n_kept": pa.array(kept_counts, type=pa.int64()),
+                "clean_text": clean,
+            }
+        )
+
+    return bucketed_apply(unioned, "doc_id", clean_kernel, num_buckets)
+
+
+def remove_duplicated_spans_sql(k: int = 8) -> str:
+    """DuckDB oracle: kept tokens = tokens covered by no island,
+    re-joined in index order; every doc emits a row ('' when all
+    tokens were duplicated or the doc had no tokens)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-zA-Z]+') AS ts
+  FROM documents
+),
+tok_rows AS (
+  SELECT doc_id, i - 1 AS idx, ts[i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(ts))) AS s(i)
+),
+g AS (
+  SELECT doc_id, i - 1 AS idx,
+         array_to_string(ts[i:i + {k} - 1], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(ts) - {k} + 1)) AS s(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dw AS (
+  SELECT doc_id, idx,
+         idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+           AS grp
+  FROM g JOIN dup USING (gram)
+),
+isl AS (
+  SELECT doc_id, min(idx) AS s, max(idx) + {k} - 1 AS e
+  FROM dw GROUP BY doc_id, grp
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tok FROM tok_rows t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM isl
+    WHERE isl.doc_id = t.doc_id AND t.idx BETWEEN isl.s AND isl.e
+  )
+)
+SELECT d.doc_id,
+       coalesce(tt.n, 0)::BIGINT AS n_tokens,
+       coalesce(kk.n, 0)::BIGINT AS n_kept,
+       coalesce(kk.txt, '') AS clean_text
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n FROM tok_rows GROUP BY doc_id
+) tt USING (doc_id)
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n,
+         string_agg(tok, ' ' ORDER BY idx) AS txt
+  FROM kept GROUP BY doc_id
+) kk USING (doc_id)
+"""

@@ -150,6 +150,15 @@ def q_duplicated_spans(sf_dir: str):
 SQL_DUPLICATED_SPANS = fdedup.duplicated_spans_sql(k=8)
 
 
+def q_clean_corpus(sf_dir: str):
+    """Cleaned corpus: duplicated_spans islands applied to the text
+    (the removal half of substring dedup)."""
+    return fdedup.remove_duplicated_spans(_docs(sf_dir), k=8)
+
+
+SQL_CLEAN_CORPUS = fdedup.remove_duplicated_spans_sql(k=8)
+
+
 # The all-pairs SQL oracle is O(n^2) in list ops; the driver runs it at
 # sf0.01, so the CHECKED variant restricts both sides to doc_id <
 # MINHASH_MAX_DOC (covers all of sf0.001). The unrestricted operator is
@@ -3206,6 +3215,7 @@ DRIVER_EXCLUDE = {
     "bloom_new_docs",  # sketch (pytest error bounds)
     "ngram_jaccard_neardup",  # same path as minhash_neardup
     "duplicated_spans",  # local gate + pytest (keeps driver at 50)
+    "clean_corpus",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
     "pubmed_roundtrip",  # S8 XML wire formats (local gate + pytest)
     "sample_docs",  # subsumed by stratified_sample
@@ -3232,6 +3242,7 @@ REGISTRY: dict[str, tuple] = {
     "blocking_keys": (q_blocking_keys, SQL_BLOCKING_KEYS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "duplicated_spans": (q_duplicated_spans, SQL_DUPLICATED_SPANS),
+    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
     "ngram_jaccard_neardup": (q_ngram_jaccard_neardup, SQL_NGRAM_JACCARD),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),

@@ -3,6 +3,8 @@
 import numpy as np
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 SF = "/root/testdata/sf0.001"
 
@@ -303,3 +305,130 @@ def test_duplicated_spans_matches_duckdb_oracle(ray_session):
     assert len(got) == len(exp) and len(got) > 0
     for c in ["doc_id", "start_tok", "end_tok", "n_windows"]:
         assert got[c].tolist() == exp[c].tolist(), c
+
+
+def _naive_islands(doc_texts: dict[int, str], k: int):
+    """Pure-Python reference for duplicated_spans: regex tokens,
+    gram-text window equality, island merge of consecutive indices."""
+    import re
+    from collections import Counter
+
+    toks = {
+        d: re.findall(r"[0-9a-zA-Z]+", (s or "").lower())
+        for d, s in doc_texts.items()
+    }
+    grams: Counter = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - k + 1):
+            grams[tuple(ts[i : i + k])] += 1
+    out = []
+    for d in sorted(toks):
+        ts = toks[d]
+        idxs = [
+            i
+            for i in range(len(ts) - k + 1)
+            if grams[tuple(ts[i : i + k])] >= 2
+        ]
+        run: list[int] = []
+        for i in idxs + [None]:
+            if run and (i is None or i > run[-1] + 1):
+                out.append((d, run[0], run[-1] + k - 1, len(run)))
+                run = []
+            if i is not None:
+                run.append(i)
+    return sorted(out)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff".split()),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_duplicated_spans_kernel_fuzz(token_lists, k):
+    """The window-digest + two-kernel pipeline (run eagerly on one
+    batch, no Ray) matches a pure-Python gram-text reference on random
+    tiny-alphabet corpora — the regime where repeated windows, island
+    merges and cross-doc boundaries all collide at once."""
+    import numpy as np
+
+    from bern_ray.functions.dedup import _window_rows
+    from bern_ray.stages.bucketed import segments
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                list(range(len(token_lists))), type=pa.int64()
+            ),
+            "text": pa.array([" ".join(ts) for ts in token_lists]),
+        }
+    )
+    inv = _window_rows(t, k)
+    h = inv["h"].to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    _, sizes = segments(h[order])
+    kept = order[np.repeat(sizes >= 2, sizes)]
+    d = inv["doc_id"].to_numpy(zero_copy_only=False)[kept]
+    i = inv["idx"].to_numpy(zero_copy_only=False)[kept]
+    o = np.lexsort((i, d))
+    d, i = d[o], i[o]
+    got = []
+    if len(d):
+        brk = np.r_[True, (d[1:] != d[:-1]) | (i[1:] - i[:-1] > 1)]
+        starts = np.flatnonzero(brk)
+        szs = np.diff(np.append(starts, len(d)))
+        got = sorted(
+            zip(
+                d[starts].tolist(),
+                i[starts].tolist(),
+                (i[starts + szs - 1] + k - 1).tolist(),
+                szs.tolist(),
+            )
+        )
+    exp = _naive_islands(
+        {j: " ".join(ts) for j, ts in enumerate(token_lists)}, k
+    )
+    assert got == exp
+
+
+def test_remove_duplicated_spans_planted(ray_session):
+    """Cleaning drops exactly the island tokens: a fully-duplicated
+    doc empties out, partial overlaps keep their unique flanks, docs
+    with no text still emit a row."""
+    import ray.data
+
+    from bern_ray.functions.dedup import remove_duplicated_spans
+
+    run = " ".join(f"s{i}" for i in range(8))  # exactly one window
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [run, f"left flank {run} right flank", None, "tiny doc"]
+            ),
+        }
+    )
+    got = (
+        remove_duplicated_spans(ray.data.from_arrow(t), k=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rows = list(
+        got[["doc_id", "n_tokens", "n_kept", "clean_text"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert rows == [
+        (1, 8, 0, ""),
+        (2, 12, 4, "left flank right flank"),
+        (3, 0, 0, ""),
+        (4, 2, 2, "tiny doc"),
+    ]
