@@ -811,8 +811,79 @@ def _window_rows(t: pa.Table, k: int) -> pa.Table:
     )
 
 
+def _bloom_pos64(h: np.ndarray, m_bits: int) -> np.ndarray:
+    """(4, n) Bloom bit positions for int64 digests: Kirsch-
+    Mitzenmacher double hashing over two splitmix64-mixed halves —
+    fully vectorized, no per-key Python."""
+    x = h.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h1 ^= h1 >> np.uint64(27)
+        h2 = (
+            (x * np.uint64(0x94D049BB133111EB)) ^ (x >> np.uint64(31))
+        ) | np.uint64(1)
+        ii = np.arange(4, dtype=np.uint64)
+        pos = (h1[None, :] + ii[:, None] * h2[None, :]) % np.uint64(
+            m_bits
+        )
+    return pos.astype(np.int64)
+
+
+def _window_twice_bloom(
+    docs: "ray.data.Dataset", k: int, m_bits: int
+) -> np.ndarray:
+    """'Seen >= 2 times' Bloom bitmap over the corpus's window
+    digests, built in one extra pass over docs.
+
+    Each batch folds its windows into a LOCAL (once, twice) bitmap
+    pair — per-bit saturating counters capped at 2 — and the driver
+    folds partials with the saturating-add merge
+    ``twice' = twice1 | twice2 | (once1 & once2)``, which is
+    associative/commutative, so batch order and re-execution cannot
+    corrupt it. Driver state is 2 x m_bits/8 bytes, never keys."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        hw = _window_rows(t, k)["h"].to_numpy(zero_copy_only=False)
+        once = np.zeros(m_bits // 8, dtype=np.uint8)
+        twice = np.zeros(m_bits // 8, dtype=np.uint8)
+        if len(hw):
+            u, cnt = np.unique(hw, return_counts=True)
+            pos = _bloom_pos64(u, m_bits)
+            bits = np.uint8(1) << (pos % 8).astype(np.uint8)
+            np.bitwise_or.at(once, (pos // 8).ravel(), bits.ravel())
+            dup = cnt >= 2
+            if dup.any():
+                np.bitwise_or.at(
+                    twice,
+                    (pos[:, dup] // 8).ravel(),
+                    bits[:, dup].ravel(),
+                )
+        return pa.table(
+            {
+                "once": pa.array([once.tobytes()], type=pa.binary()),
+                "twice": pa.array([twice.tobytes()], type=pa.binary()),
+            }
+        )
+
+    once = np.zeros(m_bits // 8, dtype=np.uint8)
+    twice = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in docs.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for o_raw, t_raw in zip(
+            b["once"].to_pylist(), b["twice"].to_pylist()
+        ):
+            o2 = np.frombuffer(o_raw, dtype=np.uint8)
+            twice |= np.frombuffer(t_raw, dtype=np.uint8) | (once & o2)
+            once |= o2
+    return twice
+
+
 def duplicated_spans(
-    docs: "ray.data.Dataset", k: int = 8, num_buckets: int = 64
+    docs: "ray.data.Dataset",
+    k: int = 8,
+    num_buckets: int = 64,
+    prefilter_bits: int | None = None,
 ) -> "ray.data.Dataset":
     """Substring-level dedup (the suffix-array technique of Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better",
@@ -833,15 +904,49 @@ def duplicated_spans(
     merge of consecutive window indices). Per-task memory is bounded
     by bucket count, never key cardinality (stages/bucketed.py).
 
+    ``prefilter_bits`` (opt-in scale lever): size in bits of a
+    two-level Bloom pre-pass (_window_twice_bloom) that prunes
+    windows whose digest was provably seen once — typically the vast
+    hapax majority — BEFORE the wide shuffle, at the cost of one
+    extra pass over docs. Correctness-safe by construction: Bloom
+    false positives only let extra windows THROUGH to stage (1),
+    whose exact digest-count is still the duplicated/not decision —
+    output is bit-identical with the prefilter on or off
+    (pytest-pinned). At bitmap saturation it degrades to no pruning,
+    never to wrong answers. Pruned-window counts are reported
+    through the metrics sidecar (``substring_windows_pruned``,
+    SURVEY §7.5).
+
     No reference analog (LLM-pipeline family); the within-group
     running-index machinery mirrors convert.py:428-461's
     n-th-occurrence counter.
     """
     from ..stages.bucketed import bucketed_apply, segments
 
-    inv = docs.map_batches(
-        lambda t: _window_rows(t, k), batch_format="pyarrow"
-    )
+    bloom_ref = None
+    if prefilter_bits:
+        bloom_ref = ray.put(
+            _window_twice_bloom(docs, k, prefilter_bits)
+        )
+
+    def emit(t: pa.Table) -> pa.Table:
+        w = _window_rows(t, k)
+        if bloom_ref is not None and w.num_rows:
+            bm = ray.get(bloom_ref)
+            h = w["h"].to_numpy(zero_copy_only=False)
+            pos = _bloom_pos64(h, prefilter_bits)
+            hit = (
+                (bm[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+            ).astype(bool).all(axis=0)
+            n_pruned = int(len(h) - hit.sum())
+            if n_pruned:
+                from ..state.counters import add_many as _add_many
+
+                _add_many({"substring_windows_pruned": n_pruned})
+                w = w.filter(pa.array(hit))
+        return w
+
+    inv = docs.map_batches(emit, batch_format="pyarrow")
 
     def dup_windows(bt: pa.Table) -> pa.Table:
         h = bt["h"].to_numpy(zero_copy_only=False)

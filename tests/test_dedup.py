@@ -432,3 +432,31 @@ def test_remove_duplicated_spans_planted(ray_session):
         (3, 0, 0, ""),
         (4, 2, 2, "tiny doc"),
     ]
+
+
+def test_duplicated_spans_prefilter_identical(ray_session):
+    """The Bloom prefilter changes COST only: output bit-identical to
+    the unfiltered path on the real table, and it genuinely pruned
+    hapax windows (counter observed)."""
+    import pandas as pd
+    import ray.data
+
+    from bern_ray.functions.dedup import duplicated_spans
+    from bern_ray.state import counters
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+
+    def run(**kw):
+        return (
+            duplicated_spans(docs, k=8, **kw)
+            .to_pandas()
+            .sort_values(["doc_id", "start_tok"])
+            .reset_index(drop=True)
+        )
+
+    base = run()
+    counters.reset()
+    pre = run(prefilter_bits=1 << 20)
+    pd.testing.assert_frame_equal(base, pre, check_dtype=False)
+    assert len(base) > 0
+    assert counters.snapshot().get("substring_windows_pruned", 0) > 0
