@@ -1178,3 +1178,156 @@ LEFT JOIN (
   FROM kept GROUP BY doc_id
 ) kk USING (doc_id)
 """
+
+
+# ---------------------------------------- survivorship (golden record)
+
+_GOLDEN_NUM_BUCKETS = 256
+
+
+def golden_records(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.9,
+    band_cap: int | None = None,
+) -> "ray.data.Dataset":
+    """ER survivorship: near-dup clusters -> ONE fused golden record
+    per cluster. The step after canonical selection in every entity-
+    resolution pipeline (reference: BERN keeps one normalized id per
+    mention cluster, normalize.py:168-289 — here generalized to
+    attribute-level fusion over document records):
+
+    - ``survivor_doc_id``: most-complete-record rule — the member
+      with the LONGEST text (chars), ties to the smallest doc_id.
+    - ``lang_mode``: most-frequent-value rule over the members'
+      ``lang`` attribute, ties to the lexicographically smallest.
+    - ``n_members`` / ``total_chars``: cluster roll-ups.
+
+    Clusters come from :func:`dedup_clusters` (minhash pairs ->
+    distributed CC), so the oracle regime is the same recursive-CTE
+    transitive closure; singletons fuse to themselves.
+
+    Scale shape: labels attach to attrs via the bucketed hash join on
+    doc_id; the per-cluster reduction is a per-batch PARTIAL collapse
+    keyed (cluster_id, lang) — each batch emits at most one row per
+    (cluster, lang) it contains, with the survivor arg-max packed
+    into one int64 key (len * 2^31 + (2^31-1 - doc_id), so numeric
+    max = longest-then-smallest-id; doc_id and len must both be
+    < 2^31) — then ONE groupby shuffle on a cluster-hash bucket whose
+    in-bucket finisher is vectorized pandas (the tfidf top_per_doc
+    idiom: no per-cluster Python call). Nothing cluster-inventory-
+    sized touches the driver.
+    """
+    from ..stages.join import bucket_join
+
+    labels = dedup_clusters(docs, threshold=threshold, band_cap=band_cap)
+
+    def attrs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a_doc": t["doc_id"],
+                "len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                "lang": t["lang"],
+            }
+        )
+
+    joined = bucket_join(
+        labels.map_batches(
+            lambda t: t.select(["doc_id", "cluster_id"]),
+            batch_format="pyarrow",
+        ),
+        docs.map_batches(attrs, batch_format="pyarrow"),
+        left_on="doc_id",
+        right_on="a_doc",
+        left_schema={"doc_id": pa.int64(), "cluster_id": pa.int64()},
+        right_schema={
+            "a_doc": pa.int64(),
+            "len": pa.int64(),
+            "lang": pa.string(),
+        },
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        ln = t["len"].to_numpy(zero_copy_only=False)
+        lang_arr = t["lang"]
+        if isinstance(lang_arr, pa.ChunkedArray):
+            lang_arr = lang_arr.combine_chunks()
+        codes = lang_arr.dictionary_encode()
+        li = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = len(codes.dictionary)
+        key = cid * max(nl, 1) + li
+        uk, inv, cnts = np.unique(
+            key, return_inverse=True, return_counts=True
+        )
+        chars = np.bincount(inv, weights=ln).astype(np.int64)
+        bk = ln * (1 << 31) + ((1 << 31) - 1 - doc)
+        best = np.full(len(uk), -1, dtype=np.int64)
+        np.maximum.at(best, inv, bk)
+        with np.errstate(over="ignore"):
+            h = (
+                (uk // max(nl, 1)).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(33)
+        return pa.table(
+            {
+                "cluster_id": pa.array(uk // max(nl, 1), type=pa.int64()),
+                "lang": codes.dictionary.take(
+                    pa.array(uk % max(nl, 1), type=pa.int64())
+                ),
+                "members": pa.array(cnts, type=pa.int64()),
+                "chars": pa.array(chars, type=pa.int64()),
+                "bestkey": pa.array(best, type=pa.int64()),
+                "bucket": pa.array(
+                    (h % _GOLDEN_NUM_BUCKETS).astype(np.int64)
+                ),
+            }
+        )
+
+    def fuse_bucket(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("cluster_id", sort=True).agg(
+            n_members=("members", "sum"),
+            total_chars=("chars", "sum"),
+            best=("bestkey", "max"),
+        )
+        lm = (
+            g.groupby(["cluster_id", "lang"], sort=False)["members"]
+            .sum()
+            .reset_index()
+            .sort_values(
+                ["cluster_id", "members", "lang"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            .groupby("cluster_id", sort=False)
+            .head(1)
+            .set_index("cluster_id")
+        )
+        surv = (1 << 31) - 1 - (
+            agg["best"].to_numpy(dtype=np.int64) & ((1 << 31) - 1)
+        )
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    agg.index.to_numpy(dtype=np.int64)
+                ),
+                "survivor_doc_id": pa.array(surv, type=pa.int64()),
+                "n_members": pa.array(
+                    agg["n_members"].to_numpy(dtype=np.int64)
+                ),
+                "total_chars": pa.array(
+                    agg["total_chars"].to_numpy(dtype=np.int64)
+                ),
+                "lang_mode": pa.array(
+                    lm.loc[agg.index, "lang"].tolist(), type=pa.string()
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(
+            partial, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
+        )
+        .groupby("bucket")
+        .map_groups(fuse_bucket, batch_format="pandas")
+    )

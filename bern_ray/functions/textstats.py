@@ -826,3 +826,227 @@ def langid_trigram_batch(t: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+# --------------------------------------- unigram-LM quality score
+
+LM_BROADCAST_MAX_DOCS = TFIDF_BROADCAST_MAX_DOCS
+
+
+def lm_score(
+    docs: "ray.data.Dataset", mode: str = "auto"
+) -> "ray.data.Dataset":
+    """Corpus-trained unigram-LM quality score per document: the
+    standard webtext-pipeline signal (CCNet/Gopher-style "perplexity
+    under a corpus LM", here self-trained so no external artifact is
+    needed). For each doc with >= 1 token:
+
+        avg_logprob = (1/n_tokens) * sum over token OCCURRENCES of
+                      ln(count(token) / N_total)
+
+    where count() / N_total are corpus-wide occurrence statistics.
+    Low avg_logprob = rare-token-heavy (gibberish, codey, or
+    boilerplate-free) docs; the filterable quality column. Rounded to
+    6dp; zero-token docs emit no row (both engine and oracle).
+
+    Two pytest-pinned-identical paths, dispatched like
+    tfidf_top_terms:
+
+    - ``broadcast`` (corpus <= LM_BROADCAST_MAX_DOCS): the count
+      table collects to a driver dict and broadcasts once
+      (``ray.put`` via stages.broadcast); scoring is then
+      SHUFFLE-FREE — a doc's term rows never leave its batch, so the
+      per-doc sum happens inside the same map_batches call.
+    - ``joined`` (the 100-TB path): nothing vocabulary-sized touches
+      the driver. Counts are a distributed groupby(token) that is
+      MATERIALIZED once (bounded by |vocab|, lives in the object
+      store, read twice: once for the N_total scalar, once as the
+      join side); they attach to the (doc_id, token, tf) rows via
+      the bucketed hash join on the 63-bit token hash with a
+      string-equality post-filter (collisions co-locate, never
+      mis-join); the per-doc reduction is per-batch partial sums
+      followed by one groupby(doc_id) aggregate.
+
+    Tokenization is the frozen TOKEN_RE byte-LUT kernel
+    (_explode_tokens), so DuckDB's
+    regexp_extract_all(lower(text), '[0-9a-zA-Z]+') sees the same
+    token stream (lm_score_sql is the oracle).
+    """
+    n_docs = docs.count()
+    if mode == "auto":
+        mode = "broadcast" if n_docs <= LM_BROADCAST_MAX_DOCS else "joined"
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        tf_t = _tf_rows(t)
+        return pa.table({"token": tf_t["token"], "partial": tf_t["tf"]})
+
+    cnt_agg = (
+        docs.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("partial")
+    )
+
+    def finish_rows(
+        doc: np.ndarray, tf: np.ndarray, c: np.ndarray, n_total: float
+    ) -> pa.Table:
+        # per-doc sum of tf * ln(c/N) and of tf, vectorized over the
+        # (already doc-contiguous after sort) row set
+        order = np.argsort(doc, kind="stable")
+        doc_s, tf_s, c_s = doc[order], tf[order], c[order]
+        new = np.empty(len(doc_s), dtype=bool)
+        if len(doc_s):
+            new[0] = True
+            new[1:] = doc_s[1:] != doc_s[:-1]
+        starts = np.flatnonzero(new)
+        lp = tf_s * np.log(c_s.astype(np.float64) / n_total)
+        sum_lp = np.add.reduceat(lp, starts) if len(starts) else np.empty(0)
+        n_tok = (
+            np.add.reduceat(tf_s.astype(np.int64), starts)
+            if len(starts)
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_s[starts], type=pa.int64()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "avg_logprob": pa.array(
+                    np.round(sum_lp / n_tok, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    if mode == "broadcast":
+        from bern_ray.stages.broadcast import get_broadcast, put_broadcast
+
+        rows = cnt_agg.take_all()
+        cmap = {r["token"]: r["sum(partial)"] for r in rows}
+        n_total = float(sum(cmap.values()))
+        ref = put_broadcast(cmap)
+
+        def score(t: pa.Table) -> pa.Table:
+            cm = get_broadcast(ref)
+            tf_t = _tf_rows(t)
+            toks = tf_t["token"].to_pylist()
+            c = np.fromiter(
+                (cm[w] for w in toks), dtype=np.int64, count=len(toks)
+            )
+            return finish_rows(
+                tf_t["doc_id"].to_numpy(zero_copy_only=False),
+                tf_t["tf"].to_numpy(zero_copy_only=False),
+                c,
+                n_total,
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # ------------------------------------------- joined (scale) path
+    from ray.data.aggregate import Sum
+
+    from bern_ray.stages.join import SHUFFLE_PREP_ROWS, bucket_join
+
+    cnt = cnt_agg.materialize()  # |vocab|-bounded, object store only
+    n_total = float(cnt.sum("sum(partial)"))
+
+    term_rows = docs.map_batches(
+        _tf_rows, batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.append_column("h64", pa.array(_token_h64(t["token"]))),
+        batch_format="pyarrow",
+        batch_size=SHUFFLE_PREP_ROWS,
+    )
+    cnt_rows = cnt.map_batches(
+        lambda t: pa.table(
+            {
+                "h64": pa.array(_token_h64(t["token"])),
+                "r_token": t["token"],
+                "c": pc.cast(t["sum(partial)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=SHUFFLE_PREP_ROWS,
+    )
+    attached = bucket_join(
+        term_rows,
+        cnt_rows,
+        left_on="h64",
+        right_on="h64",
+        left_schema={
+            "h64": pa.int64(),
+            "doc_id": pa.int64(),
+            "token": pa.string(),
+            "tf": pa.int64(),
+        },
+        right_schema={
+            "h64": pa.int64(),
+            "r_token": pa.string(),
+            "c": pa.int64(),
+        },
+    )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["token"], t["r_token"]))
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        doc_s, tf_s, c_s = doc[order], tf[order], c[order]
+        new = np.empty(len(doc_s), dtype=bool)
+        if len(doc_s):
+            new[0] = True
+            new[1:] = doc_s[1:] != doc_s[:-1]
+        starts = np.flatnonzero(new)
+        lp = tf_s * np.log(c_s.astype(np.float64) / n_total)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_s[starts], type=pa.int64()),
+                "lp": pa.array(
+                    np.add.reduceat(lp, starts)
+                    if len(starts)
+                    else np.empty(0)
+                ),
+                "ntok": pa.array(
+                    np.add.reduceat(tf_s.astype(np.int64), starts)
+                    if len(starts)
+                    else np.empty(0, dtype=np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        attached.map_batches(
+            doc_partial, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("lp", alias_name="lp"), Sum("ntok", alias_name="ntok"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_tok = t["ntok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lp = t["lp"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "avg_logprob": pa.array(
+                    np.round(lp / n_tok, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def lm_score_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*)::DOUBLE AS c FROM w GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS nn FROM w)
+SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(ln(cnt.c / n.nn)) / count(*), 6) AS avg_logprob
+FROM w JOIN cnt ON w.tok = cnt.tok CROSS JOIN n
+GROUP BY w.doc_id
+"""
