@@ -68,6 +68,19 @@ def _er_clusters(sf_dir: str):
     return linkage_pipeline(sf_dir)
 
 
+def _er_bcubed(sf_dir: str):
+    """B³ precision/recall/F1 of the flagship linkage clusters against
+    the gold entity labels (oid) — the standard ER cluster metric
+    (Bagga & Baldwin 1998) computed entirely from contingency-table
+    aggregates (functions/evaluation.py). Rows-only: the clustering
+    under evaluation is model-scored, not SQL-expressible; the B³
+    arithmetic itself is value-checked by the b3_dedup_eval oracle."""
+    from bern_ray.functions.evaluation import bcubed
+    from bern_ray.pipelines.linkage import linkage_pipeline
+
+    return bcubed(linkage_pipeline(sf_dir), "cluster_id", "oid")
+
+
 def _er_clusters_model(sf_dir: str):
     """Flagship clusters scored by the TRAINED logistic pair model
     (weights loaded from bern_ray/resources/pair_model.npz once per
@@ -467,6 +480,7 @@ def full_queries() -> dict[str, Callable[[str], Any]]:
         {
             "er_mentions": _er_mentions,
             "er_mention_counts": _er_mention_counts,
+            "er_bcubed": _er_bcubed,
             "media_features": _media_features,
             "media_resize": _media_resize,
             "media_frames": _media_frames,

@@ -1,0 +1,151 @@
+"""Clustering-quality evaluation: distributed B³ (B-cubed)
+precision / recall / F1 of a predicted clustering against gold labels
+(Bagga & Baldwin 1998; the standard ER cluster metric alongside
+pairwise F1 — complements the blocking-stage metrics in
+__ray_entry__ er_blocking_quality).
+
+Identity: with contingency counts n_cg = #items with predicted
+cluster c and gold label g, n_c / n_g the marginals and N the item
+total,
+
+    B3 precision = (1/N) * sum_{c,g} n_cg^2 / n_c
+    B3 recall    = (1/N) * sum_{c,g} n_cg^2 / n_g
+
+so the whole metric reduces to sums over the CONTINGENCY table —
+never over items or pairs. Scale shape: per-batch partial counts of a
+packed (pred, gold) key -> one groupby(key) -> a contingency Dataset
+(bounded by #distinct (pred, gold) pairs, materialized in the object
+store, never on the driver); each axis sum is one bucketed shuffle on
+a 63-bit hash of that axis' label with a vectorized pandas finisher
+(hash collisions only CO-LOCATE two labels in a bucket — the in-bucket
+groupby is on the real string). The driver receives three scalars.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .textstats import _token_h64
+
+# ASCII unit separator: cannot occur in md5 hex digests, oids or
+# cluster ids (callers with labels that may contain \x1f must re-key).
+_SEP = "\x1f"
+_B3_NUM_BUCKETS = 256
+
+
+def _as_string(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type):
+        col = pc.cast(col, pa.string())
+    return col
+
+
+def bcubed(
+    items: "ray.data.Dataset", pred_col: str, gold_col: str
+) -> "ray.data.Dataset":
+    """-> one-row Dataset (n_items, b3_precision, b3_recall, b3_f1).
+
+    ``items`` has one row per evaluated item with a predicted cluster
+    label and a gold label (any type castable to string); rows with a
+    null gold are excluded (standard: unlabeled items don't count).
+    """
+
+    def cont_partial(t: pa.Table) -> pa.Table:
+        pred = _as_string(t[pred_col])
+        gold = _as_string(t[gold_col])
+        keep = pc.and_kleene(pc.is_valid(pred), pc.is_valid(gold))
+        if pc.sum(pc.cast(keep, pa.int64())).as_py() != len(pred):
+            pred = pred.filter(keep)
+            gold = gold.filter(keep)
+        key = pc.binary_join_element_wise(pred, gold, _SEP)
+        vc = pc.value_counts(key)
+        return pa.table(
+            {
+                "key": vc.field("values"),
+                "partial": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def split_key(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            t["key"].combine_chunks(), _SEP, max_splits=1
+        )
+        return pa.table(
+            {
+                "pred": pc.list_element(parts, 0),
+                "gold": pc.list_element(parts, 1),
+                "n": pc.cast(t["sum(partial)"], pa.int64()),
+            }
+        )
+
+    cont = (
+        items.map_batches(cont_partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("partial")
+        .map_batches(split_key, batch_format="pyarrow")
+        .materialize()  # contingency-bounded, object store only
+    )
+
+    def axis_sum(axis: str) -> float:
+        # sum over labels of (sum n^2) / (sum n) for that axis
+        def tag(t: pa.Table) -> pa.Table:
+            h = _token_h64(t[axis]).astype(np.uint64)
+            return pa.table(
+                {
+                    "lab": t[axis],
+                    "n": t["n"],
+                    "bucket": pa.array(
+                        (h % _B3_NUM_BUCKETS).astype(np.int64)
+                    ),
+                }
+            )
+
+        def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+            n = g["n"].to_numpy(dtype=np.float64)
+            agg = (
+                pd.DataFrame({"lab": g["lab"], "s2": n * n, "s": n})
+                .groupby("lab", sort=False)
+                .sum()
+            )
+            return pa.table(
+                {"p": pa.array(agg["s2"] / agg["s"], type=pa.float64())}
+            )
+
+        return float(
+            cont.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .sum("p")
+        )
+
+    n_items = cont.sum("n")
+    if not n_items:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_items": pa.array([0], type=pa.int64()),
+                    "b3_precision": pa.array([0.0]),
+                    "b3_recall": pa.array([0.0]),
+                    "b3_f1": pa.array([0.0]),
+                }
+            )
+        )
+    prec = axis_sum("pred") / n_items
+    rec = axis_sum("gold") / n_items
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([int(n_items)], type=pa.int64()),
+                "b3_precision": pa.array([round(prec, 6)]),
+                "b3_recall": pa.array([round(rec, 6)]),
+                "b3_f1": pa.array([round(f1, 6)]),
+            }
+        )
+    )

@@ -2893,6 +2893,76 @@ def q_golden_records(sf_dir: str):
     return fdedup.golden_records(docs, threshold=0.9)
 
 
+def q_b3_dedup_eval(sf_dir: str):
+    """Distributed B³ precision/recall/F1 of the near-dup clustering
+    against exact-duplicate gold (content_md5 groups): recall is 1.0
+    by construction (identical texts always cluster together) and
+    precision measures how much the near-dup merge coarsens beyond
+    exact duplication. Same doc subset / oracle regime as
+    dedup_clusters; oracle computes the identical contingency sums."""
+    from ..functions.evaluation import bcubed
+    from ..functions.textstats import fingerprint_batch
+    from ..stages.join import bucket_join
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    labels = fdedup.dedup_clusters(docs, threshold=0.9).map_batches(
+        lambda t: t.select(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+    def gold_rows(t: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(t)
+        return pa.table(
+            {"g_doc": fp["doc_id"], "content_md5": fp["content_md5"]}
+        )
+
+    gold = docs.map_batches(gold_rows, batch_format="pyarrow")
+    items = bucket_join(
+        labels,
+        gold,
+        left_on="doc_id",
+        right_on="g_doc",
+        left_schema={"doc_id": pa.int64(), "cluster_id": pa.int64()},
+        right_schema={"g_doc": pa.int64(), "content_md5": pa.string()},
+    )
+    return bcubed(items, "cluster_id", "content_md5")
+
+
+SQL_B3_DEDUP_EVAL = (
+    _CLUSTERS_CTE
+    + f""",
+memb AS (
+  SELECT coalesce(least(d.doc_id, l.mn), d.doc_id) AS pred,
+         md5({fold_sql('text')}) AS gold
+  FROM (SELECT doc_id, text FROM documents
+        WHERE doc_id < {MINHASH_MAX_DOC}) d
+  LEFT JOIN lab l ON l.doc_id = d.doc_id
+),
+cont AS (SELECT pred, gold, count(*)::DOUBLE AS n FROM memb GROUP BY 1, 2),
+nc AS (SELECT pred, sum(n) AS s FROM cont GROUP BY 1),
+ng AS (SELECT gold, sum(n) AS s FROM cont GROUP BY 1),
+tot AS (SELECT sum(n) AS nn FROM cont),
+bprec AS (
+  SELECT sum(c.n * c.n / nc.s) / any_value(tot.nn) AS p
+  FROM cont c JOIN nc USING (pred) CROSS JOIN tot
+),
+brec AS (
+  SELECT sum(c.n * c.n / ng.s) / any_value(tot.nn) AS r
+  FROM cont c JOIN ng USING (gold) CROSS JOIN tot
+)
+SELECT tot.nn::BIGINT AS n_items,
+       round(bprec.p, 6) AS b3_precision,
+       round(brec.r, 6) AS b3_recall,
+       round(2 * bprec.p * brec.r / (bprec.p + brec.r), 6) AS b3_f1
+FROM tot, bprec, brec
+"""
+)
+
+
 SQL_GOLDEN_RECORDS = (
     _CLUSTERS_CTE
     + f""",
@@ -3303,6 +3373,8 @@ DRIVER_EXCLUDE = {
     # minhash + embedding keep driver rows, local gate pins simhash)
     "outer_join_balances",  # full-outer twin (r4 driver row green;
     # orders_with_returns + similarity_join keep the join family)
+    "fingerprint",  # digest twin of exact_dedup (r4 driver row green;
+    # the md5-fold key stays driver-checked through b3_dedup_eval)
 }
 
 
@@ -3374,6 +3446,7 @@ REGISTRY: dict[str, tuple] = {
     "heavy_hitters_cm": (q_heavy_hitters_cm, None),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
+    "b3_dedup_eval": (q_b3_dedup_eval, SQL_B3_DEDUP_EVAL),
     "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
     "approx_quantiles": (q_approx_quantiles, None),
     "bloom_new_docs": (q_bloom_new_docs, None),
