@@ -764,6 +764,144 @@ SELECT doc_id, (reason = 'keep') AS keep, reason FROM r
 """
 
 
+QG_LM_QUANTILE = 0.1
+
+
+def q_corpus_quality_gate(sf_dir: str):
+    """The full corpus-curation gate (heuristics + model signal): a
+    doc is kept iff it passes every quality_filter heuristic AND its
+    unigram-LM avg_logprob is not below the corpus p10 — reason is
+    the first failing check ('short'/'tok_len'/'punct'/'lang' from
+    the heuristics, then 'lm', else 'keep'). The composition a
+    100-TB webtext pipeline runs before anything expensive touches
+    the data.
+
+    Scale shape: the lm table (3 narrow columns, one row per doc) is
+    materialized once and read twice — for the threshold and for the
+    attach (at scale this would be a parquet checkpoint; the object
+    store spills). The p10 threshold comes from a BOUNDED histogram:
+    avg_logprob is already rounded to 6dp, so keys are exact 1e-6
+    units — per-batch value_counts -> groupby-sum -> one driver
+    cumsum over the value-range-bounded histogram (the
+    value_quantiles idiom), never a row-count-sized collect. The
+    integer-unit compare makes the threshold cut identical to the
+    oracle's double compare (6dp rounding is a monotone bijection
+    onto the units). Heuristic reasons attach via bucket_join on
+    doc_id."""
+    from math import ceil
+
+    from ..stages.join import bucket_join
+
+    lm = fts.lm_score(_docs(sf_dir)).materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        units = np.rint(
+            t["avg_logprob"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        uk, uc = np.unique(units, return_counts=True)
+        return pa.table(
+            {
+                "u": pa.array(uk, type=pa.int64()),
+                "partial": pa.array(uc, type=pa.int64()),
+            }
+        )
+
+    hist = (
+        lm.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("u")
+        .sum("partial")
+        .to_pandas()
+        .sort_values("u")
+    )
+    counts = hist["sum(partial)"].to_numpy(dtype=np.int64)
+    if len(counts):
+        need = ceil(QG_LM_QUANTILE * int(counts.sum()))
+        thr_u = int(
+            hist["u"].to_numpy(dtype=np.int64)[
+                np.searchsorted(np.cumsum(counts), need)
+            ]
+        )
+    else:
+        thr_u = np.iinfo(np.int64).min  # empty corpus: no lm cut
+
+    heur = q_quality_filter(sf_dir).map_batches(
+        lambda t: t.rename_columns(["doc_id", "h_keep", "h_reason"]),
+        batch_format="pyarrow",
+    )
+    lm_units = lm.map_batches(
+        lambda t: pa.table(
+            {
+                "lm_doc": t["doc_id"],
+                "lm_u": pa.array(
+                    np.rint(
+                        t["avg_logprob"].to_numpy(zero_copy_only=False)
+                        * 1e6
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        heur,
+        lm_units,
+        left_on="doc_id",
+        right_on="lm_doc",
+        left_schema={
+            "doc_id": pa.int64(),
+            "h_keep": pa.bool_(),
+            "h_reason": pa.string(),
+        },
+        right_schema={"lm_doc": pa.int64(), "lm_u": pa.int64()},
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        h_reason = np.asarray(t["h_reason"].to_pylist(), dtype=object)
+        # null lm (zero-token doc) is always heuristic-rejected
+        below = pc.fill_null(
+            pc.less(t["lm_u"], pa.scalar(thr_u, pa.int64())), False
+        ).to_numpy(zero_copy_only=False)
+        reason = np.where(
+            h_reason != "keep", h_reason, np.where(below, "lm", "keep")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "keep": pa.array(
+                    (reason == "keep").tolist(), type=pa.bool_()
+                ),
+                "reason": pa.array(reason.tolist(), type=pa.string()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_corpus_quality_gate() -> str:
+    return f"""
+WITH h AS ({_sql_quality_filter()}),
+lm AS ({fts.lm_score_sql()}),
+thr AS (
+  SELECT min(a) AS thr FROM (
+    SELECT avg_logprob AS a,
+           sum(count(*)) OVER (ORDER BY avg_logprob) AS cum,
+           ceil({QG_LM_QUANTILE} * (SELECT count(*) FROM lm)) AS need
+    FROM lm GROUP BY avg_logprob
+  ) WHERE cum >= need
+)
+SELECT h.doc_id,
+       (CASE WHEN h.reason != 'keep' THEN h.reason
+             WHEN lm.avg_logprob < thr.thr THEN 'lm'
+             ELSE 'keep' END = 'keep') AS keep,
+       CASE WHEN h.reason != 'keep' THEN h.reason
+            WHEN lm.avg_logprob < thr.thr THEN 'lm'
+            ELSE 'keep' END AS reason
+FROM h LEFT JOIN lm USING (doc_id) CROSS JOIN thr
+"""
+
+
 # -------------------------------------------- temporal joins (as-of /
 # range) — the brief's custom-operator family: per-key ORDERED
 # compositions in the bucket-and-segment shape (stages/bucketed.py):
@@ -3375,6 +3513,8 @@ DRIVER_EXCLUDE = {
     # orders_with_returns + similarity_join keep the join family)
     "fingerprint",  # digest twin of exact_dedup (r4 driver row green;
     # the md5-fold key stays driver-checked through b3_dedup_eval)
+    "quality_filter",  # subsumed by corpus_quality_gate (same
+    # heuristic CTE + the LM-quantile cut in one driver row)
 }
 
 
@@ -3411,6 +3551,10 @@ REGISTRY: dict[str, tuple] = {
     "asof_last_signup": (q_asof_last_signup, SQL_ASOF_LAST_SIGNUP),
     "range_count": (q_range_count, SQL_RANGE_COUNT),
     "quality_filter": (q_quality_filter, _sql_quality_filter()),
+    "corpus_quality_gate": (
+        q_corpus_quality_gate,
+        _sql_corpus_quality_gate(),
+    ),
     "token_count": (q_token_count, fts.token_count_sql()),
     "pubtator_title_split": (
         q_pubtator_title_split,
