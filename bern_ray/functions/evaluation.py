@@ -46,15 +46,14 @@ def _as_string(col) -> pa.Array:
     return col
 
 
-def bcubed(
+def _contingency(
     items: "ray.data.Dataset", pred_col: str, gold_col: str
 ) -> "ray.data.Dataset":
-    """-> one-row Dataset (n_items, b3_precision, b3_recall, b3_f1).
-
-    ``items`` has one row per evaluated item with a predicted cluster
-    label and a gold label (any type castable to string); rows with a
-    null gold are excluded (standard: unlabeled items don't count).
-    """
+    """-> materialized contingency Dataset (pred, gold, n): count of
+    items per (predicted cluster, gold label) cell — the shared
+    reduction both B³ and pairwise metrics are pure functions of.
+    Rows with a null pred/gold are excluded (standard: unlabeled
+    items don't count)."""
 
     def cont_partial(t: pa.Table) -> pa.Table:
         pred = _as_string(t[pred_col])
@@ -84,13 +83,25 @@ def bcubed(
             }
         )
 
-    cont = (
+    return (
         items.map_batches(cont_partial, batch_format="pyarrow")
         .groupby("key")
         .sum("partial")
         .map_batches(split_key, batch_format="pyarrow")
         .materialize()  # contingency-bounded, object store only
     )
+
+
+def bcubed(
+    items: "ray.data.Dataset", pred_col: str, gold_col: str
+) -> "ray.data.Dataset":
+    """-> one-row Dataset (n_items, b3_precision, b3_recall, b3_f1).
+
+    ``items`` has one row per evaluated item with a predicted cluster
+    label and a gold label (any type castable to string); rows with a
+    null gold are excluded (standard: unlabeled items don't count).
+    """
+    cont = _contingency(items, pred_col, gold_col)
 
     def axis_sum(axis: str) -> float:
         # sum over labels of (sum n^2) / (sum n) for that axis
@@ -146,6 +157,97 @@ def bcubed(
                 "b3_precision": pa.array([round(prec, 6)]),
                 "b3_recall": pa.array([round(rec, 6)]),
                 "b3_f1": pa.array([round(f1, 6)]),
+            }
+        )
+    )
+
+
+def pairwise_eval(
+    items: "ray.data.Dataset", pred_col: str, gold_col: str
+) -> "ray.data.Dataset":
+    """-> one-row Dataset (n_items, pair_precision, pair_recall,
+    pair_f1): PAIRWISE precision/recall/F1 of a predicted clustering
+    against gold labels — the ER headline metric (the north rule's
+    "pairwise F1" is this quantity over labeled pairs).
+
+    Identity: with contingency counts n_cg and marginals n_c / n_g,
+
+        TP         = sum_{c,g} C(n_cg, 2)
+        pred pairs = sum_c     C(n_c, 2)
+        gold pairs = sum_g     C(n_g, 2)
+
+    so like B³ it reduces to sums over the CONTINGENCY table — never
+    over items or actual pairs. All three sums are integer-valued and
+    far below 2^53, so the float divisions match a SQL oracle's
+    double arithmetic exactly. Scale shape: shared with `bcubed`
+    (`_contingency`): partial value_counts -> one groupby; each
+    marginal is one bucketed pass over the bounded contingency set;
+    the driver receives three scalars.
+    """
+    cont = _contingency(items, pred_col, gold_col)
+
+    def tp_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = n.astype(np.float64)
+        return pa.table(
+            {"tp": pa.array([float((n * (n - 1) / 2.0).sum())])}
+        )
+
+    def axis_pairs(axis: str) -> float:
+        # sum over labels of C(sum n, 2) for that axis
+        def tag(t: pa.Table) -> pa.Table:
+            h = _token_h64(t[axis]).astype(np.uint64)
+            return pa.table(
+                {
+                    "lab": t[axis],
+                    "n": t["n"],
+                    "bucket": pa.array(
+                        (h % _B3_NUM_BUCKETS).astype(np.int64)
+                    ),
+                }
+            )
+
+        def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+            s = (
+                g.groupby("lab", sort=False)["n"]
+                .sum()
+                .to_numpy(dtype=np.float64)
+            )
+            return pa.table(
+                {"p": pa.array(s * (s - 1) / 2.0, type=pa.float64())}
+            )
+
+        return float(
+            cont.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .sum("p")
+        )
+
+    n_items = cont.sum("n")
+    tp = (
+        float(
+            cont.map_batches(tp_partial, batch_format="pyarrow").sum(
+                "tp"
+            )
+        )
+        if n_items
+        else 0.0
+    )
+    pred_pairs = axis_pairs("pred") if n_items else 0.0
+    gold_pairs = axis_pairs("gold") if n_items else 0.0
+    prec = tp / pred_pairs if pred_pairs else 0.0
+    rec = tp / gold_pairs if gold_pairs else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array(
+                    [int(n_items or 0)], type=pa.int64()
+                ),
+                "pair_precision": pa.array([round(prec, 6)]),
+                "pair_recall": pa.array([round(rec, 6)]),
+                "pair_f1": pa.array([round(f1, 6)]),
             }
         )
     )

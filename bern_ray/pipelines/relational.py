@@ -2974,36 +2974,41 @@ def q_dedup_clusters(sf_dir: str):
 # Shared transitive-closure CTE prefix: exact 3-gram-shingle Jaccard
 # all-pairs -> recursive reachability -> per-doc min component label.
 # SQL_DEDUP_CLUSTERS and SQL_GOLDEN_RECORDS both build on it.
-_CLUSTERS_CTE = f"""
-WITH RECURSIVE tok AS (
+def _clusters_cte_body(threshold: float, sfx: str = "") -> str:
+    """The near-dup CC clusters as CTE text with name suffix ``sfx``
+    (so two thresholds can coexist in one WITH RECURSIVE)."""
+    return f"""tok{sfx} AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-zA-Z]+') AS ts
   FROM documents WHERE doc_id < {MINHASH_MAX_DOC}
 ),
-sh AS (
+sh{sfx} AS (
   SELECT doc_id,
          CASE WHEN len(ts) >= 3
               THEN list_distinct(list_transform(
                      generate_series(1, len(ts) - 2),
                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
               ELSE [] END AS ss
-  FROM tok
+  FROM tok{sfx}
 ),
-pr AS (
+pr{sfx} AS (
   SELECT a.doc_id AS u, b.doc_id AS v
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  FROM sh{sfx} a JOIN sh{sfx} b ON a.doc_id < b.doc_id
   WHERE len(a.ss) > 0 AND len(b.ss) > 0
     AND least(len(a.ss), len(b.ss))::DOUBLE
-        / greatest(len(a.ss), len(b.ss)) >= 0.9
+        / greatest(len(a.ss), len(b.ss)) >= {threshold}
     AND len(list_intersect(a.ss, b.ss))::DOUBLE
-        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.9
+        / len(list_distinct(list_concat(a.ss, b.ss))) >= {threshold}
 ),
-e AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
-reach(u, v) AS (
-  SELECT u, v FROM e
+e{sfx} AS (SELECT u, v FROM pr{sfx} UNION SELECT v, u FROM pr{sfx}),
+reach{sfx}(u, v) AS (
+  SELECT u, v FROM e{sfx}
   UNION
-  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+  SELECT r.u, e{sfx}.v FROM reach{sfx} r JOIN e{sfx} ON r.v = e{sfx}.u
 ),
-lab AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)"""
+lab{sfx} AS (SELECT u AS doc_id, min(v) AS mn FROM reach{sfx} GROUP BY u)"""
+
+
+_CLUSTERS_CTE = "\nWITH RECURSIVE " + _clusters_cte_body(0.9)
 
 SQL_DEDUP_CLUSTERS = (
     _CLUSTERS_CTE
@@ -3031,14 +3036,10 @@ def q_golden_records(sf_dir: str):
     return fdedup.golden_records(docs, threshold=0.9)
 
 
-def q_b3_dedup_eval(sf_dir: str):
-    """Distributed B³ precision/recall/F1 of the near-dup clustering
-    against exact-duplicate gold (content_md5 groups): recall is 1.0
-    by construction (identical texts always cluster together) and
-    precision measures how much the near-dup merge coarsens beyond
-    exact duplication. Same doc subset / oracle regime as
-    dedup_clusters; oracle computes the identical contingency sums."""
-    from ..functions.evaluation import bcubed
+def _dedup_eval_items(sf_dir: str):
+    """(predicted cluster, gold exact-dup label) per doc: near-dup
+    cluster labels joined to content_md5 gold — the shared input of
+    the B³ and pairwise cluster-evaluation queries."""
     from ..functions.textstats import fingerprint_batch
     from ..stages.join import bucket_join
 
@@ -3059,7 +3060,7 @@ def q_b3_dedup_eval(sf_dir: str):
         )
 
     gold = docs.map_batches(gold_rows, batch_format="pyarrow")
-    items = bucket_join(
+    return bucket_join(
         labels,
         gold,
         left_on="doc_id",
@@ -3067,7 +3068,67 @@ def q_b3_dedup_eval(sf_dir: str):
         left_schema={"doc_id": pa.int64(), "cluster_id": pa.int64()},
         right_schema={"g_doc": pa.int64(), "content_md5": pa.string()},
     )
-    return bcubed(items, "cluster_id", "content_md5")
+
+
+def q_b3_dedup_eval(sf_dir: str):
+    """Distributed B³ precision/recall/F1 of the near-dup clustering
+    against exact-duplicate gold (content_md5 groups): recall is 1.0
+    by construction (identical texts always cluster together) and
+    precision measures how much the near-dup merge coarsens beyond
+    exact duplication. Same doc subset / oracle regime as
+    dedup_clusters; oracle computes the identical contingency sums."""
+    from ..functions.evaluation import bcubed
+
+    return bcubed(
+        _dedup_eval_items(sf_dir), "cluster_id", "content_md5"
+    )
+
+
+def q_pairwise_dedup_eval(sf_dir: str):
+    """PAIRWISE precision/recall/F1 — the north rule's headline metric
+    shape (pairwise F1 over labeled pairs) — of the LOOSE near-dup
+    clustering (jaccard >= 0.8) against the STRICT one (>= 0.9) as
+    gold. The 0.9 edges are a subset of the 0.8 edges, so the strict
+    clustering refines the loose one: pair recall is exactly 1.0 and
+    precision measures how much loosening the threshold coarsens the
+    clusters (a cluster-stability eval with non-degenerate value at
+    every sf — the md5 gold has zero duplicate pairs in this corpus).
+    Computed from contingency sums (sum C(n,2) per cell/marginal),
+    never from a pair inventory. Same doc subset / oracle regime as
+    dedup_clusters."""
+    from ..functions.evaluation import pairwise_eval
+    from ..stages.join import bucket_join
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+
+    def lab_cols(pred_name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {pred_name: t["doc_id"], pred_name + "_cid": t["cluster_id"]}
+            )
+
+        return fn
+
+    pred = fdedup.dedup_clusters(docs, threshold=0.8).map_batches(
+        lab_cols("p"), batch_format="pyarrow"
+    )
+    gold = fdedup.dedup_clusters(docs, threshold=0.9).map_batches(
+        lab_cols("g"), batch_format="pyarrow"
+    )
+    items = bucket_join(
+        pred,
+        gold,
+        left_on="p",
+        right_on="g",
+        left_schema={"p": pa.int64(), "p_cid": pa.int64()},
+        right_schema={"g": pa.int64(), "g_cid": pa.int64()},
+    )
+    return pairwise_eval(items, "p_cid", "g_cid")
 
 
 SQL_B3_DEDUP_EVAL = (
@@ -3099,6 +3160,95 @@ SELECT tot.nn::BIGINT AS n_items,
 FROM tot, bprec, brec
 """
 )
+
+
+SQL_PAIRWISE_DEDUP_EVAL = (
+    "\nWITH RECURSIVE "
+    + _clusters_cte_body(0.8, "_p")
+    + ",\n"
+    + _clusters_cte_body(0.9, "_g")
+    + f""",
+memb AS (
+  SELECT coalesce(least(d.doc_id, lp.mn), d.doc_id) AS pred,
+         coalesce(least(d.doc_id, lg.mn), d.doc_id) AS gold
+  FROM (SELECT doc_id FROM documents
+        WHERE doc_id < {MINHASH_MAX_DOC}) d
+  LEFT JOIN lab_p lp ON lp.doc_id = d.doc_id
+  LEFT JOIN lab_g lg ON lg.doc_id = d.doc_id
+),
+cont AS (SELECT pred, gold, count(*)::DOUBLE AS n FROM memb GROUP BY 1, 2),
+tp AS (SELECT sum(n * (n - 1) / 2.0) AS v FROM cont),
+pp AS (SELECT sum(s * (s - 1) / 2.0) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY pred)),
+gp AS (SELECT sum(s * (s - 1) / 2.0) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY gold)),
+tot AS (SELECT sum(n) AS nn FROM cont)
+SELECT tot.nn::BIGINT AS n_items,
+       round(tp.v / pp.v, 6) AS pair_precision,
+       round(tp.v / gp.v, 6) AS pair_recall,
+       round(2 * (tp.v / pp.v) * (tp.v / gp.v)
+             / (tp.v / pp.v + tp.v / gp.v), 6) AS pair_f1
+FROM tot, tp, pp, gp
+"""
+)
+
+
+def q_meta_blocking(sf_dir: str):
+    """Meta-blocking (token blocking + block purging + CBS pruning,
+    Papadakis et al. TKDE 2014) over the part table: records are
+    keyed by every distinct token of name+type+brand, blocks larger
+    than half the corpus are purged (the literal 'brand' token hits
+    this — a genuinely information-free block), and candidate pairs
+    survive only with >= 3 common blocks. The literature step beyond
+    the reference's single-key blocking (normalize.py:168-289)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.metablocking import meta_block_pairs
+
+    path = f"{sf_dir}/part.parquet"
+    n_records = _pq.read_metadata(path).num_rows
+
+    def blocking_text(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["p_partkey"],
+                "bt": pc.binary_join_element_wise(
+                    t["p_name"], t["p_type"], t["p_brand"], " "
+                ),
+            }
+        )
+
+    recs = read_parquet_clean(
+        path, columns=["p_partkey", "p_name", "p_type", "p_brand"]
+    ).map_batches(blocking_text, batch_format="pyarrow")
+    return meta_block_pairs(
+        recs,
+        "id",
+        "bt",
+        purge_threshold_x2=n_records,
+        min_common=3,
+    )
+
+
+SQL_META_BLOCKING = """
+WITH tok AS (
+  SELECT DISTINCT id, token FROM (
+    SELECT p_partkey AS id,
+           unnest(regexp_extract_all(
+             lower(p_name || ' ' || p_type || ' ' || p_brand),
+             '[0-9a-zA-Z]+')) AS token
+    FROM part)
+),
+ok AS (SELECT token FROM tok
+       GROUP BY token
+       HAVING count(*) * 2 <= (SELECT count(*) FROM part)),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, count(*)::BIGINT AS common_blocks
+  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+  JOIN ok ON ok.token = a.token
+  GROUP BY 1, 2)
+SELECT a, b, common_blocks FROM pairs WHERE common_blocks >= 3
+"""
 
 
 SQL_GOLDEN_RECORDS = (
@@ -3494,6 +3644,8 @@ DRIVER_EXCLUDE = {
     "ngram_jaccard_neardup",  # same path as minhash_neardup
     "duplicated_spans",  # local gate + pytest (keeps driver at 50)
     "clean_corpus",  # local gate + pytest (keeps driver at 50)
+    "pairwise_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "meta_blocking",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
     "pubmed_roundtrip",  # S8 XML wire formats (local gate + pytest)
     "sample_docs",  # subsumed by stratified_sample
@@ -3591,6 +3743,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
     "b3_dedup_eval": (q_b3_dedup_eval, SQL_B3_DEDUP_EVAL),
+    "pairwise_dedup_eval": (q_pairwise_dedup_eval, SQL_PAIRWISE_DEDUP_EVAL),
+    "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
     "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
     "approx_quantiles": (q_approx_quantiles, None),
     "bloom_new_docs": (q_bloom_new_docs, None),

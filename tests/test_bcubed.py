@@ -80,3 +80,75 @@ def test_null_gold_excluded():
     assert out["n_items"] == 2
     assert out["b3_precision"] == 1.0
     assert out["b3_recall"] == 1.0
+
+
+# ---- pairwise precision/recall/F1 (same contingency machinery) ----
+
+from itertools import combinations
+
+from bern_ray.functions.evaluation import pairwise_eval
+
+
+def _brute_pairwise(pred, gold):
+    n = len(pred)
+    tp = pp = gp = 0
+    for i, j in combinations(range(n), 2):
+        same_p = pred[i] == pred[j]
+        same_g = gold[i] == gold[j]
+        pp += same_p
+        gp += same_g
+        tp += same_p and same_g
+    p = tp / pp if pp else 0.0
+    r = tp / gp if gp else 0.0
+    return p, r
+
+
+def _run_pairwise(pred, gold):
+    t = pa.table(
+        {
+            "pred": pa.array(pred, type=pa.string()),
+            "gold": pa.array(gold, type=pa.string()),
+        }
+    )
+    return (
+        pairwise_eval(
+            ray.data.from_arrow(t).repartition(3), "pred", "gold"
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+
+
+def test_pairwise_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    pred = [f"c{v}" for v in rng.integers(0, 6, 120)]
+    gold = [f"g{v}" for v in rng.integers(0, 5, 120)]
+    row = _run_pairwise(pred, gold)
+    p, r = _brute_pairwise(pred, gold)
+    assert row["n_items"] == 120
+    assert row["pair_precision"] == pytest.approx(p, abs=1e-6)
+    assert row["pair_recall"] == pytest.approx(r, abs=1e-6)
+    f1 = 2 * p * r / (p + r)
+    assert row["pair_f1"] == pytest.approx(f1, abs=1e-6)
+
+
+def test_pairwise_perfect_and_degenerate():
+    row = _run_pairwise(["a", "a", "b"], ["x", "x", "y"])
+    assert row["pair_precision"] == 1.0
+    assert row["pair_recall"] == 1.0
+    assert row["pair_f1"] == 1.0
+    # no gold pairs and no pred pairs -> all-zero convention, no NaN
+    row = _run_pairwise(["a", "b", "c"], ["x", "y", "z"])
+    assert row["pair_precision"] == 0.0
+    assert row["pair_recall"] == 0.0
+    assert row["pair_f1"] == 0.0
+
+
+def test_pairwise_refinement_recall_one():
+    # gold refines pred (pred merges two gold groups): every gold
+    # pair is a pred pair -> recall exactly 1.0, precision < 1
+    pred = ["m", "m", "m", "m", "s"]
+    gold = ["x", "x", "y", "y", "z"]
+    row = _run_pairwise(pred, gold)
+    assert row["pair_recall"] == 1.0
+    assert row["pair_precision"] == pytest.approx(2 / 6, abs=1e-6)

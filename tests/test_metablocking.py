@@ -1,0 +1,108 @@
+"""Meta-blocking (token blocking + block purging + CBS pruning) vs a
+brute-force reference, plus purge-counter observability and the
+packed-id-width guard."""
+
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from bern_ray.functions.metablocking import meta_block_pairs
+from bern_ray.state import counters
+
+
+def _brute(records, purge_threshold_x2, min_common):
+    """records: list of (id, text). Token blocking with the same
+    tokenizer regime ([0-9a-zA-Z]+ runs of the lowered text)."""
+    import re
+
+    toks = {
+        i: set(re.findall(r"[0-9a-zA-Z]+", s.lower()))
+        for i, s in records
+    }
+    blocks: dict[str, list[int]] = {}
+    for i, ts in toks.items():
+        for tk in ts:
+            blocks.setdefault(tk, []).append(i)
+    pair_w: dict[tuple[int, int], int] = {}
+    for tk, ids in blocks.items():
+        if 2 * len(ids) > purge_threshold_x2:
+            continue
+        for a, b in combinations(sorted(ids), 2):
+            pair_w[(a, b)] = pair_w.get((a, b), 0) + 1
+    return {
+        (a, b): w
+        for (a, b), w in pair_w.items()
+        if w >= min_common
+    }
+
+
+def _run(records, purge_threshold_x2, min_common):
+    t = pa.table(
+        {
+            "id": pa.array([i for i, _ in records], type=pa.int64()),
+            "bt": pa.array([s for _, s in records], type=pa.string()),
+        }
+    )
+    out = meta_block_pairs(
+        ray.data.from_arrow(t).repartition(3),
+        "id",
+        "bt",
+        purge_threshold_x2=purge_threshold_x2,
+        min_common=min_common,
+    ).to_pandas()
+    return {
+        (int(r.a), int(r.b)): int(r.common_blocks)
+        for r in out.itertuples()
+    }
+
+
+def test_matches_bruteforce_random():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{k}" for k in range(12)]
+    records = [
+        (i, " ".join(rng.choice(vocab, size=4, replace=False)))
+        for i in range(80)
+    ]
+    for cap2, mc in [(160, 2), (160, 3), (40, 2)]:
+        assert _run(records, cap2, mc) == _brute(records, cap2, mc)
+
+
+def test_purged_block_excluded_and_counted():
+    # 'common' appears in every record -> purged at a half-corpus
+    # cap; pairs must then need 2 other shared tokens
+    records = [
+        (1, "common red widget"),
+        (2, "common red widget"),
+        (3, "common red bolt"),
+        (4, "common blue bolt"),
+    ]
+    before = counters.snapshot().get("metablock_purged_blocks", 0)
+    # keep blocks of size <= 3: 'common' (size 4) is the only purge
+    got = _run(records, purge_threshold_x2=6, min_common=2)
+    # only (1,2) share 2 surviving blocks {red, widget}
+    assert got == {(1, 2): 2}
+    assert _brute(records, 6, 2) == got
+    snap = counters.snapshot()
+    assert snap.get("metablock_purged_blocks", 0) >= before + 1
+    assert snap.get("metablock_purged_pairs", 0) >= 6  # C(4,2)
+
+
+def test_case_fold_and_distinct_tokens():
+    # token blocking is on DISTINCT tokens of the folded text:
+    # repeating a token must not inflate the CBS weight
+    records = [
+        (7, "Alpha alpha ALPHA beta"),
+        (9, "alpha beta beta gamma"),
+    ]
+    got = _run(records, purge_threshold_x2=100, min_common=2)
+    assert got == {(7, 9): 2}
+
+
+def test_wide_ids_rejected():
+    records = [(1 << 31, "alpha beta"), (2, "alpha beta")]
+    with pytest.raises(Exception, match="31 bits"):
+        _run(records, purge_threshold_x2=100, min_common=1)
