@@ -1331,3 +1331,87 @@ def golden_records(
         .groupby("bucket")
         .map_groups(fuse_bucket, batch_format="pandas")
     )
+
+
+def cluster_cohesion(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.9,
+    band_cap: int | None = None,
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-cluster cohesion of the near-dup clustering: for every
+    non-singleton cluster, (cluster_id, n_edges, min_jaccard,
+    mean_jaccard) over its VERIFIED intra-cluster edges — the
+    diagnostic that separates tight duplicate groups from chain-merged
+    ones (low min + high mean flags a transitive bridge worth a
+    second look before collapsing the cluster).
+
+    Composes the public pair and cluster APIs; a production run feeds
+    checkpointed pairs instead of recomputing (the linkage pipeline's
+    lineage does). Scale shape: the per-cluster aggregate is bucketed
+    (cluster-id hash, one vectorized pandas groupby per bucket) —
+    cluster cardinality is corpus-sized at 100 TB, so no native
+    per-key groupby and nothing driver-sized.
+    """
+    from ..stages.join import bucket_join
+
+    pairs = minhash_neardup(docs, threshold=threshold, band_cap=band_cap)
+    labels = dedup_clusters(
+        docs, threshold=threshold, band_cap=band_cap
+    ).map_batches(
+        lambda t: t.select(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+    edges = bucket_join(
+        pairs,
+        labels,
+        left_on="doc_id_a",
+        right_on="doc_id",
+        left_schema={
+            "doc_id_a": pa.int64(),
+            "doc_id_b": pa.int64(),
+            "jaccard": pa.float64(),
+        },
+        right_schema={"doc_id": pa.int64(), "cluster_id": pa.int64()},
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "j": t["jaccard"],
+                "bucket": pa.array(
+                    (cid.astype(np.uint64) % num_buckets).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def reduce_bucket(g: "pd.DataFrame") -> pa.Table:
+        agg = g.groupby("cluster_id", sort=False)["j"].agg(
+            ["size", "min", "mean"]
+        )
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    agg.index.to_numpy(), type=pa.int64()
+                ),
+                "n_edges": pa.array(
+                    agg["size"].to_numpy(dtype=np.int64)
+                ),
+                "min_jaccard": pa.array(agg["min"].to_numpy()),
+                "mean_jaccard": pa.array(
+                    np.round(agg["mean"].to_numpy(), 6)
+                ),
+            }
+        )
+
+    return (
+        edges.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )

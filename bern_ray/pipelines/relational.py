@@ -3193,6 +3193,50 @@ FROM tot, tp, pp, gp
 )
 
 
+def q_cluster_cohesion(sf_dir: str):
+    """Per-cluster cohesion of the near-dup clustering: for every
+    non-singleton cluster, the count / min / mean of its verified
+    intra-cluster edge Jaccards — the diagnostic that separates tight
+    duplicate groups from chain-merged ones (a low min with a high
+    mean flags a transitive bridge). Composes the public pair and
+    cluster APIs (`fdedup.cluster_cohesion`); a production run feeds
+    the checkpointed pair output instead of recomputing
+    (pipelines/linkage.py lineage). The per-cluster aggregate is
+    bucketed (cluster-id hash, vectorized in-bucket pandas groupby) —
+    cluster cardinality is corpus-sized at 100 TB, so no native
+    per-key groupby and nothing driver-sized."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.cluster_cohesion(docs, threshold=0.9)
+
+
+SQL_CLUSTER_COHESION = (
+    _CLUSTERS_CTE
+    + """,
+edges AS (
+  SELECT a.doc_id AS u,
+         round(len(list_intersect(a.ss, b.ss))::DOUBLE
+               / len(list_distinct(list_concat(a.ss, b.ss))), 6) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.ss) > 0 AND len(b.ss) > 0
+    AND least(len(a.ss), len(b.ss))::DOUBLE
+        / greatest(len(a.ss), len(b.ss)) >= 0.9
+    AND len(list_intersect(a.ss, b.ss))::DOUBLE
+        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.9
+),
+cl AS (
+  SELECT e.j, coalesce(least(e.u, l.mn), e.u) AS cluster_id
+  FROM edges e LEFT JOIN lab l ON l.doc_id = e.u
+)
+SELECT cluster_id, count(*)::BIGINT AS n_edges,
+       min(j) AS min_jaccard, round(avg(j), 6) AS mean_jaccard
+FROM cl GROUP BY 1
+"""
+)
+
+
 def q_meta_blocking(sf_dir: str):
     """Meta-blocking (token blocking + block purging + CBS pruning,
     Papadakis et al. TKDE 2014) over the part table: records are
@@ -3646,6 +3690,7 @@ DRIVER_EXCLUDE = {
     "clean_corpus",  # local gate + pytest (keeps driver at 50)
     "pairwise_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
+    "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
     "pubmed_roundtrip",  # S8 XML wire formats (local gate + pytest)
     "sample_docs",  # subsumed by stratified_sample
@@ -3745,6 +3790,7 @@ REGISTRY: dict[str, tuple] = {
     "b3_dedup_eval": (q_b3_dedup_eval, SQL_B3_DEDUP_EVAL),
     "pairwise_dedup_eval": (q_pairwise_dedup_eval, SQL_PAIRWISE_DEDUP_EVAL),
     "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
+    "cluster_cohesion": (q_cluster_cohesion, SQL_CLUSTER_COHESION),
     "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
     "approx_quantiles": (q_approx_quantiles, None),
     "bloom_new_docs": (q_bloom_new_docs, None),

@@ -146,3 +146,110 @@ def test_golden_records_lang_mode_tie(ray_session):
     assert list(out.index) == [10]
     assert out.loc[10, "survivor_doc_id"] == 11
     assert out.loc[10, "lang_mode"] == "de"
+
+
+# ---- per-cluster cohesion over verified intra-cluster edges ----
+
+
+def _brute_cohesion(docs, threshold):
+    """3-gram shingle jaccard all-pairs + union-find, per-cluster
+    (n_edges, min_j, mean_j) — the oracle semantics in miniature."""
+    import re
+
+    import numpy as np
+
+    def shingles(s):
+        ts = re.findall(r"[0-9a-zA-Z]+", s.lower())
+        return set(
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        )
+
+    sh = {i: shingles(s) for i, s in docs}
+    parent = {i: i for i, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = []
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            sa, sb = sh[a], sh[b]
+            if not sa or not sb:
+                continue
+            if min(len(sa), len(sb)) / max(len(sa), len(sb)) < threshold:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                edges.append((a, b, round(j, 6)))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for a, b, j in edges:
+        out.setdefault(find(a), []).append(j)
+    return {
+        c: (
+            len(js),
+            min(js),
+            round(float(np.mean(js)), 6),
+        )
+        for c, js in out.items()
+    }
+
+
+def test_cluster_cohesion_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data
+
+    from bern_ray.functions.dedup import cluster_cohesion
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+        "psi omega one two three four five six seven eight nine ten"
+    )
+    # 0-1-2: a transitive chain (0~1 and 1~2 verify; 0~2 is looser),
+    # 5-6: an identical pair, rest singletons
+    docs = [
+        (0, base),
+        (1, base + " extra"),
+        (2, base + " extra more"),
+        (3, "a completely unrelated document about streaming "
+            "execution with backpressure over arrow blocks in a "
+            "distributed object store with deterministic spilling"),
+        (5, "twin text payload shared verbatim between two rows of "
+            "this corpus fixture exercising the identical pair path "
+            "with jaccard exactly one end to end"),
+        (6, "twin text payload shared verbatim between two rows of "
+            "this corpus fixture exercising the identical pair path "
+            "with jaccard exactly one end to end"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([s for _, s in docs], type=pa.string()),
+        }
+    )
+    got = (
+        cluster_cohesion(
+            ray.data.from_arrow(t).repartition(3), threshold=0.8
+        )
+        .to_pandas()
+        .set_index("cluster_id")
+        .sort_index()
+    )
+    want = _brute_cohesion(docs, 0.8)
+    assert set(got.index) == set(want)
+    for c, (n, mn, mean) in want.items():
+        assert got.loc[c, "n_edges"] == n
+        assert got.loc[c, "min_jaccard"] == pytest.approx(mn, abs=1e-9)
+        assert got.loc[c, "mean_jaccard"] == pytest.approx(
+            mean, abs=1e-6
+        )
+    # the identical pair clusters at jaccard exactly 1.0
+    assert got.loc[5, "min_jaccard"] == 1.0
