@@ -3295,6 +3295,75 @@ SELECT a, b, common_blocks FROM pairs WHERE common_blocks >= 3
 """
 
 
+def q_meta_blocking_topk(sf_dir: str):
+    """Cardinality node pruning (CNP) over the CBS blocking graph:
+    after the weight floor (>= 2 common blocks), every record retains
+    its 3 strongest neighbors (weight desc, id asc tie-break) and a
+    pair survives if EITHER endpoint retains it — the
+    redundancy-positive retention of Papadakis et al. TKDE 2014.
+    Same record/blocking regime as meta_blocking."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.metablocking import meta_block_topk
+
+    path = f"{sf_dir}/part.parquet"
+    n_records = _pq.read_metadata(path).num_rows
+
+    def blocking_text(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["p_partkey"],
+                "bt": pc.binary_join_element_wise(
+                    t["p_name"], t["p_type"], t["p_brand"], " "
+                ),
+            }
+        )
+
+    recs = read_parquet_clean(
+        path, columns=["p_partkey", "p_name", "p_type", "p_brand"]
+    ).map_batches(blocking_text, batch_format="pyarrow")
+    return meta_block_topk(
+        recs,
+        "id",
+        "bt",
+        purge_threshold_x2=n_records,
+        min_common=2,
+        k=3,
+    )
+
+
+SQL_META_BLOCKING_TOPK = """
+WITH tok AS (
+  SELECT DISTINCT id, token FROM (
+    SELECT p_partkey AS id,
+           unnest(regexp_extract_all(
+             lower(p_name || ' ' || p_type || ' ' || p_brand),
+             '[0-9a-zA-Z]+')) AS token
+    FROM part)
+),
+ok AS (SELECT token FROM tok
+       GROUP BY token
+       HAVING count(*) * 2 <= (SELECT count(*) FROM part)),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, count(*)::BIGINT AS common_blocks
+  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+  JOIN ok ON ok.token = a.token
+  GROUP BY 1, 2),
+p2 AS (SELECT * FROM pairs WHERE common_blocks >= 2),
+dir AS (SELECT a AS node, b AS nbr, common_blocks FROM p2
+        UNION ALL
+        SELECT b AS node, a AS nbr, common_blocks FROM p2),
+rk AS (SELECT node, nbr, common_blocks,
+              row_number() OVER (
+                PARTITION BY node
+                ORDER BY common_blocks DESC, nbr) AS rn
+       FROM dir)
+SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b,
+       common_blocks
+FROM rk WHERE rn <= 3
+"""
+
+
 SQL_GOLDEN_RECORDS = (
     _CLUSTERS_CTE
     + f""",
@@ -3690,6 +3759,7 @@ DRIVER_EXCLUDE = {
     "clean_corpus",  # local gate + pytest (keeps driver at 50)
     "pairwise_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
+    "meta_blocking_topk",  # local gate + pytest (keeps driver at 50)
     "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
     "pubmed_roundtrip",  # S8 XML wire formats (local gate + pytest)
@@ -3790,6 +3860,7 @@ REGISTRY: dict[str, tuple] = {
     "b3_dedup_eval": (q_b3_dedup_eval, SQL_B3_DEDUP_EVAL),
     "pairwise_dedup_eval": (q_pairwise_dedup_eval, SQL_PAIRWISE_DEDUP_EVAL),
     "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
+    "meta_blocking_topk": (q_meta_blocking_topk, SQL_META_BLOCKING_TOPK),
     "cluster_cohesion": (q_cluster_cohesion, SQL_CLUSTER_COHESION),
     "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
     "approx_quantiles": (q_approx_quantiles, None),

@@ -106,3 +106,70 @@ def test_wide_ids_rejected():
     records = [(1 << 31, "alpha beta"), (2, "alpha beta")]
     with pytest.raises(Exception, match="31 bits"):
         _run(records, purge_threshold_x2=100, min_common=1)
+
+
+# ---- CNP: per-node top-k retention over the CBS graph ----
+
+from bern_ray.functions.metablocking import meta_block_topk
+
+
+def _brute_topk(records, purge_threshold_x2, min_common, k):
+    pairs = _brute(records, purge_threshold_x2, min_common)
+    nbrs: dict[int, list[tuple[int, int]]] = {}
+    for (a, b), w in pairs.items():
+        nbrs.setdefault(a, []).append((w, b))
+        nbrs.setdefault(b, []).append((w, a))
+    keep = set()
+    for node, lst in nbrs.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for w, nbr in lst[:k]:
+            keep.add((min(node, nbr), max(node, nbr)))
+    return {p: pairs[p] for p in keep}
+
+
+def _run_topk(records, purge_threshold_x2, min_common, k):
+    t = pa.table(
+        {
+            "id": pa.array([i for i, _ in records], type=pa.int64()),
+            "bt": pa.array([s for _, s in records], type=pa.string()),
+        }
+    )
+    out = meta_block_topk(
+        ray.data.from_arrow(t).repartition(3),
+        "id",
+        "bt",
+        purge_threshold_x2=purge_threshold_x2,
+        min_common=min_common,
+        k=k,
+    ).to_pandas()
+    return {
+        (int(r.a), int(r.b)): int(r.common_blocks)
+        for r in out.itertuples()
+    }
+
+
+def test_topk_matches_bruteforce_random():
+    rng = np.random.default_rng(23)
+    vocab = [f"w{v}" for v in range(10)]
+    records = [
+        (i, " ".join(rng.choice(vocab, size=5, replace=False)))
+        for i in range(60)
+    ]
+    for cap2, mc, k in [(120, 2, 3), (120, 1, 2), (60, 2, 1)]:
+        assert _run_topk(records, cap2, mc, k) == _brute_topk(
+            records, cap2, mc, k
+        )
+
+
+def test_topk_either_endpoint_retention():
+    # hub h is strongly tied to x (3 common) and weakly to y (2);
+    # with k=1 the hub keeps only x — but y keeps the hub, so the
+    # (h, y) pair SURVIVES via y's side (redundancy-positive)
+    records = [
+        (1, "red green blue cyan"),       # h
+        (2, "red green blue magenta"),    # x: 3 common with h
+        (3, "red green yellow black"),    # y: 2 common with h
+    ]
+    got = _run_topk(records, 100, 2, 1)
+    assert (1, 2) in got and got[(1, 2)] == 3
+    assert (1, 3) in got  # retained by y even though h pruned it
