@@ -3364,6 +3364,206 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q_meta_blocking_quality(sf_dir: str):
+    """Blocking-scheme evaluation of the CNP-pruned meta-blocking
+    (SparkER/JedAI metrics, over the scheme itself rather than the
+    linkage pipeline's fold keys like er_blocking_quality): PAIR
+    COMPLETENESS = gold pairs (identical name+type+brand triples)
+    surviving the pruned candidate set, REDUCTION RATIO =
+    1 - candidates / C(N,2). Gold-pair counts come from sum C(g,2)
+    over triple groups (value_counts partials — no pair inventory);
+    the candidate/matched counts attach triples to both endpoints via
+    two bucket_joins and reduce to driver scalars. Everything integer
+    until the final two ratios."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.metablocking import meta_block_topk
+    from ..stages.join import bucket_join
+
+    path = f"{sf_dir}/part.parquet"
+    n_records = _pq.read_metadata(path).num_rows
+
+    def with_triple(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["p_partkey"],
+                "bt": pc.binary_join_element_wise(
+                    t["p_name"], t["p_type"], t["p_brand"], " "
+                ),
+                "triple": pc.binary_join_element_wise(
+                    t["p_name"], t["p_type"], t["p_brand"], "\x1f"
+                ),
+            }
+        )
+
+    recs = read_parquet_clean(
+        path, columns=["p_partkey", "p_name", "p_type", "p_brand"]
+    ).map_batches(with_triple, batch_format="pyarrow")
+
+    # gold pairs: sum C(g,2) over identical-triple groups
+    def triple_counts(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["triple"].combine_chunks())
+        return pa.table(
+            {
+                "triple": vc.field("values"),
+                "partial": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    gold_pairs = int(
+        recs.map_batches(triple_counts, batch_format="pyarrow")
+        .groupby("triple")
+        .sum("partial")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "g2": pa.array(
+                        [
+                            int(
+                                (
+                                    lambda g: (g * (g - 1) // 2).sum()
+                                )(
+                                    t["sum(partial)"]
+                                    .combine_chunks()
+                                    .to_numpy(zero_copy_only=False)
+                                )
+                            )
+                        ],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("g2")
+        or 0
+    )
+
+    cands = meta_block_topk(
+        recs,
+        "id",
+        "bt",
+        purge_threshold_x2=n_records,
+        min_common=2,
+        k=3,
+    )
+    triples = recs.map_batches(
+        lambda t: t.select(["id", "triple"]), batch_format="pyarrow"
+    )
+    pair_schema = {
+        "a": pa.int64(),
+        "b": pa.int64(),
+        "common_blocks": pa.int64(),
+    }
+    j1 = bucket_join(
+        cands,
+        triples,
+        left_on="a",
+        right_on="id",
+        left_schema=pair_schema,
+        right_schema={"id": pa.int64(), "triple": pa.string()},
+    ).map_batches(
+        lambda t: pa.table(
+            {"b": t["b"], "triple_a": t["triple"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = bucket_join(
+        j1,
+        triples,
+        left_on="b",
+        right_on="id",
+        left_schema={"b": pa.int64(), "triple_a": pa.string()},
+        right_schema={"id": pa.int64(), "triple": pa.string()},
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "one": pa.array(
+                    np.ones(t.num_rows, dtype=np.int64)
+                ),
+                "hit": pc.cast(
+                    pc.equal(t["triple_a"], t["triple"]), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_cand = int(j2.sum("one") or 0)
+    n_matched = int(j2.sum("hit") or 0)
+    total_pairs = n_records * (n_records - 1) // 2
+    pc_ratio = n_matched / gold_pairs if gold_pairs else 0.0
+    rr = 1.0 - n_cand / total_pairs if total_pairs else 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_candidates": pa.array([n_cand], type=pa.int64()),
+                "gold_pairs": pa.array([gold_pairs], type=pa.int64()),
+                "matched_gold": pa.array(
+                    [n_matched], type=pa.int64()
+                ),
+                "pair_completeness": pa.array([round(pc_ratio, 6)]),
+                "reduction_ratio": pa.array([round(rr, 6)]),
+            }
+        )
+    )
+
+
+SQL_META_BLOCKING_QUALITY = """
+WITH tok AS (
+  SELECT DISTINCT id, token FROM (
+    SELECT p_partkey AS id,
+           unnest(regexp_extract_all(
+             lower(p_name || ' ' || p_type || ' ' || p_brand),
+             '[0-9a-zA-Z]+')) AS token
+    FROM part)
+),
+ok AS (SELECT token FROM tok
+       GROUP BY token
+       HAVING count(*) * 2 <= (SELECT count(*) FROM part)),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, count(*)::BIGINT AS common_blocks
+  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+  JOIN ok ON ok.token = a.token
+  GROUP BY 1, 2),
+p2 AS (SELECT * FROM pairs WHERE common_blocks >= 2),
+dir AS (SELECT a AS node, b AS nbr, common_blocks FROM p2
+        UNION ALL
+        SELECT b AS node, a AS nbr, common_blocks FROM p2),
+rk AS (SELECT node, nbr, common_blocks,
+              row_number() OVER (
+                PARTITION BY node
+                ORDER BY common_blocks DESC, nbr) AS rn
+       FROM dir),
+cand AS (SELECT DISTINCT least(node, nbr) AS a,
+                greatest(node, nbr) AS b
+         FROM rk WHERE rn <= 3),
+tr AS (SELECT p_partkey AS id,
+              p_name || chr(31) || p_type || chr(31) || p_brand
+                AS triple
+       FROM part),
+gold AS (SELECT coalesce(sum(g * (g - 1) // 2), 0)::BIGINT AS n
+         FROM (SELECT count(*) AS g FROM tr GROUP BY triple)),
+hits AS (
+  SELECT count(*)::BIGINT AS n_cand,
+         coalesce(sum(CASE WHEN ta.triple = tb.triple
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_match
+  FROM cand c
+  JOIN tr ta ON ta.id = c.a
+  JOIN tr tb ON tb.id = c.b),
+tot AS (SELECT count(*)::BIGINT AS n FROM part)
+SELECT hits.n_cand AS n_candidates,
+       gold.n AS gold_pairs,
+       hits.n_match AS matched_gold,
+       round(CASE WHEN gold.n > 0
+                  THEN hits.n_match::DOUBLE / gold.n
+                  ELSE 0.0 END, 6) AS pair_completeness,
+       round(1.0 - hits.n_cand::DOUBLE
+                   / (tot.n * (tot.n - 1) // 2), 6)
+         AS reduction_ratio
+FROM hits, gold, tot
+"""
+
+
 SQL_GOLDEN_RECORDS = (
     _CLUSTERS_CTE
     + f""",
@@ -3760,6 +3960,7 @@ DRIVER_EXCLUDE = {
     "pairwise_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_topk",  # local gate + pytest (keeps driver at 50)
+    "meta_blocking_quality",  # local gate + pytest (keeps driver at 50)
     "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
     "pubmed_roundtrip",  # S8 XML wire formats (local gate + pytest)
@@ -3861,6 +4062,10 @@ REGISTRY: dict[str, tuple] = {
     "pairwise_dedup_eval": (q_pairwise_dedup_eval, SQL_PAIRWISE_DEDUP_EVAL),
     "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
     "meta_blocking_topk": (q_meta_blocking_topk, SQL_META_BLOCKING_TOPK),
+    "meta_blocking_quality": (
+        q_meta_blocking_quality,
+        SQL_META_BLOCKING_QUALITY,
+    ),
     "cluster_cohesion": (q_cluster_cohesion, SQL_CLUSTER_COHESION),
     "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
     "approx_quantiles": (q_approx_quantiles, None),

@@ -173,3 +173,30 @@ def test_topk_either_endpoint_retention():
     got = _run_topk(records, 100, 2, 1)
     assert (1, 2) in got and got[(1, 2)] == 3
     assert (1, 3) in got  # retained by y even though h pruned it
+
+
+# ---- scheme-quality metrics (pair completeness / reduction ratio) ----
+
+
+def test_quality_metrics_bruteforce():
+    """meta_blocking_quality composition in miniature: gold = identical
+    blocking text, candidates = CNP output; PC/RR from counts."""
+    records = [
+        (1, "red widget promo brand4"),
+        (2, "red widget promo brand4"),     # gold pair with 1
+        (3, "red widget economy brand4"),
+        (4, "blue bolt standard brand9"),
+        (5, "blue bolt standard brand9"),   # gold pair with 4
+        (6, "hot gear promo brand9"),
+    ]
+    cands = _run_topk(records, 100, 2, 3)
+    gold = {(1, 2), (4, 5)}
+    matched = gold & set(cands)
+    n = len(records)
+    pc_ = len(matched) / len(gold)
+    rr = 1 - len(cands) / (n * (n - 1) // 2)
+    # identical-text pairs share every token -> max CBS weight -> CNP
+    # retains them: completeness 1.0 on this corpus
+    assert pc_ == 1.0
+    assert 0 < rr < 1
+    assert cands == _brute_topk(records, 100, 2, 3)
