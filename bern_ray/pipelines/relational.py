@@ -2235,6 +2235,123 @@ FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < {SN_WINDOW}
 """
 
 
+def q_snm_multipass(sf_dir: str):
+    """MULTI-PASS sorted-neighborhood (Hernandez & Stolfo's actual
+    production recipe: several cheap sort keys, union the windows —
+    one key misses duplicates the next key catches): pass 1 windows
+    the (n_chars, doc_id) order, pass 2 the (lang, n_chars, doc_id)
+    order; candidate set = distinct union, canonicalized a < b. The
+    second key packs lang's 2 ASCII bytes above n_chars/doc_id so the
+    int64 okey order equals the SQL's lexicographic (lang, n_chars,
+    doc_id) order exactly. The union dedups on the packed pair key
+    through the bucketed reduce (no driver-side set)."""
+    from ..stages.order import sorted_neighborhood
+
+    docs = _docs(sf_dir)
+
+    def pack1(t: pa.Table) -> pa.Table:
+        okey = (
+            t["n_chars"].to_numpy(zero_copy_only=False) << np.int64(32)
+        ) | t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "okey": okey})
+
+    def pack2(t: pa.Table) -> pa.Table:
+        from ..functions.textstats import _as_string_array
+
+        lang = _as_string_array(t["lang"])
+        offs = np.frombuffer(lang.buffers()[1], dtype=np.int32)[
+            lang.offset : lang.offset + len(lang) + 1
+        ].astype(np.int64)
+        if not (np.diff(offs) == 2).all():
+            raise ValueError("lang codes must be 2 ASCII chars")
+        data = np.frombuffer(lang.buffers()[2], dtype=np.uint8)
+        b0 = data[offs[:-1]].astype(np.int64)
+        b1 = data[offs[:-1] + 1].astype(np.int64)
+        # 2-char ASCII codes: byte order == string order, so the
+        # packed int64 sorts exactly like (lang, n_chars, doc_id)
+        okey = (
+            (b0 << np.int64(54))
+            | (b1 << np.int64(46))
+            | (
+                t["n_chars"].to_numpy(zero_copy_only=False)
+                << np.int64(32)
+            )
+            | t["doc_id"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"doc_id": t["doc_id"], "okey": okey})
+
+    p1 = sorted_neighborhood(
+        docs.map_batches(pack1, batch_format="pyarrow"),
+        "okey",
+        "doc_id",
+        SN_WINDOW,
+    )
+    p2 = sorted_neighborhood(
+        docs.map_batches(pack2, batch_format="pyarrow"),
+        "okey",
+        "doc_id",
+        SN_WINDOW,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["id_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        pair = (lo << np.int64(31)) | hi
+        with np.errstate(over="ignore"):
+            pb = (
+                pair.astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(40)
+            ) % 256
+        return pa.table(
+            {
+                "pair": pa.array(pair, type=pa.int64()),
+                "bucket": pa.array(pb.astype(np.int64)),
+            }
+        )
+
+    def dedup_bucket(g: "pd.DataFrame") -> pa.Table:
+        pairk = np.unique(g["pair"].to_numpy(dtype=np.int64))
+        return pa.table(
+            {
+                "id_a": pa.array(pairk >> np.int64(31), type=pa.int64()),
+                "id_b": pa.array(
+                    pairk & np.int64((1 << 31) - 1), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        p1.union(p2)
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
+
+
+SQL_SNM_MULTIPASS = f"""
+WITH r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+),
+r2 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+  FROM documents
+),
+u AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM r1 a JOIN r1 b ON b.rn > a.rn AND b.rn - a.rn < {SN_WINDOW}
+  UNION ALL
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM r2 a JOIN r2 b ON b.rn > a.rn AND b.rn - a.rn < {SN_WINDOW}
+)
+SELECT DISTINCT least(u, v) AS id_a, greatest(u, v) AS id_b FROM u
+"""
+
+
 def q_group_quantiles(sf_dir: str):
     """Exact per-group discrete quantiles (median + p90 per
     event_type) on the same bounded cents histogram as
@@ -3961,6 +4078,7 @@ DRIVER_EXCLUDE = {
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_topk",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_quality",  # local gate + pytest (keeps driver at 50)
+    "snm_multipass",  # local gate + pytest (keeps driver at 50)
     "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
     "pubmed_roundtrip",  # S8 XML wire formats (local gate + pytest)
@@ -4042,6 +4160,7 @@ REGISTRY: dict[str, tuple] = {
     "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
     "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
     "sorted_neighbors": (q_sorted_neighbors, SQL_SORTED_NEIGHBORS),
+    "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
     "local_supplier_volume": (
         q_local_supplier_volume,
         SQL_LOCAL_SUPPLIER_VOLUME,

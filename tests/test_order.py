@@ -83,3 +83,56 @@ def test_sorted_neighborhood_rejects_tiny_window(ray_session):
 
     with pytest.raises(ValueError):
         sorted_neighborhood(_make_ds([1, 2]), "okey", "doc_id", 1)
+
+
+# ---- multi-pass SNM: union of windows over two sort keys ----
+
+
+def test_snm_multipass_second_key_catches(ray_session, tmp_path):
+    """Two zh docs sit at opposite ends of the length order (pass 1
+    cannot window them together across the en crowd) but are adjacent
+    in the (lang, n_chars) order — the multi-pass union must contain
+    their pair, and must equal the brute-force two-window union."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bern_ray.pipelines.relational import (
+        SQL_SNM_MULTIPASS,
+        q_snm_multipass,
+    )
+
+    n_en = 30
+    rows = [(i, "x" * (10 + i), "en") for i in range(n_en)]
+    rows.append((100, "z" * 5, "zh"))      # shortest doc overall
+    rows.append((101, "z" * 200, "zh"))    # longest doc overall
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array([r[2] for r in rows], type=pa.string()),
+            "source": pa.array(["s"] * len(rows), type=pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = {
+        (int(r.id_a), int(r.id_b))
+        for r in q_snm_multipass(str(tmp_path))
+        .to_pandas()
+        .itertuples()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    want = {
+        (a, b)
+        for a, b in con.execute(SQL_SNM_MULTIPASS).fetchall()
+    }
+    assert got == want
+    assert (100, 101) in got  # only pass 2 can produce this pair
