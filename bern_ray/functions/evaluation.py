@@ -162,6 +162,61 @@ def bcubed(
     )
 
 
+def _axis_reduce(cont: "ray.data.Dataset", axis: str, per_label) -> float:
+    """Bucketed marginal pass over the contingency Dataset: group
+    the cells of one axis by a 256-way label-hash bucket, sum ``n``
+    per REAL label inside each bucket (vectorized pandas groupby),
+    map the label sums through ``per_label`` (np float array -> np
+    float array of per-label contributions) and return the global
+    sum. Marginal cardinality (#clusters / #gold labels) never
+    reaches the driver."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = _token_h64(t[axis]).astype(np.uint64)
+        return pa.table(
+            {
+                "lab": t[axis],
+                "n": t["n"],
+                "bucket": pa.array(
+                    (h % _B3_NUM_BUCKETS).astype(np.int64)
+                ),
+            }
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        s = (
+            g.groupby("lab", sort=False)["n"]
+            .sum()
+            .to_numpy(dtype=np.float64)
+        )
+        return pa.table({"p": pa.array(per_label(s), type=pa.float64())})
+
+    return float(
+        cont.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .sum("p")
+    )
+
+
+def _comb2(s: np.ndarray) -> np.ndarray:
+    return s * (s - 1) / 2.0
+
+
+def _cell_sum(cont: "ray.data.Dataset", per_cell) -> float:
+    """Sum of ``per_cell(n)`` over the contingency cells (one partial
+    scalar per batch, then a driver-side sum of scalars)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = n.astype(np.float64)
+        return pa.table({"v": pa.array([float(per_cell(n).sum())])})
+
+    return float(
+        cont.map_batches(partial, batch_format="pyarrow").sum("v")
+    )
+
+
 def pairwise_eval(
     items: "ray.data.Dataset", pred_col: str, gold_col: str
 ) -> "ray.data.Dataset":
@@ -185,57 +240,10 @@ def pairwise_eval(
     the driver receives three scalars.
     """
     cont = _contingency(items, pred_col, gold_col)
-
-    def tp_partial(t: pa.Table) -> pa.Table:
-        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
-        n = n.astype(np.float64)
-        return pa.table(
-            {"tp": pa.array([float((n * (n - 1) / 2.0).sum())])}
-        )
-
-    def axis_pairs(axis: str) -> float:
-        # sum over labels of C(sum n, 2) for that axis
-        def tag(t: pa.Table) -> pa.Table:
-            h = _token_h64(t[axis]).astype(np.uint64)
-            return pa.table(
-                {
-                    "lab": t[axis],
-                    "n": t["n"],
-                    "bucket": pa.array(
-                        (h % _B3_NUM_BUCKETS).astype(np.int64)
-                    ),
-                }
-            )
-
-        def reduce_bucket(g: pd.DataFrame) -> pa.Table:
-            s = (
-                g.groupby("lab", sort=False)["n"]
-                .sum()
-                .to_numpy(dtype=np.float64)
-            )
-            return pa.table(
-                {"p": pa.array(s * (s - 1) / 2.0, type=pa.float64())}
-            )
-
-        return float(
-            cont.map_batches(tag, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(reduce_bucket, batch_format="pandas")
-            .sum("p")
-        )
-
     n_items = cont.sum("n")
-    tp = (
-        float(
-            cont.map_batches(tp_partial, batch_format="pyarrow").sum(
-                "tp"
-            )
-        )
-        if n_items
-        else 0.0
-    )
-    pred_pairs = axis_pairs("pred") if n_items else 0.0
-    gold_pairs = axis_pairs("gold") if n_items else 0.0
+    tp = _cell_sum(cont, _comb2) if n_items else 0.0
+    pred_pairs = _axis_reduce(cont, "pred", _comb2) if n_items else 0.0
+    gold_pairs = _axis_reduce(cont, "gold", _comb2) if n_items else 0.0
     prec = tp / pred_pairs if pred_pairs else 0.0
     rec = tp / gold_pairs if gold_pairs else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
@@ -248,6 +256,110 @@ def pairwise_eval(
                 "pair_precision": pa.array([round(prec, 6)]),
                 "pair_recall": pa.array([round(rec, 6)]),
                 "pair_f1": pa.array([round(f1, 6)]),
+            }
+        )
+    )
+
+
+def adjusted_rand(
+    items: "ray.data.Dataset", pred_col: str, gold_col: str
+) -> "ray.data.Dataset":
+    """-> one-row Dataset (n_items, tp_pairs, pred_pairs, gold_pairs,
+    ari): ADJUSTED RAND INDEX of a predicted clustering against gold
+    labels (Hubert & Arabie 1985) — chance-corrected pair agreement,
+    the standard partition-comparison metric alongside pairwise F1.
+
+    Identity (pure function of the same three contingency sums
+    pairwise_eval computes, never of items or pairs):
+
+        TP = sum_{c,g} C(n_cg, 2);  PP = sum_c C(n_c, 2);
+        GP = sum_g C(n_g, 2);  E = PP*GP / C(N, 2)
+        ARI = (TP - E) / ((PP + GP)/2 - E)
+
+    All sums are integer-valued (exact in float64 far below 2^53), so
+    the result matches a SQL oracle's double arithmetic bit-for-bit.
+    Degenerate case (both partitions all-singletons or one block,
+    denominator 0): returns 1.0 — the partitions are identical.
+    Scale shape: shared with bcubed/pairwise_eval (`_contingency` +
+    bucketed marginal passes); the driver receives scalars."""
+    cont = _contingency(items, pred_col, gold_col)
+    n_items = int(cont.sum("n") or 0)
+    tp = _cell_sum(cont, _comb2) if n_items else 0.0
+    pp = _axis_reduce(cont, "pred", _comb2) if n_items else 0.0
+    gp = _axis_reduce(cont, "gold", _comb2) if n_items else 0.0
+    total = n_items * (n_items - 1) / 2.0
+    e = pp * gp / total if total else 0.0
+    denom = (pp + gp) / 2.0 - e
+    ari = (tp - e) / denom if denom else 1.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([n_items], type=pa.int64()),
+                "tp_pairs": pa.array([int(tp)], type=pa.int64()),
+                "pred_pairs": pa.array([int(pp)], type=pa.int64()),
+                "gold_pairs": pa.array([int(gp)], type=pa.int64()),
+                "ari": pa.array([round(ari, 6)], type=pa.float64()),
+            }
+        )
+    )
+
+
+def nmi(
+    items: "ray.data.Dataset", pred_col: str, gold_col: str
+) -> "ray.data.Dataset":
+    """-> one-row Dataset (n_items, h_pred, h_gold, mi, nmi):
+    NORMALIZED MUTUAL INFORMATION (arithmetic-mean normalization,
+    natural log) of a predicted clustering against gold labels — the
+    information-theoretic partition-comparison metric complementing
+    ARI's pair-counting view.
+
+    Identity via the entropy decomposition — each term is an
+    INDEPENDENT sum over the contingency table / one marginal, so no
+    cell ever needs to see its marginals (no join):
+
+        H_joint = -sum_{c,g} (n_cg/N) ln(n_cg/N)
+        H_pred  = -sum_c (n_c/N) ln(n_c/N);  H_gold likewise
+        MI = H_pred + H_gold - H_joint
+        NMI = 2*MI / (H_pred + H_gold)   (1.0 when both entropies
+                                          are 0: identical trivial
+                                          partitions)
+
+    Scale shape: shared with bcubed (`_contingency` + bucketed
+    marginal passes). Float sums are rounded to 6 decimals, same
+    regime the b3 oracle has proven stable."""
+    cont = _contingency(items, pred_col, gold_col)
+    n_items = int(cont.sum("n") or 0)
+    if not n_items:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_items": pa.array([0], type=pa.int64()),
+                    "h_pred": pa.array([0.0]),
+                    "h_gold": pa.array([0.0]),
+                    "mi": pa.array([0.0]),
+                    "nmi": pa.array([0.0]),
+                }
+            )
+        )
+    n = float(n_items)
+
+    def ent(s: np.ndarray) -> np.ndarray:
+        p = s / n
+        return -p * np.log(p)
+
+    h_joint = _cell_sum(cont, ent)
+    h_pred = _axis_reduce(cont, "pred", ent)
+    h_gold = _axis_reduce(cont, "gold", ent)
+    mi = max(h_pred + h_gold - h_joint, 0.0)
+    nmi_v = 2.0 * mi / (h_pred + h_gold) if h_pred + h_gold else 1.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([n_items], type=pa.int64()),
+                "h_pred": pa.array([round(h_pred, 6)]),
+                "h_gold": pa.array([round(h_gold, 6)]),
+                "mi": pa.array([round(mi, 6)]),
+                "nmi": pa.array([round(nmi_v, 6)]),
             }
         )
     )

@@ -3201,19 +3201,14 @@ def q_b3_dedup_eval(sf_dir: str):
     )
 
 
-def q_pairwise_dedup_eval(sf_dir: str):
-    """PAIRWISE precision/recall/F1 — the north rule's headline metric
-    shape (pairwise F1 over labeled pairs) — of the LOOSE near-dup
-    clustering (jaccard >= 0.8) against the STRICT one (>= 0.9) as
-    gold. The 0.9 edges are a subset of the 0.8 edges, so the strict
-    clustering refines the loose one: pair recall is exactly 1.0 and
-    precision measures how much loosening the threshold coarsens the
-    clusters (a cluster-stability eval with non-degenerate value at
-    every sf — the md5 gold has zero duplicate pairs in this corpus).
-    Computed from contingency sums (sum C(n,2) per cell/marginal),
-    never from a pair inventory. Same doc subset / oracle regime as
-    dedup_clusters."""
-    from ..functions.evaluation import pairwise_eval
+def _loose_strict_items(sf_dir: str):
+    """Shared input of the partition-comparison evals: one row per
+    doc (doc_id < MINHASH_MAX_DOC) carrying its LOOSE near-dup
+    cluster id (jaccard >= 0.8, column p_cid) and its STRICT one
+    (>= 0.9, column g_cid), joined on doc_id. The 0.9 edges are a
+    subset of the 0.8 edges, so strict refines loose — a
+    cluster-stability comparison with non-degenerate value at every
+    sf (the md5 gold has zero duplicate pairs in this corpus)."""
     from ..stages.join import bucket_join
 
     docs = read_parquet_clean(
@@ -3237,7 +3232,7 @@ def q_pairwise_dedup_eval(sf_dir: str):
     gold = fdedup.dedup_clusters(docs, threshold=0.9).map_batches(
         lab_cols("g"), batch_format="pyarrow"
     )
-    items = bucket_join(
+    return bucket_join(
         pred,
         gold,
         left_on="p",
@@ -3245,7 +3240,40 @@ def q_pairwise_dedup_eval(sf_dir: str):
         left_schema={"p": pa.int64(), "p_cid": pa.int64()},
         right_schema={"g": pa.int64(), "g_cid": pa.int64()},
     )
-    return pairwise_eval(items, "p_cid", "g_cid")
+
+
+def q_pairwise_dedup_eval(sf_dir: str):
+    """PAIRWISE precision/recall/F1 — the north rule's headline metric
+    shape (pairwise F1 over labeled pairs) — of the LOOSE near-dup
+    clustering (jaccard >= 0.8) against the STRICT one (>= 0.9) as
+    gold: pair recall is exactly 1.0 and precision measures how much
+    loosening the threshold coarsens the clusters. Computed from
+    contingency sums (sum C(n,2) per cell/marginal), never from a
+    pair inventory. Same doc subset / oracle regime as
+    dedup_clusters."""
+    from ..functions.evaluation import pairwise_eval
+
+    return pairwise_eval(_loose_strict_items(sf_dir), "p_cid", "g_cid")
+
+
+def q_ari_dedup_eval(sf_dir: str):
+    """ADJUSTED RAND INDEX (Hubert & Arabie 1985) of the loose
+    near-dup clustering against the strict one — chance-corrected
+    pair agreement over the same contingency sums pairwise_dedup_eval
+    uses (integer-exact, so the DuckDB oracle matches bit-for-bit)."""
+    from ..functions.evaluation import adjusted_rand
+
+    return adjusted_rand(_loose_strict_items(sf_dir), "p_cid", "g_cid")
+
+
+def q_nmi_dedup_eval(sf_dir: str):
+    """NORMALIZED MUTUAL INFORMATION (arithmetic-mean normalization,
+    natural log) of the loose near-dup clustering against the strict
+    one, via the entropy decomposition MI = H_p + H_g - H_joint —
+    three independent bucketed sums, no cell-marginal join."""
+    from ..functions.evaluation import nmi
+
+    return nmi(_loose_strict_items(sf_dir), "p_cid", "g_cid")
 
 
 SQL_B3_DEDUP_EVAL = (
@@ -3306,6 +3334,72 @@ SELECT tot.nn::BIGINT AS n_items,
        round(2 * (tp.v / pp.v) * (tp.v / gp.v)
              / (tp.v / pp.v + tp.v / gp.v), 6) AS pair_f1
 FROM tot, tp, pp, gp
+"""
+)
+
+
+# shared CTE prefix of the loose-vs-strict partition-comparison
+# oracles: contingency table of (0.8-cluster, 0.9-cluster) cells
+_SQL_LOOSE_STRICT_CONT = (
+    "\nWITH RECURSIVE "
+    + _clusters_cte_body(0.8, "_p")
+    + ",\n"
+    + _clusters_cte_body(0.9, "_g")
+    + f""",
+memb AS (
+  SELECT coalesce(least(d.doc_id, lp.mn), d.doc_id) AS pred,
+         coalesce(least(d.doc_id, lg.mn), d.doc_id) AS gold
+  FROM (SELECT doc_id FROM documents
+        WHERE doc_id < {MINHASH_MAX_DOC}) d
+  LEFT JOIN lab_p lp ON lp.doc_id = d.doc_id
+  LEFT JOIN lab_g lg ON lg.doc_id = d.doc_id
+),
+cont AS (SELECT pred, gold, count(*)::DOUBLE AS n FROM memb GROUP BY 1, 2)
+"""
+)
+
+
+SQL_ARI_DEDUP_EVAL = (
+    _SQL_LOOSE_STRICT_CONT
+    + """,
+tp AS (SELECT sum(n * (n - 1) / 2.0) AS v FROM cont),
+pp AS (SELECT sum(s * (s - 1) / 2.0) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY pred)),
+gp AS (SELECT sum(s * (s - 1) / 2.0) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY gold)),
+tot AS (SELECT sum(n) AS nn FROM cont)
+SELECT tot.nn::BIGINT AS n_items,
+       tp.v::BIGINT AS tp_pairs,
+       pp.v::BIGINT AS pred_pairs,
+       gp.v::BIGINT AS gold_pairs,
+       round((tp.v - pp.v * gp.v / (tot.nn * (tot.nn - 1) / 2.0))
+             / ((pp.v + gp.v) / 2.0
+                - pp.v * gp.v / (tot.nn * (tot.nn - 1) / 2.0)),
+             6) AS ari
+FROM tot, tp, pp, gp
+"""
+)
+
+
+SQL_NMI_DEDUP_EVAL = (
+    _SQL_LOOSE_STRICT_CONT
+    + """,
+tot AS (SELECT sum(n) AS nn FROM cont),
+hj AS (SELECT -sum((n / tot.nn) * ln(n / tot.nn)) AS v
+       FROM cont CROSS JOIN tot),
+hp AS (SELECT -sum((s / tot.nn) * ln(s / tot.nn)) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY pred)
+       CROSS JOIN tot),
+hg AS (SELECT -sum((s / tot.nn) * ln(s / tot.nn)) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY gold)
+       CROSS JOIN tot)
+SELECT tot.nn::BIGINT AS n_items,
+       round(hp.v, 6) AS h_pred,
+       round(hg.v, 6) AS h_gold,
+       round(greatest(hp.v + hg.v - hj.v, 0.0), 6) AS mi,
+       round(2 * greatest(hp.v + hg.v - hj.v, 0.0) / (hp.v + hg.v),
+             6) AS nmi
+FROM tot, hj, hp, hg
 """
 )
 
@@ -4075,6 +4169,8 @@ DRIVER_EXCLUDE = {
     "duplicated_spans",  # local gate + pytest (keeps driver at 50)
     "clean_corpus",  # local gate + pytest (keeps driver at 50)
     "pairwise_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "ari_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "nmi_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_topk",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_quality",  # local gate + pytest (keeps driver at 50)
@@ -4179,6 +4275,8 @@ REGISTRY: dict[str, tuple] = {
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
     "b3_dedup_eval": (q_b3_dedup_eval, SQL_B3_DEDUP_EVAL),
     "pairwise_dedup_eval": (q_pairwise_dedup_eval, SQL_PAIRWISE_DEDUP_EVAL),
+    "ari_dedup_eval": (q_ari_dedup_eval, SQL_ARI_DEDUP_EVAL),
+    "nmi_dedup_eval": (q_nmi_dedup_eval, SQL_NMI_DEDUP_EVAL),
     "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
     "meta_blocking_topk": (q_meta_blocking_topk, SQL_META_BLOCKING_TOPK),
     "meta_blocking_quality": (

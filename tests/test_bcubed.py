@@ -152,3 +152,98 @@ def test_pairwise_refinement_recall_one():
     row = _run_pairwise(pred, gold)
     assert row["pair_recall"] == 1.0
     assert row["pair_precision"] == pytest.approx(2 / 6, abs=1e-6)
+
+
+# ---- ARI and NMI (same contingency machinery) ----
+
+from bern_ray.functions.evaluation import adjusted_rand, nmi
+
+
+def _brute_ari(pred, gold):
+    n = len(pred)
+    tp = pp = gp = 0
+    for i, j in combinations(range(n), 2):
+        same_p = pred[i] == pred[j]
+        same_g = gold[i] == gold[j]
+        pp += same_p
+        gp += same_g
+        tp += same_p and same_g
+    total = n * (n - 1) / 2.0
+    e = pp * gp / total
+    denom = (pp + gp) / 2.0 - e
+    return (tp - e) / denom if denom else 1.0
+
+
+def _brute_nmi(pred, gold):
+    import collections
+    import math
+
+    n = len(pred)
+    cj = collections.Counter(zip(pred, gold))
+    cp = collections.Counter(pred)
+    cg = collections.Counter(gold)
+
+    def ent(counts):
+        return -sum((c / n) * math.log(c / n) for c in counts.values())
+
+    hp, hg, hj = ent(cp), ent(cg), ent(cj)
+    mi = max(hp + hg - hj, 0.0)
+    return hp, hg, mi, (2 * mi / (hp + hg) if hp + hg else 1.0)
+
+
+def _ds(pred, gold):
+    t = pa.table(
+        {
+            "pred": pa.array(pred, type=pa.string()),
+            "gold": pa.array(gold, type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(3)
+
+
+def test_ari_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    pred = [f"c{v}" for v in rng.integers(0, 6, 120)]
+    gold = [f"g{v}" for v in rng.integers(0, 5, 120)]
+    row = adjusted_rand(_ds(pred, gold), "pred", "gold").to_pandas().iloc[0]
+    assert row["n_items"] == 120
+    assert row["ari"] == pytest.approx(_brute_ari(pred, gold), abs=1e-6)
+
+
+def test_ari_identical_and_independent():
+    # identical partitions -> ARI exactly 1
+    row = (
+        adjusted_rand(_ds(["a", "a", "b"], ["x", "x", "y"]), "pred", "gold")
+        .to_pandas()
+        .iloc[0]
+    )
+    assert row["ari"] == 1.0
+    # all-singletons vs all-singletons: degenerate denominator -> 1.0
+    row = (
+        adjusted_rand(_ds(["a", "b", "c"], ["x", "y", "z"]), "pred", "gold")
+        .to_pandas()
+        .iloc[0]
+    )
+    assert row["ari"] == 1.0
+
+
+def test_nmi_matches_bruteforce():
+    rng = np.random.default_rng(13)
+    pred = [f"c{v}" for v in rng.integers(0, 6, 120)]
+    gold = [f"g{v}" for v in rng.integers(0, 5, 120)]
+    row = nmi(_ds(pred, gold), "pred", "gold").to_pandas().iloc[0]
+    hp, hg, mi, v = _brute_nmi(pred, gold)
+    assert row["n_items"] == 120
+    assert row["h_pred"] == pytest.approx(hp, abs=1e-6)
+    assert row["h_gold"] == pytest.approx(hg, abs=1e-6)
+    assert row["mi"] == pytest.approx(mi, abs=1e-6)
+    assert row["nmi"] == pytest.approx(v, abs=1e-6)
+
+
+def test_nmi_identical_partitions():
+    row = (
+        nmi(_ds(["a", "a", "b", "c"], ["x", "x", "y", "z"]), "pred", "gold")
+        .to_pandas()
+        .iloc[0]
+    )
+    assert row["nmi"] == 1.0
