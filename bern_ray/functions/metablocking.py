@@ -250,30 +250,6 @@ def meta_block_topk(
         min_common=min_common,
     )
 
-    def both_dirs(t: pa.Table) -> pa.Table:
-        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
-        w = t["common_blocks"].combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        node = np.concatenate([a, b])
-        nbr = np.concatenate([b, a])
-        ww = np.concatenate([w, w])
-        with np.errstate(over="ignore"):
-            nb = (
-                node.astype(np.uint64)
-                * np.uint64(0x9E3779B97F4A7C15)
-                >> np.uint64(40)
-            ) % _NUM_BUCKETS
-        return pa.table(
-            {
-                "node": pa.array(node, type=pa.int64()),
-                "nbr": pa.array(nbr, type=pa.int64()),
-                "w": pa.array(ww, type=pa.int64()),
-                "node_bucket": pa.array(nb.astype(np.int64)),
-            }
-        )
-
     def topk_bucket(g: pd.DataFrame) -> pa.Table:
         node = g["node"].to_numpy(dtype=np.int64)
         nbr = g["nbr"].to_numpy(dtype=np.int64)
@@ -290,52 +266,150 @@ def meta_block_topk(
         starts = np.flatnonzero(change)
         rank = np.arange(node.size) - starts[seg]
         m = rank < k
-        a = np.minimum(node[m], nbr[m])
-        b = np.maximum(node[m], nbr[m])
-        pair = (a << _ID_BITS) | b
-        # either-endpoint union: the same pair may be retained from
-        # both sides of this bucket — combine before the dedup pass
-        uniq, idx = np.unique(pair, return_index=True)
-        with np.errstate(over="ignore"):
-            pb = (
-                uniq.astype(np.uint64)
-                * np.uint64(0x9E3779B97F4A7C15)
-                >> np.uint64(40)
-            ) % _NUM_BUCKETS
-        return pa.table(
-            {
-                "pair": pa.array(uniq, type=pa.int64()),
-                "partial": pa.array(
-                    w[m][idx], type=pa.int64()
-                ),  # weight rides along (same for both directions)
-                "pair_bucket": pa.array(pb.astype(np.int64)),
-            }
-        )
-
-    def dedup_pairs(g: pd.DataFrame) -> pa.Table:
-        pairk = g["pair"].to_numpy(dtype=np.int64)
-        w = g["partial"].to_numpy(dtype=np.int64)
-        if pairk.size == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], type=pa.int64()),
-                    "b": pa.array([], type=pa.int64()),
-                    "common_blocks": pa.array([], type=pa.int64()),
-                }
-            )
-        uniq, idx = np.unique(pairk, return_index=True)
-        return pa.table(
-            {
-                "a": pa.array(uniq >> _ID_BITS, type=pa.int64()),
-                "b": pa.array(uniq & _ID_MAX, type=pa.int64()),
-                "common_blocks": pa.array(w[idx], type=pa.int64()),
-            }
-        )
+        return _retained_pairs(node[m], nbr[m], w[m])
 
     return (
-        pairs.map_batches(both_dirs, batch_format="pyarrow")
+        pairs.map_batches(_both_dirs, batch_format="pyarrow")
         .groupby("node_bucket")
         .map_groups(topk_bucket, batch_format="pandas")
         .groupby("pair_bucket")
-        .map_groups(dedup_pairs, batch_format="pandas")
+        .map_groups(_dedup_pairs, batch_format="pandas")
+    )
+
+
+def _both_dirs(t: pa.Table) -> pa.Table:
+    """Directed view of the CBS pair list, bucketed by node hash:
+    each undirected pair becomes two (node, nbr, w) rows so a node's
+    full neighbor list co-locates in one bucket."""
+    a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+    b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+    w = t["common_blocks"].combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    node = np.concatenate([a, b])
+    nbr = np.concatenate([b, a])
+    ww = np.concatenate([w, w])
+    with np.errstate(over="ignore"):
+        nb = (
+            node.astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            >> np.uint64(40)
+        ) % _NUM_BUCKETS
+    return pa.table(
+        {
+            "node": pa.array(node, type=pa.int64()),
+            "nbr": pa.array(nbr, type=pa.int64()),
+            "w": pa.array(ww, type=pa.int64()),
+            "node_bucket": pa.array(nb.astype(np.int64)),
+        }
+    )
+
+
+def _retained_pairs(
+    node: np.ndarray, nbr: np.ndarray, w: np.ndarray
+) -> pa.Table:
+    """Pack a bucket's retained directed edges back to undirected
+    pair keys. Either-endpoint union: the same pair may be retained
+    from both sides of this bucket — combine before the dedup pass."""
+    a = np.minimum(node, nbr)
+    b = np.maximum(node, nbr)
+    pair = (a << _ID_BITS) | b
+    uniq, idx = np.unique(pair, return_index=True)
+    with np.errstate(over="ignore"):
+        pb = (
+            uniq.astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            >> np.uint64(40)
+        ) % _NUM_BUCKETS
+    return pa.table(
+        {
+            "pair": pa.array(uniq, type=pa.int64()),
+            "partial": pa.array(
+                w[idx], type=pa.int64()
+            ),  # weight rides along (same for both directions)
+            "pair_bucket": pa.array(pb.astype(np.int64)),
+        }
+    )
+
+
+def _dedup_pairs(g: pd.DataFrame) -> pa.Table:
+    """Cross-bucket either-endpoint union: one row per packed pair."""
+    pairk = g["pair"].to_numpy(dtype=np.int64)
+    w = g["partial"].to_numpy(dtype=np.int64)
+    if pairk.size == 0:
+        return pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "common_blocks": pa.array([], type=pa.int64()),
+            }
+        )
+    uniq, idx = np.unique(pairk, return_index=True)
+    return pa.table(
+        {
+            "a": pa.array(uniq >> _ID_BITS, type=pa.int64()),
+            "b": pa.array(uniq & _ID_MAX, type=pa.int64()),
+            "common_blocks": pa.array(w[idx], type=pa.int64()),
+        }
+    )
+
+
+def meta_block_wnp(
+    records: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    *,
+    purge_threshold_x2: int,
+    min_common: int = 2,
+) -> "ray.data.Dataset":
+    """Weighted node pruning (WNP) over the CBS blocking graph: each
+    node's local threshold is the MEAN weight of its adjacent edges,
+    and a comparison survives if its weight reaches the threshold of
+    EITHER endpoint (the redundancy-positive retention — Papadakis et
+    al. TKDE 2014's WNP, the weight-based sibling of CNP/
+    ``meta_block_topk``). The WEP weight floor (``min_common``) runs
+    first.
+
+    -> Dataset (a, b, common_blocks), a < b, the WNP-retained pairs.
+
+    Scale shape: identical to CNP — node-bucketed neighbor lists (one
+    argsort + reduceat per bucket, never a per-node loop), then the
+    bucketed pair-key union. The mean compare is INTEGER-exact
+    (w * degree >= sum_w), so there is no float boundary to disagree
+    with an avg()-based SQL oracle.
+    """
+    pairs = meta_block_pairs(
+        records,
+        id_col,
+        text_col,
+        purge_threshold_x2=purge_threshold_x2,
+        min_common=min_common,
+    )
+
+    def wnp_bucket(g: pd.DataFrame) -> pa.Table:
+        node = g["node"].to_numpy(dtype=np.int64)
+        nbr = g["nbr"].to_numpy(dtype=np.int64)
+        w = g["w"].to_numpy(dtype=np.int64)
+        if node.size == 0:
+            return _PAIR_SCHEMA.empty_table()
+        order = np.argsort(node, kind="stable")
+        node, nbr, w = node[order], nbr[order], w[order]
+        change = np.empty(node.size, dtype=bool)
+        change[0] = True
+        change[1:] = node[1:] != node[:-1]
+        seg = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(w, starts)
+        deg = np.diff(np.append(starts, node.size)).astype(np.int64)
+        # w >= mean  <=>  w * deg >= sum  (exact in int64: w, deg
+        # both bounded by block sizes well under 2^31)
+        m = w * deg[seg] >= sums[seg]
+        return _retained_pairs(node[m], nbr[m], w[m])
+
+    return (
+        pairs.map_batches(_both_dirs, batch_format="pyarrow")
+        .groupby("node_bucket")
+        .map_groups(wnp_bucket, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(_dedup_pairs, batch_format="pandas")
     )

@@ -3575,6 +3575,73 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q_meta_blocking_wnp(sf_dir: str):
+    """Weighted node pruning (WNP) over the CBS blocking graph: after
+    the weight floor (>= 2 common blocks), every record keeps the
+    edges at or above the MEAN weight of its neighborhood, and a pair
+    survives if EITHER endpoint keeps it — the weight-based sibling
+    of CNP (Papadakis et al. TKDE 2014). Same record/blocking regime
+    as meta_blocking; the mean compare is integer-exact
+    (w*deg >= sum), so the avg()-based oracle cannot disagree."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.metablocking import meta_block_wnp
+
+    path = f"{sf_dir}/part.parquet"
+    n_records = _pq.read_metadata(path).num_rows
+
+    def blocking_text(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["p_partkey"],
+                "bt": pc.binary_join_element_wise(
+                    t["p_name"], t["p_type"], t["p_brand"], " "
+                ),
+            }
+        )
+
+    recs = read_parquet_clean(
+        path, columns=["p_partkey", "p_name", "p_type", "p_brand"]
+    ).map_batches(blocking_text, batch_format="pyarrow")
+    return meta_block_wnp(
+        recs,
+        "id",
+        "bt",
+        purge_threshold_x2=n_records,
+        min_common=2,
+    )
+
+
+SQL_META_BLOCKING_WNP = """
+WITH tok AS (
+  SELECT DISTINCT id, token FROM (
+    SELECT p_partkey AS id,
+           unnest(regexp_extract_all(
+             lower(p_name || ' ' || p_type || ' ' || p_brand),
+             '[0-9a-zA-Z]+')) AS token
+    FROM part)
+),
+ok AS (SELECT token FROM tok
+       GROUP BY token
+       HAVING count(*) * 2 <= (SELECT count(*) FROM part)),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, count(*)::BIGINT AS common_blocks
+  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+  JOIN ok ON ok.token = a.token
+  GROUP BY 1, 2),
+p2 AS (SELECT * FROM pairs WHERE common_blocks >= 2),
+dir AS (SELECT a AS node, b AS nbr, common_blocks FROM p2
+        UNION ALL
+        SELECT b AS node, a AS nbr, common_blocks FROM p2),
+th AS (SELECT node, nbr, common_blocks,
+              avg(common_blocks) OVER (PARTITION BY node) AS t
+       FROM dir)
+SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b,
+       common_blocks
+FROM th WHERE common_blocks >= t
+"""
+
+
 def q_meta_blocking_quality(sf_dir: str):
     """Blocking-scheme evaluation of the CNP-pruned meta-blocking
     (SparkER/JedAI metrics, over the scheme itself rather than the
@@ -4173,6 +4240,7 @@ DRIVER_EXCLUDE = {
     "nmi_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_topk",  # local gate + pytest (keeps driver at 50)
+    "meta_blocking_wnp",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_quality",  # local gate + pytest (keeps driver at 50)
     "snm_multipass",  # local gate + pytest (keeps driver at 50)
     "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
@@ -4279,6 +4347,7 @@ REGISTRY: dict[str, tuple] = {
     "nmi_dedup_eval": (q_nmi_dedup_eval, SQL_NMI_DEDUP_EVAL),
     "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
     "meta_blocking_topk": (q_meta_blocking_topk, SQL_META_BLOCKING_TOPK),
+    "meta_blocking_wnp": (q_meta_blocking_wnp, SQL_META_BLOCKING_WNP),
     "meta_blocking_quality": (
         q_meta_blocking_quality,
         SQL_META_BLOCKING_QUALITY,

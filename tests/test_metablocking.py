@@ -200,3 +200,72 @@ def test_quality_metrics_bruteforce():
     assert pc_ == 1.0
     assert 0 < rr < 1
     assert cands == _brute_topk(records, 100, 2, 3)
+
+
+# ---- WNP: per-node mean-weight retention over the CBS graph ----
+
+from bern_ray.functions.metablocking import meta_block_wnp
+
+
+def _brute_wnp(records, purge_threshold_x2, min_common):
+    pairs = _brute(records, purge_threshold_x2, min_common)
+    nbrs: dict[int, list[tuple[int, int]]] = {}
+    for (a, b), w in pairs.items():
+        nbrs.setdefault(a, []).append((w, b))
+        nbrs.setdefault(b, []).append((w, a))
+    keep = set()
+    for node, lst in nbrs.items():
+        mean = sum(w for w, _ in lst) / len(lst)
+        for w, nbr in lst:
+            if w >= mean:
+                keep.add((min(node, nbr), max(node, nbr)))
+    return {p: pairs[p] for p in keep}
+
+
+def _run_wnp(records, purge_threshold_x2, min_common):
+    t = pa.table(
+        {
+            "id": pa.array([i for i, _ in records], type=pa.int64()),
+            "bt": pa.array([s for _, s in records], type=pa.string()),
+        }
+    )
+    out = meta_block_wnp(
+        ray.data.from_arrow(t).repartition(3),
+        "id",
+        "bt",
+        purge_threshold_x2=purge_threshold_x2,
+        min_common=min_common,
+    ).to_pandas()
+    return {
+        (int(r.a), int(r.b)): int(r.common_blocks)
+        for r in out.itertuples()
+    }
+
+
+def test_wnp_matches_bruteforce_random():
+    rng = np.random.default_rng(29)
+    vocab = [f"w{v}" for v in range(10)]
+    records = [
+        (i, " ".join(rng.choice(vocab, size=5, replace=False)))
+        for i in range(60)
+    ]
+    for cap2, mc in [(120, 2), (120, 1), (60, 2)]:
+        assert _run_wnp(records, cap2, mc) == _brute_wnp(
+            records, cap2, mc
+        )
+
+
+def test_wnp_either_endpoint_retention():
+    # hub h: edges of weight 3 (to x) and 2 (to y) -> mean 2.5, so h
+    # prunes (h, y); but y's only edge IS the hub (mean 2), so the
+    # pair survives via y's side (redundancy-positive)
+    records = [
+        (1, "red green blue cyan"),       # h
+        (2, "red green blue magenta"),    # x: 3 common with h
+        (3, "red green yellow black"),    # y: 2 common with h
+    ]
+    got = _run_wnp(records, 100, 2)
+    # (2,3) also survives: they share {red, green} and y keeps both
+    # its weight-2 edges (mean exactly 2)
+    assert got == {(1, 2): 3, (1, 3): 2, (2, 3): 2}
+    assert got == _brute_wnp(records, 100, 2)
