@@ -304,6 +304,72 @@ def adjusted_rand(
     )
 
 
+def _entropies(
+    cont: "ray.data.Dataset", n: float
+) -> tuple[float, float, float]:
+    """(H_joint, H_pred, H_gold) of a contingency Dataset with total
+    count ``n`` — three independent bucketed sums, no cell-marginal
+    join."""
+
+    def ent(s: np.ndarray) -> np.ndarray:
+        p = s / n
+        return -p * np.log(p)
+
+    return (
+        _cell_sum(cont, ent),
+        _axis_reduce(cont, "pred", ent),
+        _axis_reduce(cont, "gold", ent),
+    )
+
+
+def vmeasure(
+    items: "ray.data.Dataset", pred_col: str, gold_col: str
+) -> "ray.data.Dataset":
+    """-> one-row Dataset (n_items, homogeneity, completeness,
+    v_measure): the V-measure decomposition (Rosenberg & Hirschberg
+    2007) of a predicted clustering against gold labels.
+
+        homogeneity  = 1 - H(gold|pred)/H(gold)   (1 if H_gold = 0)
+        completeness = 1 - H(pred|gold)/H(pred)   (1 if H_pred = 0)
+        v = harmonic mean
+
+    with the conditional entropies from the same decomposition NMI
+    uses: H(gold|pred) = H_joint - H_pred (and symmetrically), so the
+    whole metric is a pure function of three independent bucketed
+    sums over the contingency table. Conditional entropies are
+    clamped at 0 (float noise can drive H_joint - H_pred a hair
+    negative when pred refines gold exactly)."""
+    cont = _contingency(items, pred_col, gold_col)
+    n_items = int(cont.sum("n") or 0)
+    if not n_items:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_items": pa.array([0], type=pa.int64()),
+                    "homogeneity": pa.array([0.0]),
+                    "completeness": pa.array([0.0]),
+                    "v_measure": pa.array([0.0]),
+                }
+            )
+        )
+    h_joint, h_pred, h_gold = _entropies(cont, float(n_items))
+    h_g_given_p = max(h_joint - h_pred, 0.0)
+    h_p_given_g = max(h_joint - h_gold, 0.0)
+    hom = 1.0 - h_g_given_p / h_gold if h_gold else 1.0
+    com = 1.0 - h_p_given_g / h_pred if h_pred else 1.0
+    v = 2 * hom * com / (hom + com) if hom + com else 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([n_items], type=pa.int64()),
+                "homogeneity": pa.array([round(hom, 6)]),
+                "completeness": pa.array([round(com, 6)]),
+                "v_measure": pa.array([round(v, 6)]),
+            }
+        )
+    )
+
+
 def nmi(
     items: "ray.data.Dataset", pred_col: str, gold_col: str
 ) -> "ray.data.Dataset":
@@ -341,15 +407,7 @@ def nmi(
                 }
             )
         )
-    n = float(n_items)
-
-    def ent(s: np.ndarray) -> np.ndarray:
-        p = s / n
-        return -p * np.log(p)
-
-    h_joint = _cell_sum(cont, ent)
-    h_pred = _axis_reduce(cont, "pred", ent)
-    h_gold = _axis_reduce(cont, "gold", ent)
+    h_joint, h_pred, h_gold = _entropies(cont, float(n_items))
     mi = max(h_pred + h_gold - h_joint, 0.0)
     nmi_v = 2.0 * mi / (h_pred + h_gold) if h_pred + h_gold else 1.0
     return ray.data.from_arrow(

@@ -3266,6 +3266,18 @@ def q_ari_dedup_eval(sf_dir: str):
     return adjusted_rand(_loose_strict_items(sf_dir), "p_cid", "g_cid")
 
 
+def q_vmeasure_dedup_eval(sf_dir: str):
+    """V-MEASURE (homogeneity / completeness, Rosenberg & Hirschberg
+    2007) of the loose near-dup clustering against the strict one.
+    Completeness is exactly 1.0 here (strict refines loose, so
+    H(pred|gold) = 0) and homogeneity quantifies the refinement —
+    the conditional-entropy view of the same comparison
+    pairwise_dedup_eval makes with pairs."""
+    from ..functions.evaluation import vmeasure
+
+    return vmeasure(_loose_strict_items(sf_dir), "p_cid", "g_cid")
+
+
 def q_nmi_dedup_eval(sf_dir: str):
     """NORMALIZED MUTUAL INFORMATION (arithmetic-mean normalization,
     natural log) of the loose near-dup clustering against the strict
@@ -3377,6 +3389,30 @@ SELECT tot.nn::BIGINT AS n_items,
                 - pp.v * gp.v / (tot.nn * (tot.nn - 1) / 2.0)),
              6) AS ari
 FROM tot, tp, pp, gp
+"""
+)
+
+
+SQL_VMEASURE_DEDUP_EVAL = (
+    _SQL_LOOSE_STRICT_CONT
+    + """,
+tot AS (SELECT sum(n) AS nn FROM cont),
+hj AS (SELECT -sum((n / tot.nn) * ln(n / tot.nn)) AS v
+       FROM cont CROSS JOIN tot),
+hp AS (SELECT -sum((s / tot.nn) * ln(s / tot.nn)) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY pred)
+       CROSS JOIN tot),
+hg AS (SELECT -sum((s / tot.nn) * ln(s / tot.nn)) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY gold)
+       CROSS JOIN tot),
+hc AS (SELECT 1 - greatest(hj.v - hp.v, 0.0) / hg.v AS hom,
+              1 - greatest(hj.v - hg.v, 0.0) / hp.v AS com
+       FROM hj, hp, hg)
+SELECT tot.nn::BIGINT AS n_items,
+       round(hc.hom, 6) AS homogeneity,
+       round(hc.com, 6) AS completeness,
+       round(2 * hc.hom * hc.com / (hc.hom + hc.com), 6) AS v_measure
+FROM tot, hc
 """
 )
 
@@ -4238,6 +4274,7 @@ DRIVER_EXCLUDE = {
     "pairwise_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "ari_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "nmi_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "vmeasure_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_topk",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_wnp",  # local gate + pytest (keeps driver at 50)
@@ -4345,6 +4382,7 @@ REGISTRY: dict[str, tuple] = {
     "pairwise_dedup_eval": (q_pairwise_dedup_eval, SQL_PAIRWISE_DEDUP_EVAL),
     "ari_dedup_eval": (q_ari_dedup_eval, SQL_ARI_DEDUP_EVAL),
     "nmi_dedup_eval": (q_nmi_dedup_eval, SQL_NMI_DEDUP_EVAL),
+    "vmeasure_dedup_eval": (q_vmeasure_dedup_eval, SQL_VMEASURE_DEDUP_EVAL),
     "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
     "meta_blocking_topk": (q_meta_blocking_topk, SQL_META_BLOCKING_TOPK),
     "meta_blocking_wnp": (q_meta_blocking_wnp, SQL_META_BLOCKING_WNP),

@@ -247,3 +247,31 @@ def test_nmi_identical_partitions():
         .iloc[0]
     )
     assert row["nmi"] == 1.0
+
+
+def test_vmeasure_matches_bruteforce():
+    from bern_ray.functions.evaluation import vmeasure
+
+    rng = np.random.default_rng(17)
+    pred = [f"c{v}" for v in rng.integers(0, 6, 120)]
+    gold = [f"g{v}" for v in rng.integers(0, 5, 120)]
+    row = vmeasure(_ds(pred, gold), "pred", "gold").to_pandas().iloc[0]
+    hp, hg, mi, _ = _brute_nmi(pred, gold)
+    hj = hp + hg - mi
+    hom = 1 - max(hj - hp, 0.0) / hg
+    com = 1 - max(hj - hg, 0.0) / hp
+    v = 2 * hom * com / (hom + com)
+    assert row["homogeneity"] == pytest.approx(hom, abs=1e-6)
+    assert row["completeness"] == pytest.approx(com, abs=1e-6)
+    assert row["v_measure"] == pytest.approx(v, abs=1e-6)
+
+
+def test_vmeasure_refinement_completeness_one():
+    from bern_ray.functions.evaluation import vmeasure
+
+    # gold refines pred -> H(pred|gold)=0 -> completeness exactly 1
+    pred = ["m", "m", "m", "m", "s", "s"]
+    gold = ["x", "x", "y", "y", "z", "z"]
+    row = vmeasure(_ds(pred, gold), "pred", "gold").to_pandas().iloc[0]
+    assert row["completeness"] == 1.0
+    assert 0 < row["homogeneity"] < 1
