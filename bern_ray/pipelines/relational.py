@@ -274,6 +274,81 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
 """
 
 
+def q_consensus_neardup(sf_dir: str):
+    """Consensus near-dup: pairs that BOTH text methods agree on —
+    token-shingle Jaccard >= 0.8 (minhash-LSH candidates, exact
+    verify) AND simhash hamming <= 3 — with both scores in the
+    output. The standard precision-boosting ensemble for web-corpus
+    dedup: each method has distinct false-positive modes (Jaccard is
+    blind to token order beyond the shingle width, simhash to rare
+    tokens' weight), so the intersection prunes both. Scale shape:
+    the two pair sets come from their banded/bucketed generators and
+    meet in a bucketed int64 hash join on the packed (a << 32 | b)
+    pair key — never a string key, nothing driver-sized."""
+    from ..stages.join import bucket_join
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+
+    def pack(a_col: str, b_col: str, keep: str):
+        def fn(t: pa.Table) -> pa.Table:
+            a = t[a_col].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t[b_col].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "pk": pa.array(
+                        (a.astype(np.int64) << 32) | b.astype(np.int64)
+                    ),
+                    keep: t[keep],
+                }
+            )
+
+        return fn
+
+    j = fdedup.minhash_neardup(docs, threshold=0.8).map_batches(
+        pack("doc_id_a", "doc_id_b", "jaccard"), batch_format="pyarrow"
+    )
+    s = fdedup.simhash_mirror_neardup(docs, max_hamming=3).map_batches(
+        pack("doc_id_a", "doc_id_b", "hamming"), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: pa.table({"pk2": t["pk"], "hamming": t["hamming"]}),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        j,
+        s,
+        left_on="pk",
+        right_on="pk2",
+        left_schema={"pk": pa.int64(), "jaccard": pa.float64()},
+        right_schema={"pk2": pa.int64(), "hamming": pa.int64()},
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(pk >> 32, type=pa.int64()),
+                "doc_id_b": pa.array(
+                    pk & 0xFFFFFFFF, type=pa.int64()
+                ),
+                "jaccard": t["jaccard"],
+                "hamming": t["hamming"],
+            }
+        )
+
+    return joined.map_batches(unpack, batch_format="pyarrow")
+
+
+SQL_CONSENSUS_NEARDUP = f"""
+SELECT j.doc_id_a, j.doc_id_b, j.jaccard, s.hamming
+FROM ({SQL_NGRAM_JACCARD}) j
+JOIN ({SQL_SIMHASH_NEARDUP}) s
+  ON j.doc_id_a = s.doc_id_a AND j.doc_id_b = s.doc_id_b
+"""
+
+
 # synthetic embeddings are near-orthogonal (max pair cosine ~0.51), so
 # the near-dup threshold is 0.4 here; a production corpus would use
 # ~0.9 — the operator is threshold-parametric.
@@ -4269,6 +4344,7 @@ DRIVER_EXCLUDE = {
     "approx_quantiles",  # sketch twin of value_quantiles
     "bloom_new_docs",  # sketch (pytest error bounds)
     "ngram_jaccard_neardup",  # same path as minhash_neardup
+    "consensus_neardup",  # local gate + pytest (keeps driver at 50)
     "duplicated_spans",  # local gate + pytest (keeps driver at 50)
     "clean_corpus",  # local gate + pytest (keeps driver at 50)
     "pairwise_dedup_eval",  # local gate + pytest (keeps driver at 50)
@@ -4319,6 +4395,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
     "ngram_jaccard_neardup": (q_ngram_jaccard_neardup, SQL_NGRAM_JACCARD),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
+    "consensus_neardup": (q_consensus_neardup, SQL_CONSENSUS_NEARDUP),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

@@ -460,3 +460,31 @@ def test_duplicated_spans_prefilter_identical(ray_session):
     pd.testing.assert_frame_equal(base, pre, check_dtype=False)
     assert len(base) > 0
     assert counters.snapshot().get("substring_windows_pruned", 0) > 0
+
+
+def test_consensus_is_intersection_of_methods(ray_session):
+    """consensus_neardup == (jaccard>=0.8 pairs) ∩ (hamming<=3 pairs),
+    carrying both scores — on the oracle doc subset at sf0.001."""
+    from bern_ray.pipelines.relational import (
+        q_consensus_neardup,
+        q_ngram_jaccard_neardup,
+        q_simhash_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cons = q_consensus_neardup(sf).to_pandas()
+    jac = q_ngram_jaccard_neardup(sf).to_pandas()
+    sim = q_simhash_neardup(sf).to_pandas()
+    jset = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard for r in jac.itertuples()
+    }
+    sset = {
+        (r.doc_id_a, r.doc_id_b): r.hamming for r in sim.itertuples()
+    }
+    expect = set(jset) & set(sset)
+    got = {(r.doc_id_a, r.doc_id_b) for r in cons.itertuples()}
+    assert got == expect
+    for r in cons.itertuples():
+        k = (r.doc_id_a, r.doc_id_b)
+        assert r.jaccard == jset[k]
+        assert r.hamming == sset[k]
