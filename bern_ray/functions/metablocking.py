@@ -354,6 +354,48 @@ def _dedup_pairs(g: pd.DataFrame) -> pa.Table:
     )
 
 
+def meta_block_wep(
+    records: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    *,
+    purge_threshold_x2: int,
+) -> "ray.data.Dataset":
+    """Weighted edge pruning (WEP) over the CBS blocking graph: one
+    GLOBAL threshold — the mean edge weight of the whole graph — and
+    every comparison at or above it survives (Papadakis et al. TKDE
+    2014's WEP; completes the WEP/WNP/CNP pruning trio with
+    ``meta_block_wnp`` / ``meta_block_topk``).
+
+    -> Dataset (a, b, common_blocks), a < b, the WEP-retained pairs.
+
+    Scale shape: the pair list is materialized once in the object
+    store (it is consumed twice: a scalar sum/count aggregate, then
+    the filter); only TWO scalars reach the driver and the compare is
+    integer-exact (w * n_pairs >= sum_w), so an avg()-based SQL
+    oracle cannot float-disagree.
+    """
+    pairs = meta_block_pairs(
+        records,
+        id_col,
+        text_col,
+        purge_threshold_x2=purge_threshold_x2,
+        min_common=1,
+    ).materialize()
+    n_pairs = int(pairs.count())
+    if not n_pairs:
+        return pairs
+    sum_w = int(pairs.sum("common_blocks"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        w = t["common_blocks"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return t.filter(pa.array(w * n_pairs >= sum_w))
+
+    return pairs.map_batches(keep, batch_format="pyarrow")
+
+
 def meta_block_wnp(
     records: "ray.data.Dataset",
     id_col: str,

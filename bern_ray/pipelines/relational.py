@@ -3753,6 +3753,59 @@ FROM th WHERE common_blocks >= t
 """
 
 
+def q_meta_blocking_wep(sf_dir: str):
+    """Weighted edge pruning (WEP): the global-mean-weight threshold
+    over the full CBS graph (no weight floor first — WEP is the
+    floor), completing the WEP/WNP/CNP pruning trio. Same
+    record/blocking regime as meta_blocking; the compare is
+    integer-exact (w * n_pairs >= sum_w)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.metablocking import meta_block_wep
+
+    path = f"{sf_dir}/part.parquet"
+    n_records = _pq.read_metadata(path).num_rows
+
+    def blocking_text(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["p_partkey"],
+                "bt": pc.binary_join_element_wise(
+                    t["p_name"], t["p_type"], t["p_brand"], " "
+                ),
+            }
+        )
+
+    recs = read_parquet_clean(
+        path, columns=["p_partkey", "p_name", "p_type", "p_brand"]
+    ).map_batches(blocking_text, batch_format="pyarrow")
+    return meta_block_wep(
+        recs, "id", "bt", purge_threshold_x2=n_records
+    )
+
+
+SQL_META_BLOCKING_WEP = """
+WITH tok AS (
+  SELECT DISTINCT id, token FROM (
+    SELECT p_partkey AS id,
+           unnest(regexp_extract_all(
+             lower(p_name || ' ' || p_type || ' ' || p_brand),
+             '[0-9a-zA-Z]+')) AS token
+    FROM part)
+),
+ok AS (SELECT token FROM tok
+       GROUP BY token
+       HAVING count(*) * 2 <= (SELECT count(*) FROM part)),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, count(*)::BIGINT AS common_blocks
+  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+  JOIN ok ON ok.token = a.token
+  GROUP BY 1, 2)
+SELECT a, b, common_blocks FROM pairs
+WHERE common_blocks >= (SELECT avg(common_blocks) FROM pairs)
+"""
+
+
 def q_meta_blocking_quality(sf_dir: str):
     """Blocking-scheme evaluation of the CNP-pruned meta-blocking
     (SparkER/JedAI metrics, over the scheme itself rather than the
@@ -4354,6 +4407,7 @@ DRIVER_EXCLUDE = {
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_topk",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_wnp",  # local gate + pytest (keeps driver at 50)
+    "meta_blocking_wep",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_quality",  # local gate + pytest (keeps driver at 50)
     "snm_multipass",  # local gate + pytest (keeps driver at 50)
     "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
@@ -4463,6 +4517,7 @@ REGISTRY: dict[str, tuple] = {
     "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
     "meta_blocking_topk": (q_meta_blocking_topk, SQL_META_BLOCKING_TOPK),
     "meta_blocking_wnp": (q_meta_blocking_wnp, SQL_META_BLOCKING_WNP),
+    "meta_blocking_wep": (q_meta_blocking_wep, SQL_META_BLOCKING_WEP),
     "meta_blocking_quality": (
         q_meta_blocking_quality,
         SQL_META_BLOCKING_QUALITY,

@@ -269,3 +269,45 @@ def test_wnp_either_endpoint_retention():
     # its weight-2 edges (mean exactly 2)
     assert got == {(1, 2): 3, (1, 3): 2, (2, 3): 2}
     assert got == _brute_wnp(records, 100, 2)
+
+
+# ---- WEP: global mean-weight edge pruning ----
+
+from bern_ray.functions.metablocking import meta_block_wep
+
+
+def _brute_wep(records, purge_threshold_x2):
+    pairs = _brute(records, purge_threshold_x2, 1)
+    if not pairs:
+        return {}
+    mean = sum(pairs.values()) / len(pairs)
+    return {p: w for p, w in pairs.items() if w >= mean}
+
+
+def test_wep_matches_bruteforce_random():
+    rng = np.random.default_rng(31)
+    vocab = [f"w{v}" for v in range(10)]
+    records = [
+        (i, " ".join(rng.choice(vocab, size=5, replace=False)))
+        for i in range(60)
+    ]
+    for cap2 in [120, 60]:
+        t = pa.table(
+            {
+                "id": pa.array([i for i, _ in records], type=pa.int64()),
+                "bt": pa.array(
+                    [s for _, s in records], type=pa.string()
+                ),
+            }
+        )
+        out = meta_block_wep(
+            ray.data.from_arrow(t).repartition(3),
+            "id",
+            "bt",
+            purge_threshold_x2=cap2,
+        ).to_pandas()
+        got = {
+            (int(r.a), int(r.b)): int(r.common_blocks)
+            for r in out.itertuples()
+        }
+        assert got == _brute_wep(records, cap2)
