@@ -78,6 +78,9 @@ def run_bench() -> dict:
         q_dedup_clusters,
         q_duplicated_spans,
         q_fuzzy_join_names,
+        q_ari_dedup_eval,
+        q_consensus_neardup,
+        q_meta_blocking_wnp,
         q_passage_dedup,
         q_pii_redact,
         q_returned_revenue,
@@ -232,6 +235,9 @@ def run_bench() -> dict:
         ("returned_revenue", lambda: q_returned_revenue(SF_DIR).count()),
         ("rollup_events", lambda: q_rollup_events(SF_DIR).count()),
         ("approx_quantiles", lambda: q_approx_quantiles(SF_DIR).count()),
+        ("meta_blocking_wnp", lambda: q_meta_blocking_wnp(SF_DIR).count()),
+        ("consensus_neardup", lambda: q_consensus_neardup(SF_DIR).count()),
+        ("ari_dedup_eval", lambda: q_ari_dedup_eval(SF_DIR).count()),
         ("wordpiece_features", lambda: wordpiece_features(
             read_parquet_clean(
                 f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
