@@ -3147,6 +3147,145 @@ FROM customer WHERE c_custkey % 3 = 0
 """
 
 
+# ------------------------------------- Fellegi-Sunter EM weights
+
+
+def _fs_clean(sf_dir: str) -> "ray.data.Dataset":
+    """Clean side of the FS linkage: customer projected to the three
+    comparison fields (name, nation, segment)."""
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_id": t["c_custkey"],
+                "l_name": t["c_name"],
+                "l_nation": pc.cast(t["c_nationkey"], pa.int64()),
+                "l_segment": t["c_mktsegment"],
+            }
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    ).map_batches(project, batch_format="pyarrow")
+
+
+def _fs_dirty(sf_dir: str) -> "ray.data.Dataset":
+    """Dirty replica with deterministic planted errors, one knob per
+    comparison field so EM has a distinct m-probability to recover:
+    name gets the fuzzy-join family's one-char substitution
+    (custkey % 3 == 0), nation rolls to the next key (% 5 == 0),
+    segment is replaced wholesale (% 7 == 0). All pure functions of
+    c_custkey — the SQL oracle mirrors them exactly."""
+
+    def dirty(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        names = t["c_name"].to_pylist()
+        nat = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        segs = t["c_mktsegment"].to_pylist()
+        out_nm = []
+        for k, s in zip(keys, names):
+            if k % 3 == 0:
+                p0 = 9 + int(k % 4)  # 0-indexed; SQL is 1-indexed
+                s = s[:p0] + str(int(k % 10)) + s[p0 + 1 :]
+            out_nm.append(s)
+        nat2 = np.where(keys % 5 == 0, (nat + 1) % 25, nat)
+        seg2 = [
+            "PERTURBED" if k % 7 == 0 else s
+            for k, s in zip(keys, segs)
+        ]
+        return pa.table(
+            {
+                "r_id": pa.array(keys, type=pa.int64()),
+                "r_name": pa.array(out_nm, type=pa.string()),
+                "r_nation": pa.array(nat2, type=pa.int64()),
+                "r_segment": pa.array(seg2, type=pa.string()),
+            }
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    ).map_batches(dirty, batch_format="pyarrow")
+
+
+def q_fs_patterns(sf_dir: str):
+    """Fellegi-Sunter comparison-pattern contingency table
+    (functions/fellegi.py): clean customers x dirty replica within
+    last-digit name blocks, each pair reduced to 3 agreement bits
+    (name JW >= 0.96 / nation / segment) and counted by pattern.
+    Every scoring batch collapses to a <=8-row bincount partial before
+    the groupby — the shuffle never carries pairs."""
+    from ..functions.fellegi import fs_pattern_counts
+    from ..functions.fuzzyjoin import suffix_digits_block
+
+    return fs_pattern_counts(
+        _fs_clean(sf_dir),
+        _fs_dirty(sf_dir),
+        block_fn=lambda names: suffix_digits_block(names, k=1),
+        jw_threshold=0.96,
+    )
+
+
+# shared CTE text: the blocked pairs reduced to agreement bits; used
+# by both the pattern-count oracle and the unrolled-EM oracle.
+_SQL_FS_PAIRS = """
+SELECT CASE WHEN jaro_winkler_similarity(l.l_name, r.r_name) >= 0.96
+            THEN 1 ELSE 0 END AS g_name,
+       CASE WHEN l.l_nation = r.r_nation THEN 1 ELSE 0 END AS g_nation,
+       CASE WHEN l.l_segment = r.r_segment THEN 1 ELSE 0 END
+         AS g_segment
+FROM (
+  SELECT c_custkey AS l_id, c_name AS l_name,
+         CAST(c_nationkey AS BIGINT) AS l_nation,
+         c_mktsegment AS l_segment
+  FROM customer
+) l JOIN (
+  SELECT c_custkey AS r_id,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substr(c_name, 1, 9 + (c_custkey % 4))
+                   || CAST(c_custkey % 10 AS VARCHAR)
+                   || substr(c_name, 11 + (c_custkey % 4))
+              ELSE c_name END AS r_name,
+         CASE WHEN c_custkey % 5 = 0
+              THEN (CAST(c_nationkey AS BIGINT) + 1) % 25
+              ELSE CAST(c_nationkey AS BIGINT) END AS r_nation,
+         CASE WHEN c_custkey % 7 = 0
+              THEN 'PERTURBED' ELSE c_mktsegment END AS r_segment
+  FROM customer
+) r ON substr(l.l_name, length(l.l_name), 1)
+     = substr(r.r_name, length(r.r_name), 1)
+"""
+
+SQL_FS_PATTERNS = f"""
+SELECT g_name, g_nation, g_segment, COUNT(*) AS n_pairs
+FROM ({_SQL_FS_PAIRS}) pairs
+GROUP BY 1, 2, 3
+"""
+
+
+def q_fs_em_weights(sf_dir: str):
+    """Unsupervised Fellegi-Sunter parameter estimation: EM over the
+    fs_patterns contingency table (Splink's execution shape — the
+    driver-side EM state is O(2^k) whatever the corpus size). Output
+    is tidy (param, value): lambda + per-field m/u probabilities and
+    log2(m/u) match weights after 20 fixed-init iterations. The
+    DuckDB oracle replays the EM as an unrolled CTE chain, so the
+    LEARNED WEIGHTS themselves are value-checked, not just the
+    counts."""
+    from ..functions.fellegi import fs_em_weights
+
+    return fs_em_weights(q_fs_patterns(sf_dir))
+
+
+def _sql_fs_em() -> str:
+    from ..functions.fellegi import fs_em_sql
+
+    return fs_em_sql(_SQL_FS_PAIRS)
+
+
 # ---------------------------------------------- near-dup clusters
 
 
@@ -4391,6 +4530,9 @@ DRIVER_EXCLUDE = {
     "group_quantiles",  # -> quantiles
     "fuzzy_join_names",
     "edit_distance_names",  # -> similarity_join
+    "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
+    "sorted_neighbors",  # r4 driver row green; SNM family keeps its
+    # local-gate + pytest pins — rotated out for fs_em_weights
     "langid_trigram",  # approximate twin of langid (pytest-pinned)
     "distinct_users_hll",  # sketch twin of distinct_users
     "heavy_hitters_cm",  # sketch twin of heavy_hitters
@@ -4530,6 +4672,8 @@ REGISTRY: dict[str, tuple] = {
     "canonical_urls": (q_canonical_urls, _wtx_sql("canonicalize_urls_sql")),
     "fuzzy_join_names": (q_fuzzy_join_names, SQL_FUZZY_JOIN_NAMES),
     "edit_distance_names": (q_edit_distance_names, SQL_EDIT_DISTANCE_NAMES),
+    "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
+    "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),
     "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
     # consolidated driver entries (see DRIVER_EXCLUDE above)
     "text_stats": (q_text_stats, _sql_text_stats()),
