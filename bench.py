@@ -63,6 +63,7 @@ def run_bench() -> dict:
         DEFAULT_BAND_CAP,
         exact_dedup,
         minhash_neardup,
+        setsim_neardup,
     )
     from bern_ray.pipelines.linkage import (
         extract_normalize_mentions,
@@ -220,6 +221,9 @@ def run_bench() -> dict:
         ("minhash_neardup", lambda: minhash_neardup(
             read_parquet_clean(f"{SF_DIR}/documents.parquet"),
             band_cap=DEFAULT_BAND_CAP).count()),
+        ("setsim_neardup", lambda: setsim_neardup(
+            read_parquet_clean(f"{SF_DIR}/documents.parquet"),
+            threshold=0.85, posting_cap=DEFAULT_BAND_CAP).count()),
         ("token_freq", lambda: q_token_freq(SF_DIR).count()),
         ("events_agg", lambda: q_events_agg(SF_DIR).count()),
         ("lineitem_pricing", lambda: q_lineitem_pricing(SF_DIR).count()),

@@ -246,6 +246,23 @@ def _band_pairs_bucket(band_cap: int | None = None):
     return fn
 
 
+def _shingle_list_rows(t: pa.Table, k: int) -> pa.Table:
+    """(doc_id, tok: list<int64>) — each doc's sorted-unique shingle
+    set (uint64 sort order reinterpreted as int64 bits; the ORDER is a
+    consistent global total order, which is all the prefix filter and
+    the set intersections need)."""
+    texts = t["text"].to_pylist()
+    sets = _shingle_sets(texts, k)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "tok": pa.array(
+                [s.tolist() for s in sets], type=pa.list_(pa.int64())
+            ),
+        }
+    )
+
+
 def minhash_neardup(
     docs: "ray.data.Dataset",
     threshold: float = 0.9,
@@ -281,22 +298,8 @@ def minhash_neardup(
     scale. The shingle Dataset is pinned once (object store,
     spillable) because both joins consume it.
     """
-    from ..stages.join import bucket_join
-
-    def shingle_rows(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        sets = _shingle_sets(texts, shingle_k)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "tok": pa.array(
-                    [s.tolist() for s in sets], type=pa.list_(pa.int64())
-                ),
-            }
-        )
-
     shingles = docs.map_batches(
-        shingle_rows, batch_format="pyarrow"
+        lambda t: _shingle_list_rows(t, shingle_k), batch_format="pyarrow"
     ).materialize()
 
     band_rows = docs.map_batches(
@@ -308,8 +311,86 @@ def minhash_neardup(
         _band_pairs_bucket(band_cap), batch_format="pandas"
     )
 
-    def side(name: str):
-        return shingles.map_batches(
+    return verify_jaccard_pairs(pairs, shingles, threshold)
+
+
+# set-similarity measures over shingle sets, each with the constants
+# the prefix filter needs (Xiao et al. PPJoin generalization):
+#   alpha_coef c: J(A,B) >= t  implies  |A∩B| >= ceil(c * |A|)
+#   (same c bounds min/max size ratio: pairs with min < c*max can't
+#   qualify, pruned before the verify join)
+#   score(inter, na, nb): the exact similarity for final verification
+_SETSIM_MEASURES = {
+    "jaccard": {
+        # |A∩B| >= t|A∪B| >= t|A|
+        "alpha_coef": lambda t: t,
+        "score": lambda inter, na, nb: np.divide(
+            inter,
+            na + nb - inter,
+            out=np.zeros_like(inter, dtype=float),
+            where=(na + nb - inter) > 0,
+        ),
+    },
+    "cosine": {
+        # |A∩B| >= t*sqrt(|A||B|) >= t*sqrt(|A||A∩B|) => |A∩B| >= t^2|A|
+        "alpha_coef": lambda t: t * t,
+        "score": lambda inter, na, nb: np.divide(
+            inter,
+            np.sqrt(na * nb),
+            out=np.zeros_like(inter, dtype=float),
+            where=(na * nb) > 0,
+        ),
+    },
+    "dice": {
+        # 2|A∩B| >= t(|A|+|B|) >= t(|A|+|A∩B|) => |A∩B| >= t/(2-t)|A|
+        "alpha_coef": lambda t: t / (2.0 - t),
+        "score": lambda inter, na, nb: np.divide(
+            2.0 * inter,
+            na + nb,
+            out=np.zeros_like(inter, dtype=float),
+            where=(na + nb) > 0,
+        ),
+    },
+}
+
+
+def verify_jaccard_pairs(
+    pairs: "ray.data.Dataset",
+    shingles: "ray.data.Dataset",
+    threshold: float,
+) -> "ray.data.Dataset":
+    """Jaccard specialization of verify_setsim_pairs (column name
+    `jaccard` — the minhash family's output contract)."""
+    return verify_setsim_pairs(
+        pairs, shingles, threshold, sim="jaccard", score_col="jaccard"
+    )
+
+
+def verify_setsim_pairs(
+    pairs: "ray.data.Dataset",
+    shingles: "ray.data.Dataset",
+    threshold: float,
+    sim: str = "jaccard",
+    score_col: str | None = None,
+    shingles_b: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """Exact set-similarity verification of candidate (doc_id_a,
+    doc_id_b) pairs: both docs' shingle sets attach via two
+    DISTRIBUTED bucketed hash joins on doc_id (global pair dedup
+    folded into join1's bucket — a pair's bucket is determined by
+    doc_id_a alone, saving a standalone sort barrier); the shingle
+    table never funnels through the driver. Shared tail of
+    minhash_neardup and the setsim_neardup family; `sim` picks the
+    measure (jaccard/cosine/dice) from _SETSIM_MEASURES. For R-S
+    joins `shingles_b` supplies the b-side's sets (defaults to the
+    self-join case: both sides read `shingles`)."""
+    from ..stages.join import bucket_join
+
+    score_fn = _SETSIM_MEASURES[sim]["score"]
+    score_col = score_col or sim
+
+    def side(name: str, src=None):
+        return (src if src is not None else shingles).map_batches(
             lambda t, n=name: pa.table(
                 {"doc_id": t["doc_id"], n: t["tok"]}
             ),
@@ -318,8 +399,6 @@ def minhash_neardup(
 
     tok_t = pa.list_(pa.int64())
     pair_schema = {"doc_id_a": pa.int64(), "doc_id_b": pa.int64()}
-    # global pair dedup folded into join1's bucket (a pair's bucket is
-    # determined by doc_id_a alone) — saves a standalone sort barrier
     j1 = bucket_join(
         pairs,
         side("tok_a"),
@@ -334,7 +413,7 @@ def minhash_neardup(
     )
     j2 = bucket_join(
         j1,
-        side("tok_b"),
+        side("tok_b", shingles_b),
         left_on="doc_id_b",
         right_on="doc_id",
         left_schema={**pair_schema, "tok_a": tok_t},
@@ -347,23 +426,341 @@ def minhash_neardup(
         b = t["doc_id_b"].to_numpy(zero_copy_only=False)
         ta = t["tok_a"].to_pylist()
         tb = t["tok_b"].to_pylist()
-        jac = np.empty(len(a))
+        inter = np.empty(len(a), dtype=np.int64)
+        na = np.empty(len(a), dtype=np.int64)
+        nb = np.empty(len(a), dtype=np.int64)
         for i, (sa, sb) in enumerate(zip(ta, tb)):
             sa = np.asarray(sa if sa is not None else [], dtype=np.int64)
             sb = np.asarray(sb if sb is not None else [], dtype=np.int64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac[i] = inter / union if union else 0.0
-        keep = jac >= threshold
+            inter[i] = len(np.intersect1d(sa, sb, assume_unique=True))
+            na[i], nb[i] = len(sa), len(sb)
+        score = score_fn(inter.astype(float), na, nb)
+        keep = score >= threshold
         return pa.table(
             {
                 "doc_id_a": pa.array(a[keep], type=pa.int64()),
                 "doc_id_b": pa.array(b[keep], type=pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 6)),
+                score_col: pa.array(np.round(score[keep], 6)),
             }
         )
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def _prefix_rows(t: pa.Table, coef: float) -> pa.Table:
+    """Prefix-filter emission for one (doc_id, tok-list) batch.
+
+    `coef` is the measure's overlap coefficient c (threshold t for
+    Jaccard, t^2 for cosine, t/(2-t) for dice — _SETSIM_MEASURES): a
+    qualifying pair satisfies |A∩B| >= ceil(c*n) for each side, so
+    under a global token order only a doc's first
+    p = n - ceil(c*n) + 1 tokens can witness one (Chaudhuri et al.
+    SSJoin / Bayardo et al. All-Pairs prefix lemma: the
+    globally-smallest common element of a qualifying pair lies in
+    BOTH prefixes). Emits (tok, doc_id, nt=set size) — nt rides along
+    so pair generation can apply the size-ratio filter
+    min/max >= c before the verify join. The 1e-9 guard keeps float
+    ceil from overshooting (which would shorten the prefix and lose
+    recall); undershooting only lengthens it, which is safe.
+    """
+    col = t["tok"].combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False)
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    n = np.diff(offsets)
+    alpha = np.ceil(coef * n - 1e-9).astype(np.int64)
+    p = np.where(n > 0, n - alpha + 1, 0)
+    p = np.clip(p, 0, n)
+    total = int(p.sum())
+    seg_starts = np.zeros(len(p), dtype=np.int64)
+    np.cumsum(p[:-1], out=seg_starts[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, p)
+    take = np.repeat(offsets[:-1], p) + within
+    return pa.table(
+        {
+            "tok": pa.array(values[take], type=pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, p), type=pa.int64()),
+            "nt": pa.array(np.repeat(n, p), type=pa.int64()),
+        }
+    )
+
+
+def _tok_bucket(t: pa.Table) -> pa.Table:
+    h = t["tok"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return t.append_column(
+        "bucket",
+        pa.array(
+            (h % np.uint64(_DEDUP_BUCKETS)).astype(np.int64),
+            type=pa.int64(),
+        ),
+    )
+
+
+def _posting_pairs_bucket(coef: float, posting_cap: int | None):
+    """Candidate pairs for every prefix-token posting list of one
+    bucket: vectorized all-pairs per token segment (the exact-oracle
+    regime at cap=None), with the size-ratio filter
+    min(|A|,|B|)/max(|A|,|B|) >= c applied before emission. A
+    `posting_cap` (opt-in, scale runs) switches oversized posting
+    lists to segment_pairs' star+chain spanning set and reports the
+    elision through the counters sidecar."""
+
+    def fn(g: pd.DataFrame) -> pa.Table:
+        from ..stages.blocking import segment_pairs
+
+        g = g.drop_duplicates(["tok", "doc_id"])
+        g = g.sort_values(["tok", "doc_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        m = len(g)
+        empty = pa.table(
+            {
+                "doc_id_a": pa.array([], type=pa.int64()),
+                "doc_id_b": pa.array([], type=pa.int64()),
+            }
+        )
+        if m < 2:
+            return empty
+        toks = g["tok"].to_numpy()
+        new_run = np.empty(m, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = toks[1:] != toks[:-1]
+        starts = np.flatnonzero(new_run)
+        sizes = np.diff(np.append(starts, m))
+        stats: dict = {}
+        ai, bi = segment_pairs(
+            starts, sizes, cap=posting_cap, stats=stats
+        )
+        if stats.get("capped_segments"):
+            from ..state.counters import add_many as _counter_add_many
+
+            _counter_add_many(
+                {
+                    "setsim_postings_capped": stats["capped_segments"],
+                    "setsim_pairs_elided": stats["elided_pairs"],
+                }
+            )
+        if len(ai) == 0:
+            return empty
+        ids = g["doc_id"].to_numpy()
+        nt = g["nt"].to_numpy()
+        na, nb = nt[ai], nt[bi]
+        keep = np.minimum(na, nb) >= coef * np.maximum(na, nb) - 1e-9
+        return pa.table(
+            {
+                "doc_id_a": pa.array(ids[ai][keep], type=pa.int64()),
+                "doc_id_b": pa.array(ids[bi][keep], type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def setsim_neardup(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.85,
+    shingle_k: int = 3,
+    posting_cap: int | None = None,
+    sim: str = "jaccard",
+) -> "ray.data.Dataset":
+    """EXACT set-similarity self-join via prefix filtering (SSJoin /
+    All-Pairs family) — the zero-recall-loss counterpart to
+    minhash_neardup: no LSH, so at cap=None the output is provably the
+    full all-pairs similarity >= threshold set, not a 1-4e-16
+    approximation of it. `sim` picks the measure — jaccard (default,
+    score column `jaccard`), cosine or dice (_SETSIM_MEASURES) — each
+    with its own prefix-length and size-ratio coefficient.
+
+    Execution shape, one wide shuffle like minhash:
+    (1) one pass builds each doc's sorted-unique shingle set
+        (_shingle_list_rows; pinned once — the verify joins reuse it);
+    (2) one pass emits only the PREFIX tokens, p = n - ceil(t*n) + 1
+        per doc (_prefix_rows) — at t=0.85 that is ~15% of tokens, so
+        the shuffle ships a small fraction of the index a full
+        inverted index would;
+    (3) one bucketed groupby turns each prefix-token posting list into
+        candidate pairs, size-ratio-filtered before emission;
+    (4) exact Jaccard verification via the shared distributed-join
+        tail (verify_jaccard_pairs).
+
+    Scale: posting lists of stop-shingles are the skew risk —
+    `posting_cap` (opt-in, like minhash's band_cap) bounds them with a
+    documented recall trade reported via cap_metrics(). Default None
+    preserves the exact regime the DuckDB oracle checks.
+    """
+    coef = _SETSIM_MEASURES[sim]["alpha_coef"](threshold)
+    shingles = docs.map_batches(
+        lambda t: _shingle_list_rows(t, shingle_k), batch_format="pyarrow"
+    ).materialize()
+
+    prefix = shingles.map_batches(
+        lambda t: _prefix_rows(t, coef), batch_format="pyarrow"
+    ).map_batches(
+        _tok_bucket, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
+    )
+    pairs = prefix.groupby("bucket").map_groups(
+        _posting_pairs_bucket(coef, posting_cap),
+        batch_format="pandas",
+    )
+    return verify_setsim_pairs(
+        pairs,
+        shingles,
+        threshold,
+        sim=sim,
+        score_col="jaccard" if sim == "jaccard" else sim,
+    )
+
+
+def _posting_pairs_rs_bucket(coef: float, posting_cap: int | None):
+    """R-S candidate pairs for one bucket: per prefix-token segment,
+    the CROSS PRODUCT of the R-side and S-side posting lists —
+    vectorized with the flat //-and-% indexing trick (no per-segment
+    Python beyond the boundary arithmetic). Size-ratio filter
+    min/max >= c before emission; `posting_cap` bounds a segment's
+    emission to the first cap pairs in (r, s) order with the elision
+    reported through the counters sidecar (an R-S join has no CC
+    downstream, so the capped subset is a plain truncation — recall
+    trade documented, opt-in)."""
+
+    def fn(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["tok", "side", "doc_id"])
+        g = g.sort_values(
+            ["tok", "side", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        m = len(g)
+        empty = pa.table(
+            {
+                "doc_id_a": pa.array([], type=pa.int64()),
+                "doc_id_b": pa.array([], type=pa.int64()),
+            }
+        )
+        if m < 2:
+            return empty
+        toks = g["tok"].to_numpy()
+        sides = g["side"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        nt = g["nt"].to_numpy()
+        new_run = np.empty(m, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = toks[1:] != toks[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], m)
+        # side boundary inside each [start, end) segment (sides sorted
+        # 0 then 1): index of the first side-1 row
+        cum1 = np.cumsum(sides)
+        n1_before = np.concatenate([[0], cum1])[starts]
+        n1_in = np.concatenate([[0], cum1])[ends] - n1_before
+        n0_in = (ends - starts) - n1_in
+        n_pairs = n0_in * n1_in
+        if posting_cap is not None:
+            capped = n_pairs > posting_cap
+            if capped.any():
+                from ..state.counters import add_many as _add_many
+
+                _add_many(
+                    {
+                        "setsim_rs_postings_capped": int(capped.sum()),
+                        "setsim_rs_pairs_elided": int(
+                            (n_pairs[capped] - posting_cap).sum()
+                        ),
+                    }
+                )
+                n_pairs = np.minimum(n_pairs, posting_cap)
+        total = int(n_pairs.sum())
+        if total == 0:
+            return empty
+        out_starts = np.zeros(len(n_pairs), dtype=np.int64)
+        np.cumsum(n_pairs[:-1], out=out_starts[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            out_starts, n_pairs
+        )
+        ns_rep = np.repeat(np.maximum(n1_in, 1), n_pairs)
+        r_idx = np.repeat(starts, n_pairs) + within // ns_rep
+        s_idx = (
+            np.repeat(starts + n0_in, n_pairs) + within % ns_rep
+        )
+        na, nb = nt[r_idx], nt[s_idx]
+        keep = np.minimum(na, nb) >= coef * np.maximum(na, nb) - 1e-9
+        return pa.table(
+            {
+                "doc_id_a": pa.array(ids[r_idx][keep], type=pa.int64()),
+                "doc_id_b": pa.array(ids[s_idx][keep], type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def setsim_join(
+    r_docs: "ray.data.Dataset",
+    s_docs: "ray.data.Dataset",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    posting_cap: int | None = None,
+    sim: str = "jaccard",
+) -> "ray.data.Dataset":
+    """EXACT cross-corpus (R-S) set-similarity JOIN via prefix
+    filtering: every (r, s) pair with sim(shingles(r), shingles(s))
+    >= threshold — the decontamination-shaped question "which docs in
+    corpus S near-duplicate corpus R", with provable completeness at
+    posting_cap=None (no LSH). Output: (doc_id_a from R, doc_id_b
+    from S, score) — no a<b ordering; exact pair dedup happens in the
+    verify join's bucket.
+
+    Same one-wide-shuffle shape as setsim_neardup: both sides' prefix
+    tokens ride ONE bucketed groupby tagged by side; each posting
+    list emits only R×S cross pairs (the flat //-% trick — no
+    Python loop); verification attaches R's sets and S's sets via the
+    shared distributed-join tail (verify_setsim_pairs with
+    shingles_b). The prefix lemma is side-symmetric, so each side
+    uses its own p = n - ceil(c*n) + 1 prefix.
+    """
+    coef = _SETSIM_MEASURES[sim]["alpha_coef"](threshold)
+    sh_r = r_docs.map_batches(
+        lambda t: _shingle_list_rows(t, shingle_k), batch_format="pyarrow"
+    ).materialize()
+    sh_s = s_docs.map_batches(
+        lambda t: _shingle_list_rows(t, shingle_k), batch_format="pyarrow"
+    ).materialize()
+
+    def tag(side_val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side",
+                pa.array(
+                    np.full(len(t), side_val, dtype=np.int64),
+                    type=pa.int64(),
+                ),
+            )
+
+        return fn
+
+    pre = (
+        sh_r.map_batches(
+            lambda t: _prefix_rows(t, coef), batch_format="pyarrow"
+        )
+        .map_batches(tag(0), batch_format="pyarrow")
+        .union(
+            sh_s.map_batches(
+                lambda t: _prefix_rows(t, coef), batch_format="pyarrow"
+            ).map_batches(tag(1), batch_format="pyarrow")
+        )
+        .map_batches(
+            _tok_bucket, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
+        )
+    )
+    pairs = pre.groupby("bucket").map_groups(
+        _posting_pairs_rs_bucket(coef, posting_cap),
+        batch_format="pandas",
+    )
+    return verify_setsim_pairs(
+        pairs,
+        sh_r,
+        threshold,
+        sim=sim,
+        score_col="jaccard" if sim == "jaccard" else sim,
+        shingles_b=sh_s,
+    )
 
 
 def _simhash_rows(t: pa.Table) -> pa.Table:

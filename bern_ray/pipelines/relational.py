@@ -214,6 +214,158 @@ def q_ngram_jaccard_neardup(sf_dir: str):
 SQL_NGRAM_JACCARD = SQL_MINHASH_NEARDUP.replace("0.9", "0.8")
 
 
+def q_setsim_neardup(sf_dir: str):
+    """EXACT prefix-filtered set-similarity self-join (SSJoin /
+    All-Pairs) at 0.85 — no LSH anywhere, so the all-pairs oracle
+    equivalence is provable, not probabilistic (functions/dedup.py
+    setsim_neardup). Distinct machinery from minhash_neardup: the
+    candidate generator is an inverted index over per-doc PREFIX
+    tokens, not minhash band keys."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.setsim_neardup(docs, threshold=0.85)
+
+
+SQL_SETSIM_NEARDUP = SQL_MINHASH_NEARDUP.replace("0.9", "0.85")
+
+
+def q_cross_corpus_neardup(sf_dir: str):
+    """EXACT cross-corpus R-S set-similarity join (functions/dedup.py
+    setsim_join): which odd-doc_id documents near-duplicate (jaccard
+    >= 0.7 over 3-token shingles) which even-doc_id documents — the
+    decontamination-shaped question, no LSH, provable completeness.
+    The parity split stands in for two real corpora (train/benchmark);
+    the oracle doc-range guard keeps the O(n^2) SQL side tractable."""
+    base = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    even = base.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    odd = base.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)
+        ),
+        batch_format="pyarrow",
+    )
+    return fdedup.setsim_join(even, odd, threshold=0.7)
+
+
+SQL_CROSS_CORPUS_NEARDUP = (
+    """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-zA-Z]+') AS ts
+  FROM documents WHERE doc_id < """
+    + str(MINHASH_MAX_DOC)
+    + """
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(ts) - 2),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+              ELSE [] END AS ss
+  FROM tok
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(len(list_intersect(a.ss, b.ss))::DOUBLE
+             / len(list_distinct(list_concat(a.ss, b.ss))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+WHERE len(a.ss) > 0 AND len(b.ss) > 0
+  AND len(list_intersect(a.ss, b.ss))::DOUBLE
+      / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.7
+"""
+)
+
+
+def q_phonetic_blocking(sf_dir: str):
+    """Soundex phonetic block-key census over the documents corpus:
+    (soundex, n_tokens, occurrences) — functions/phonetic.py; the
+    classic ER blocking key family next to the lexical fold keys
+    (reference chemical_normalizer.py:64-72)."""
+    from bern_ray.functions.phonetic import phonetic_blocking
+
+    return phonetic_blocking(_docs(sf_dir))
+
+
+def _sql_phonetic_blocking() -> str:
+    from bern_ray.functions.phonetic import phonetic_blocking_sql
+
+    return phonetic_blocking_sql()
+
+
+def q_setsim_cosine(sf_dir: str):
+    """Prefix-filtered exact COSINE set-similarity self-join:
+    |A∩B|/sqrt(|A||B|) >= 0.9 over distinct 3-token shingle sets —
+    prefix length n - ceil(t^2*n) + 1 (functions/dedup.py
+    _SETSIM_MEASURES)."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.setsim_neardup(docs, threshold=0.9, sim="cosine")
+
+
+def q_setsim_dice(sf_dir: str):
+    """Prefix-filtered exact DICE set-similarity self-join:
+    2|A∩B|/(|A|+|B|) >= 0.9 — prefix length n - ceil(t/(2-t)*n) + 1."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.setsim_neardup(docs, threshold=0.9, sim="dice")
+
+
+_SETSIM_TOK_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-zA-Z]+') AS ts
+  FROM documents WHERE doc_id < {MINHASH_MAX_DOC}
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(ts) - 2),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+              ELSE [] END AS ss
+  FROM tok
+)
+"""
+
+SQL_SETSIM_COSINE = (
+    _SETSIM_TOK_CTE
+    + """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(len(list_intersect(a.ss, b.ss))::DOUBLE
+             / sqrt(len(a.ss)::DOUBLE * len(b.ss)), 6) AS cosine
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.ss) > 0 AND len(b.ss) > 0
+  AND len(list_intersect(a.ss, b.ss))::DOUBLE
+      / sqrt(len(a.ss)::DOUBLE * len(b.ss)) >= 0.9
+"""
+)
+
+SQL_SETSIM_DICE = (
+    _SETSIM_TOK_CTE
+    + """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(2.0 * len(list_intersect(a.ss, b.ss))
+             / (len(a.ss) + len(b.ss)), 6) AS dice
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.ss) > 0 AND len(b.ss) > 0
+  AND 2.0 * len(list_intersect(a.ss, b.ss))
+      / (len(a.ss) + len(b.ss)) >= 0.9
+"""
+)
+
+
 def q_simhash_neardup(sf_dir: str):
     """SQL-mirrorable simhash near-dup (31-bit polynomial shingle
     hash; see functions/dedup.py simhash_mirror_neardup). The
@@ -4539,6 +4691,14 @@ DRIVER_EXCLUDE = {
     "approx_quantiles",  # sketch twin of value_quantiles
     "bloom_new_docs",  # sketch (pytest error bounds)
     "ngram_jaccard_neardup",  # same path as minhash_neardup
+    "setsim_neardup",  # exact twin of the near-dup family (local gate
+    # + ≡-minhash pytest; minhash/embedding keep the driver rows)
+    "setsim_cosine",  # measure variants of setsim_neardup (local
+    "setsim_dice",  # gate + prefix-lemma fuzz pytest)
+    "phonetic_blocking",  # soundex key census (local gate + canonical
+    # vectors + hypothesis fuzz in tests/test_phonetic.py)
+    "cross_corpus_neardup",  # R-S setsim join (local gate + pytest;
+    # contamination keeps the driver's decontamination row)
     "consensus_neardup",  # local gate + pytest (keeps driver at 50)
     "duplicated_spans",  # local gate + pytest (keeps driver at 50)
     "clean_corpus",  # local gate + pytest (keeps driver at 50)
@@ -4590,6 +4750,14 @@ REGISTRY: dict[str, tuple] = {
     "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
     "ngram_jaccard_neardup": (q_ngram_jaccard_neardup, SQL_NGRAM_JACCARD),
+    "setsim_neardup": (q_setsim_neardup, SQL_SETSIM_NEARDUP),
+    "setsim_cosine": (q_setsim_cosine, SQL_SETSIM_COSINE),
+    "setsim_dice": (q_setsim_dice, SQL_SETSIM_DICE),
+    "phonetic_blocking": (q_phonetic_blocking, _sql_phonetic_blocking()),
+    "cross_corpus_neardup": (
+        q_cross_corpus_neardup,
+        SQL_CROSS_CORPUS_NEARDUP,
+    ),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
     "consensus_neardup": (q_consensus_neardup, SQL_CONSENSUS_NEARDUP),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

@@ -488,3 +488,177 @@ def test_consensus_is_intersection_of_methods(ray_session):
         k = (r.doc_id_a, r.doc_id_b)
         assert r.jaccard == jset[k]
         assert r.hamming == sset[k]
+
+
+def test_setsim_equals_minhash_exact_regime(docs):
+    """setsim (exact prefix filter) and minhash (LSH, cap=None) are
+    both provably/near-certainly the all-pairs Jaccard set at the same
+    threshold, so their outputs must be identical on the real table."""
+    import pandas as pd
+
+    from bern_ray.functions.dedup import minhash_neardup, setsim_neardup
+
+    ss = (
+        setsim_neardup(docs, threshold=0.9)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    mh = (
+        minhash_neardup(docs, threshold=0.9)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(ss) > 10
+    pd.testing.assert_frame_equal(ss, mh, check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_setsim_prefix_lemma_fuzz(token_sets):
+    """Prefix lemma, ALL measures: for ANY pair with sim >= t, the
+    per-doc prefixes (p = n - ceil(c*n) + 1 under the global uint64
+    order, c = the measure's overlap coefficient) share at least one
+    token — so the inverted-index candidate set is a superset of the
+    true pair set. Checked on random int sets via the production
+    kernel (_prefix_rows)."""
+    from bern_ray.functions.dedup import _SETSIM_MEASURES, _prefix_rows
+
+    t = 0.8
+    sets = [
+        np.unique(np.asarray(s, dtype=np.int64).view(np.uint64)).view(
+            np.int64
+        )
+        for s in token_sets
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(sets)), type=pa.int64()),
+            "tok": pa.array(
+                [s.tolist() for s in sets], type=pa.list_(pa.int64())
+            ),
+        }
+    )
+    import math
+
+    for sim, m in _SETSIM_MEASURES.items():
+        coef = m["alpha_coef"](t)
+        out = _prefix_rows(tbl, coef)
+        prefixes: dict[int, set] = {i: set() for i in range(len(sets))}
+        for tok, did in zip(
+            out["tok"].to_pylist(), out["doc_id"].to_pylist()
+        ):
+            prefixes[did].add(tok)
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                a, b = set(sets[i].tolist()), set(sets[j].tolist())
+                if not a or not b:
+                    continue
+                inter = len(a & b)
+                if sim == "jaccard":
+                    score = inter / len(a | b)
+                elif sim == "cosine":
+                    score = inter / math.sqrt(len(a) * len(b))
+                else:
+                    score = 2 * inter / (len(a) + len(b))
+                if score >= t:
+                    assert prefixes[i] & prefixes[j], (
+                        f"qualifying pair ({i},{j}) {sim}={score} "
+                        "missed by prefix filter"
+                    )
+
+
+def test_setsim_posting_cap_counter(ray_session):
+    """An oversized posting list under posting_cap switches to the
+    spanning emission and REPORTS the elision (SURVEY §7.5)."""
+    import ray.data
+
+    from bern_ray.functions.dedup import setsim_neardup
+    from bern_ray.state import counters
+
+    # 40 identical docs: every prefix token's posting list has 40 docs
+    docs = ray.data.from_items(
+        [
+            {"doc_id": i, "text": "alpha beta gamma delta epsilon zeta"}
+            for i in range(40)
+        ]
+    )
+    counters.reset()
+    out = setsim_neardup(docs, threshold=0.9, posting_cap=8).to_pandas()
+    snap = counters.snapshot()
+    assert snap.get("setsim_postings_capped", 0) > 0
+    assert snap.get("setsim_pairs_elided", 0) > 0
+    # identical docs: every emitted spanning edge verifies at 1.0, so
+    # the CC closure is intact even though the inventory is capped
+    assert (out.jaccard == 1.0).all()
+    ids = set(out.doc_id_a) | set(out.doc_id_b)
+    assert ids == set(range(40))
+
+
+def test_setsim_join_matches_bruteforce(docs):
+    """R-S prefix-filtered join == DuckDB all-cross-pairs jaccard at
+    0.7 (even ids vs odd ids)."""
+    import duckdb
+
+    from bern_ray.pipelines.relational import (
+        SQL_CROSS_CORPUS_NEARDUP,
+        q_cross_corpus_neardup,
+    )
+
+    got = (
+        q_cross_corpus_neardup(SF)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    exp = (
+        con.sql(SQL_CROSS_CORPUS_NEARDUP)
+        .df()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 5
+    assert got.doc_id_a.tolist() == exp.doc_id_a.tolist()
+    assert got.doc_id_b.tolist() == exp.doc_id_b.tolist()
+    assert np.allclose(got.jaccard, exp.jaccard, atol=1e-6)
+    assert (got.doc_id_a % 2 == 0).all() and (got.doc_id_b % 2 == 1).all()
+
+
+def test_setsim_join_cap_counter(ray_session):
+    """posting_cap truncates an oversized R-S posting list and reports
+    the elision; cap=None on the same input is the exact cross set."""
+    import ray.data
+
+    from bern_ray.functions.dedup import setsim_join
+    from bern_ray.state import counters
+
+    text = "alpha beta gamma delta epsilon zeta"
+    r = ray.data.from_items(
+        [{"doc_id": i, "text": text} for i in range(0, 20)]
+    )
+    s = ray.data.from_items(
+        [{"doc_id": i, "text": text} for i in range(100, 120)]
+    )
+    exact = setsim_join(r, s, threshold=0.9).to_pandas()
+    assert len(exact) == 20 * 20
+    assert (exact.jaccard == 1.0).all()
+    counters.reset()
+    capped = setsim_join(r, s, threshold=0.9, posting_cap=16).to_pandas()
+    snap = counters.snapshot()
+    assert snap.get("setsim_rs_postings_capped", 0) > 0
+    assert snap.get("setsim_rs_pairs_elided", 0) > 0
+    assert 0 < len(capped) < 400
+    assert (capped.jaccard == 1.0).all()
