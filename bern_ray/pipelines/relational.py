@@ -285,6 +285,61 @@ WHERE len(a.ss) > 0 AND len(b.ss) > 0
 )
 
 
+def q_graph_clusters(sf_dir: str):
+    """CENTER / MERGE-CENTER / STAR / PIVOT clusterings of the
+    0.8-jaccard near-dup graph (functions/graphcluster.py), unioned
+    with an `algorithm` column — the chain-cutting alternatives to CC
+    from the ER clustering literature (Hassanzadeh et al. VLDB 2009;
+    Ailon et al. 2008). Rows-only: order-sequential greedies, not
+    SQL-expressible; deterministic outputs are pytest-pinned on
+    planted graphs (tests/test_graphcluster.py)."""
+    from bern_ray.functions.graphcluster import cluster_edges
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    edges = fdedup.minhash_neardup(docs, threshold=0.8).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id_a": t["doc_id_a"],
+                "doc_id_b": t["doc_id_b"],
+                "score": t["jaccard"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def tag(alg):
+        return lambda t: t.append_column(
+            "algorithm", pa.array([alg] * len(t), type=pa.string())
+        )
+
+    parts = [
+        cluster_edges(edges, algorithm=a).map_batches(
+            tag(a), batch_format="pyarrow"
+        )
+        for a in ("center", "merge_center", "star", "pivot")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def q_canopy_blocking(sf_dir: str):
+    """Canopy clustering (McCallum/Nigam/Ungar 2000) over the full
+    documents table: overlapping cheap-Jaccard canopies at
+    loose=0.4/tight=0.7 (functions/canopy.py — two-level greedy seed
+    selection + broadcast assignment). Rows-only: the greedy is
+    order-sequential, not SQL-expressible; invariants (full coverage,
+    seed separation, co-canopy of identical docs) are pytest-pinned
+    in tests/test_canopy.py."""
+    from bern_ray.functions.canopy import canopy_blocking
+
+    return canopy_blocking(_docs(sf_dir))
+
+
 def q_phonetic_blocking(sf_dir: str):
     """Soundex phonetic block-key census over the documents corpus:
     (soundex, n_tokens, occurrences) — functions/phonetic.py; the
@@ -4699,6 +4754,10 @@ DRIVER_EXCLUDE = {
     # vectors + hypothesis fuzz in tests/test_phonetic.py)
     "cross_corpus_neardup",  # R-S setsim join (local gate + pytest;
     # contamination keeps the driver's decontamination row)
+    "canopy_blocking",  # rows-only greedy canopies (invariants
+    # pytest-pinned in tests/test_canopy.py)
+    "graph_clusters",  # rows-only center/merge-center/star (planted
+    # graphs pytest-pinned in tests/test_graphcluster.py)
     "consensus_neardup",  # local gate + pytest (keeps driver at 50)
     "duplicated_spans",  # local gate + pytest (keeps driver at 50)
     "clean_corpus",  # local gate + pytest (keeps driver at 50)
@@ -4754,6 +4813,8 @@ REGISTRY: dict[str, tuple] = {
     "setsim_cosine": (q_setsim_cosine, SQL_SETSIM_COSINE),
     "setsim_dice": (q_setsim_dice, SQL_SETSIM_DICE),
     "phonetic_blocking": (q_phonetic_blocking, _sql_phonetic_blocking()),
+    "canopy_blocking": (q_canopy_blocking, None),
+    "graph_clusters": (q_graph_clusters, None),
     "cross_corpus_neardup": (
         q_cross_corpus_neardup,
         SQL_CROSS_CORPUS_NEARDUP,
