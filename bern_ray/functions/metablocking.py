@@ -152,6 +152,102 @@ def _emit_bucket_fn(purge_threshold_x2: int):
     return emit_bucket
 
 
+def _sizes_bucket(g: pd.DataFrame) -> pa.Table:
+    """Per token-bucket: attach the GLOBAL block size to every
+    (id, token) assignment (a token's rows all live in one bucket, so
+    the in-bucket count IS the global size) and re-key by id bucket
+    for the per-record filtering shuffle."""
+    if len(g) == 0:
+        return pa.table(
+            {
+                "id": pa.array([], type=pa.int64()),
+                "token": pa.array([], type=pa.string()),
+                "sz": pa.array([], type=pa.int64()),
+                "id_bucket": pa.array([], type=pa.int64()),
+            }
+        )
+    tok = g["token"].to_numpy()
+    ids = g["id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ids, tok))
+    tok, ids = tok[order], ids[order]
+    change = np.empty(len(tok), dtype=bool)
+    change[0] = True
+    change[1:] = tok[1:] != tok[:-1]
+    seg = np.cumsum(change) - 1
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.append(starts, len(tok))).astype(np.int64)
+    return pa.table(
+        {
+            "id": pa.array(ids, type=pa.int64()),
+            "token": pa.array(tok, type=pa.string()),
+            "sz": pa.array(sizes[seg], type=pa.int64()),
+            "id_bucket": pa.array(
+                (ids % _NUM_BUCKETS).astype(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+def _filter_bucket_fn(ratio_num: int, ratio_den: int):
+    """Per id-bucket BLOCK FILTERING (Papadakis et al., EDBT 2016):
+    each record keeps only its ceil(ratio * nb) SMALLEST blocks
+    (ties broken by token bytes) — the skew defense beyond purging:
+    a mid-frequency token block shrinks to the records for which it
+    is among their most selective keys. The keep rule is
+    integer-exact:  rn <= ceil(num*nb/den)  <=>
+    rn*den <= num*nb + den - 1  — no float boundary, so the SQL
+    mirror (same integer arithmetic) cannot disagree. Dropped
+    assignments are reported via the counters sidecar."""
+
+    def fn(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "id": pa.array([], type=pa.int64()),
+                "token": pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(
+            ["id", "sz", "token"], kind="mergesort"
+        ).reset_index(drop=True)
+        ids = g["id"].to_numpy(dtype=np.int64)
+        change = np.empty(len(ids), dtype=bool)
+        change[0] = True
+        change[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(change)
+        nb = np.diff(np.append(starts, len(ids))).astype(np.int64)
+        rank = np.arange(len(ids), dtype=np.int64) - np.repeat(
+            starts, nb
+        )
+        nb_rep = np.repeat(nb, nb)
+        keep = (rank + 1) * ratio_den <= ratio_num * nb_rep + (
+            ratio_den - 1
+        )
+        dropped = int((~keep).sum())
+        if dropped:
+            counters.add_many(
+                {"metablock_filtered_assignments": dropped}
+            )
+        kept = g.loc[keep]
+        tok_arr = pa.array(kept["token"], type=pa.string())
+        bucket = (
+            _token_h64(tok_arr).astype(np.uint64) % _NUM_BUCKETS
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(
+                    kept["id"].to_numpy(), type=pa.int64()
+                ),
+                "token": tok_arr,
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    return fn
+
+
 def meta_block_pairs(
     records: "ray.data.Dataset",
     id_col: str,
@@ -159,11 +255,26 @@ def meta_block_pairs(
     *,
     purge_threshold_x2: int,
     min_common: int = 3,
+    block_filter: tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """-> Dataset (a, b, common_blocks), a < b: the CBS-pruned
     candidate pairs of token blocking over ``text_col`` after purging
     blocks with 2*size > ``purge_threshold_x2`` (pass 2*cap, or the
     corpus row count for a half-the-corpus cap).
+
+    ``block_filter=(num, den)`` (opt-in) runs BLOCK FILTERING first
+    (each record keeps its ceil(num/den * nb) smallest blocks,
+    _filter_bucket_fn) — purging then applies to the FILTERED block
+    sizes. One extra id-keyed shuffle. On zipf-vocabulary corpora
+    (real text) this is the step that keeps mid-frequency token
+    blocks from surviving purging with C(n,2) cost (the planted-zipf
+    pytest measures a >5x comparison-count reduction at unchanged
+    recall of the planted dup pairs). CAVEAT measured on this repo's
+    NEAR-UNIFORM synthetic tables: when every key is equally frequent
+    filtering cannot shrink the kept blocks, and it can even
+    RE-ADMIT a would-be-purged block by shrinking it under the purge
+    bar (the part table's 'brand' block at ratio 4/5) — filtering is
+    a knob to measure per corpus, not a free win.
 
     ``id_col`` must be int64 ids < 2^31 (packed pair key).
     """
@@ -202,11 +313,21 @@ def meta_block_pairs(
             }
         )
 
-    return (
-        records.map_batches(
-            _tok_rows_fn(id_col, text_col), batch_format="pyarrow"
+    assignments = records.map_batches(
+        _tok_rows_fn(id_col, text_col), batch_format="pyarrow"
+    )
+    if block_filter is not None:
+        num, den = block_filter
+        assignments = (
+            assignments.groupby("bucket")
+            .map_groups(_sizes_bucket, batch_format="pandas")
+            .groupby("id_bucket")
+            .map_groups(
+                _filter_bucket_fn(num, den), batch_format="pandas"
+            )
         )
-        .groupby("bucket")
+    return (
+        assignments.groupby("bucket")
         .map_groups(
             _emit_bucket_fn(purge_threshold_x2),
             batch_format="pandas",
@@ -224,6 +345,7 @@ def meta_block_topk(
     purge_threshold_x2: int,
     min_common: int = 2,
     k: int = 5,
+    block_filter: tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """Cardinality node pruning (CNP) over the CBS blocking graph:
     each record retains its ``k`` strongest neighbors (weight desc,
@@ -248,6 +370,7 @@ def meta_block_topk(
         text_col,
         purge_threshold_x2=purge_threshold_x2,
         min_common=min_common,
+        block_filter=block_filter,
     )
 
     def topk_bucket(g: pd.DataFrame) -> pa.Table:
@@ -360,6 +483,7 @@ def meta_block_wep(
     text_col: str,
     *,
     purge_threshold_x2: int,
+    block_filter: tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """Weighted edge pruning (WEP) over the CBS blocking graph: one
     GLOBAL threshold — the mean edge weight of the whole graph — and
@@ -381,6 +505,7 @@ def meta_block_wep(
         text_col,
         purge_threshold_x2=purge_threshold_x2,
         min_common=1,
+        block_filter=block_filter,
     ).materialize()
     n_pairs = int(pairs.count())
     if not n_pairs:
@@ -403,6 +528,7 @@ def meta_block_wnp(
     *,
     purge_threshold_x2: int,
     min_common: int = 2,
+    block_filter: tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """Weighted node pruning (WNP) over the CBS blocking graph: each
     node's local threshold is the MEAN weight of its adjacent edges,
@@ -426,6 +552,7 @@ def meta_block_wnp(
         text_col,
         purge_threshold_x2=purge_threshold_x2,
         min_common=min_common,
+        block_filter=block_filter,
     )
 
     def wnp_bucket(g: pd.DataFrame) -> pa.Table:

@@ -4130,6 +4130,88 @@ def q_meta_blocking_wep(sf_dir: str):
     )
 
 
+def q_meta_blocking_filtered(sf_dir: str):
+    """WNP over BLOCK-FILTERED token blocking (Papadakis et al. EDBT
+    2016 block filtering at ratio 4/5 composed with TKDE 2014 WNP):
+    each record first keeps only its ceil(4/5 * nb) smallest blocks
+    (integer-exact rule rn*5 <= 4*nb + 4), THEN purging and CBS
+    pruning run on the filtered assignments. On real zipf-vocabulary
+    corpora filtering is the step that keeps mid-frequency blocks
+    from surviving purging with C(n,2) cost (the planted-zipf pytest
+    measures the block-shrink); this synthetic part table's token
+    frequencies are near-uniform, so here the query verifies the
+    SEMANTICS (oracle-identical filtering), not a speedup — see the
+    dense-table caveat in functions/metablocking.py."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.metablocking import meta_block_wnp
+
+    path = f"{sf_dir}/part.parquet"
+    n_records = _pq.read_metadata(path).num_rows
+
+    def blocking_text(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["p_partkey"],
+                "bt": pc.binary_join_element_wise(
+                    t["p_name"], t["p_type"], t["p_brand"], " "
+                ),
+            }
+        )
+
+    recs = read_parquet_clean(
+        path, columns=["p_partkey", "p_name", "p_type", "p_brand"]
+    ).map_batches(blocking_text, batch_format="pyarrow")
+    return meta_block_wnp(
+        recs,
+        "id",
+        "bt",
+        purge_threshold_x2=n_records,
+        min_common=2,
+        block_filter=(4, 5),
+    )
+
+
+SQL_META_BLOCKING_FILTERED = """
+WITH tok AS (
+  SELECT DISTINCT id, token FROM (
+    SELECT p_partkey AS id,
+           unnest(regexp_extract_all(
+             lower(p_name || ' ' || p_type || ' ' || p_brand),
+             '[0-9a-zA-Z]+')) AS token
+    FROM part)
+),
+bsz AS (SELECT token, count(*) AS sz FROM tok GROUP BY token),
+flt AS (
+  SELECT id, token FROM (
+    SELECT t.id, t.token,
+           row_number() OVER (
+             PARTITION BY t.id ORDER BY b.sz, t.token) AS rn,
+           count(*) OVER (PARTITION BY t.id) AS nb
+    FROM tok t JOIN bsz b USING (token))
+  WHERE rn * 5 <= 4 * nb + 4
+),
+ok AS (SELECT token FROM flt
+       GROUP BY token
+       HAVING count(*) * 2 <= (SELECT count(*) FROM part)),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, count(*)::BIGINT AS common_blocks
+  FROM flt a JOIN flt b ON a.token = b.token AND a.id < b.id
+  JOIN ok ON ok.token = a.token
+  GROUP BY 1, 2),
+p2 AS (SELECT * FROM pairs WHERE common_blocks >= 2),
+dir AS (SELECT a AS node, b AS nbr, common_blocks FROM p2
+        UNION ALL
+        SELECT b AS node, a AS nbr, common_blocks FROM p2),
+th AS (SELECT node, nbr, common_blocks,
+              avg(common_blocks) OVER (PARTITION BY node) AS t
+       FROM dir)
+SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b,
+       common_blocks
+FROM th WHERE common_blocks >= t
+"""
+
+
 SQL_META_BLOCKING_WEP = """
 WITH tok AS (
   SELECT DISTINCT id, token FROM (
@@ -4770,6 +4852,7 @@ DRIVER_EXCLUDE = {
     "meta_blocking_wnp",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_wep",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_quality",  # local gate + pytest (keeps driver at 50)
+    "meta_blocking_filtered",  # local gate + pytest (keeps driver at 50)
     "snm_multipass",  # local gate + pytest (keeps driver at 50)
     "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
@@ -4889,6 +4972,10 @@ REGISTRY: dict[str, tuple] = {
     "meta_blocking_topk": (q_meta_blocking_topk, SQL_META_BLOCKING_TOPK),
     "meta_blocking_wnp": (q_meta_blocking_wnp, SQL_META_BLOCKING_WNP),
     "meta_blocking_wep": (q_meta_blocking_wep, SQL_META_BLOCKING_WEP),
+    "meta_blocking_filtered": (
+        q_meta_blocking_filtered,
+        SQL_META_BLOCKING_FILTERED,
+    ),
     "meta_blocking_quality": (
         q_meta_blocking_quality,
         SQL_META_BLOCKING_QUALITY,

@@ -311,3 +311,108 @@ def test_wep_matches_bruteforce_random():
             for r in out.itertuples()
         }
         assert got == _brute_wep(records, cap2)
+
+
+def _brute_filtered(records, purge_threshold_x2, min_common, num, den):
+    """Brute reference with EDBT-2016 block filtering first: each
+    record keeps its ceil(num/den*nb) smallest blocks, ties by token
+    bytes; purging then uses FILTERED sizes."""
+    import re
+
+    toks = {
+        i: sorted(set(re.findall(r"[0-9a-zA-Z]+", s.lower())))
+        for i, s in records
+    }
+    sizes: dict[str, int] = {}
+    for ts in toks.values():
+        for tk in ts:
+            sizes[tk] = sizes.get(tk, 0) + 1
+    blocks: dict[str, list[int]] = {}
+    for i, ts in toks.items():
+        ranked = sorted(ts, key=lambda tk: (sizes[tk], tk))
+        nb = len(ranked)
+        kept = [
+            tk
+            for rn, tk in enumerate(ranked, 1)
+            if rn * den <= num * nb + den - 1
+        ]
+        for tk in kept:
+            blocks.setdefault(tk, []).append(i)
+    pair_w: dict[tuple[int, int], int] = {}
+    for tk, ids in blocks.items():
+        if 2 * len(ids) > purge_threshold_x2:
+            continue
+        for a, b in combinations(sorted(ids), 2):
+            pair_w[(a, b)] = pair_w.get((a, b), 0) + 1
+    return {
+        (a, b): w for (a, b), w in pair_w.items() if w >= min_common
+    }
+
+
+def _zipf_corpus(rng, n=400, planted=12):
+    """Zipf-ish vocabulary: a few stop-tokens in most records, a long
+    tail of rare tokens; `planted` duplicate pairs share their full
+    token set (the rare tokens are what finds them)."""
+    stop = [f"stop{j}" for j in range(4)]
+    mid = [f"mid{j}" for j in range(12)]
+    rows = []
+    for i in range(n):
+        toks = list(stop)  # every record carries the stop tokens
+        toks += list(
+            rng.choice(mid, size=3, replace=False)
+        )
+        toks += [f"rare{i}a", f"rare{i}b", f"rare{i}c"]
+        rows.append((i, " ".join(toks)))
+    for j in range(planted):
+        src = rows[j][1]
+        rows.append((1000 + j, src))  # exact token-set duplicate
+    return rows
+
+
+def test_block_filtering_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    records = _zipf_corpus(rng, n=120, planted=6)
+    got = _run_filtered(records, len(records), 2, (1, 3))
+    exp = _brute_filtered(records, len(records), 2, 1, 3)
+    assert got == exp
+    assert len(got) > 0
+
+
+def _run_filtered(records, purge_threshold_x2, min_common, bf):
+    t = pa.table(
+        {
+            "id": pa.array([i for i, _ in records], type=pa.int64()),
+            "bt": pa.array([s for _, s in records], type=pa.string()),
+        }
+    )
+    out = meta_block_pairs(
+        ray.data.from_arrow(t).repartition(3),
+        "id",
+        "bt",
+        purge_threshold_x2=purge_threshold_x2,
+        min_common=min_common,
+        block_filter=bf,
+    ).to_pandas()
+    return {
+        (int(r.a), int(r.b)): int(r.common_blocks)
+        for r in out.itertuples()
+    }
+
+
+def test_block_filtering_shrinks_zipf_comparisons(ray_session):
+    """On a zipf corpus, filtering at 1/3 cuts the comparison count
+    >5x while every planted duplicate pair survives (their rare
+    tokens are exactly the blocks filtering keeps), and the dropped
+    assignments are counted."""
+    rng = np.random.default_rng(5)
+    records = _zipf_corpus(rng, n=400, planted=12)
+    thr = 2 * len(records)  # no purging: isolate the filtering effect
+    counters.reset()
+    unfiltered = _run(records, thr, 2)
+    filtered = _run_filtered(records, thr, 2, (1, 3))
+    assert len(filtered) * 5 < len(unfiltered)
+    assert counters.snapshot().get(
+        "metablock_filtered_assignments", 0
+    ) > 0
+    planted = {(j, 1000 + j) for j in range(12)}
+    assert planted <= set(filtered)
