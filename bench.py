@@ -80,8 +80,10 @@ def run_bench() -> dict:
         q_duplicated_spans,
         q_fuzzy_join_names,
         q_ari_dedup_eval,
+        q_muc_dedup_eval,
         q_consensus_neardup,
         q_meta_blocking_wnp,
+        q_meta_blocking_weights,
         q_passage_dedup,
         q_pii_redact,
         q_returned_revenue,
@@ -242,6 +244,9 @@ def run_bench() -> dict:
         ("meta_blocking_wnp", lambda: q_meta_blocking_wnp(SF_DIR).count()),
         ("consensus_neardup", lambda: q_consensus_neardup(SF_DIR).count()),
         ("ari_dedup_eval", lambda: q_ari_dedup_eval(SF_DIR).count()),
+        ("muc_dedup_eval", lambda: q_muc_dedup_eval(SF_DIR).count()),
+        ("meta_blocking_weights",
+         lambda: q_meta_blocking_weights(SF_DIR).count()),
         ("wordpiece_features", lambda: wordpiece_features(
             read_parquet_clean(
                 f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]

@@ -421,3 +421,243 @@ def nmi(
             }
         )
     )
+
+
+def pr_curve(
+    pairs: "ray.data.Dataset",
+    gold: "ray.data.Dataset",
+    thresholds: list[float],
+    *,
+    score_col: str,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    id_col: str = "doc_id",
+    gold_col: str = "gold",
+) -> "ray.data.Dataset":
+    """Threshold-sweep pairwise precision/recall/F1 curve — the
+    operating-point report every ER deployment reads before fixing a
+    match threshold (Fellegi-Sunter's m/u tradeoff as a curve).
+
+    For each threshold t: predicted = candidate pairs with
+    score >= t; tp = predicted pairs whose endpoints share a gold
+    label (int64); gold_pairs = ALL same-label pairs (sum C(n,2) over
+    label groups) — recall charges misses the candidate generator
+    never surfaced, the blocking-aware convention.
+
+    Scale shape: two bucketed hash joins attach the endpoint labels;
+    one map_batches pass emits len(thresholds) partial counter rows
+    per batch; a groupby(ti) sum lands len(thresholds) rows on the
+    driver; gold_pairs is one groupby(count) + C(n,2) partial sum.
+    The only driver materialization is the len(thresholds)-row
+    result.
+    """
+    import ray.data
+
+    from ..stages.join import bucket_join
+
+    th = [float(t) for t in thresholds]
+
+    def side(n: str):
+        return gold.map_batches(
+            lambda t, c=n: pa.table(
+                {id_col: t[id_col], c: t[gold_col]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    pair_schema = {
+        id_a: pa.int64(),
+        id_b: pa.int64(),
+        score_col: pa.float64(),
+    }
+    j1 = bucket_join(
+        pairs,
+        side("gold_a"),
+        left_on=id_a,
+        right_on=id_col,
+        left_schema=pair_schema,
+        right_schema={id_col: pa.int64(), "gold_a": pa.int64()},
+        how="left",
+        left_prepare=lambda df: df.drop_duplicates([id_a, id_b]),
+    )
+    j2 = bucket_join(
+        j1,
+        side("gold_b"),
+        left_on=id_b,
+        right_on=id_col,
+        left_schema={**pair_schema, "gold_a": pa.int64()},
+        right_schema={id_col: pa.int64(), "gold_b": pa.int64()},
+        how="left",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        # distinct null fills: an endpoint missing from `gold` can
+        # never count as a true positive
+        ga = pc.cast(
+            pc.fill_null(t["gold_a"], -1), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        gb = pc.cast(
+            pc.fill_null(t["gold_b"], -2), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        same = ga == gb
+        sel = np.empty(len(th), dtype=np.int64)
+        tp = np.empty(len(th), dtype=np.int64)
+        for i, t_i in enumerate(th):
+            m = s >= t_i
+            sel[i] = int(m.sum())
+            tp[i] = int((m & same).sum())
+        return pa.table(
+            {
+                "ti": pa.array(
+                    np.arange(len(th), dtype=np.int64)
+                ),
+                "sel": pa.array(sel),
+                "tp": pa.array(tp),
+            }
+        )
+
+    sums = (
+        j2.map_batches(partial, batch_format="pyarrow")
+        .groupby("ti")
+        .aggregate(
+            ray.data.aggregate.Sum("sel", alias_name="sel"),
+            ray.data.aggregate.Sum("tp", alias_name="tp"),
+        )
+    )
+
+    def comb2_partial(t: pa.Table) -> pa.Table:
+        n = t["count()"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {"gp": pa.array([int((n * (n - 1) // 2).sum())])}
+        )
+
+    gold_pairs = int(
+        gold.groupby(gold_col)
+        .count()
+        .map_batches(comb2_partial, batch_format="pyarrow")
+        .sum("gp")
+    )
+
+    rows = {int(r["ti"]): r for r in sums.take_all()}
+    t_out, sel_o, tp_o, p_o, r_o, f_o = [], [], [], [], [], []
+    for i, t_i in enumerate(th):
+        sel = int(rows[i]["sel"]) if i in rows else 0
+        tp = int(rows[i]["tp"]) if i in rows else 0
+        p = tp / sel if sel else 0.0
+        r = tp / gold_pairs if gold_pairs else 0.0
+        # 2pr/(p+r) == 2*tp/(sel+G) exactly — use the integer-ratio
+        # form so the SQL mirror's double arithmetic is identical
+        f = (
+            2 * tp / (sel + gold_pairs)
+            if sel + gold_pairs
+            else 0.0
+        )
+        t_out.append(t_i)
+        sel_o.append(sel)
+        tp_o.append(tp)
+        p_o.append(round(p, 6))
+        r_o.append(round(r, 6))
+        f_o.append(round(f, 6))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "threshold": pa.array(t_out, type=pa.float64()),
+                "n_selected": pa.array(sel_o, type=pa.int64()),
+                "tp": pa.array(tp_o, type=pa.int64()),
+                "gold_pairs": pa.array(
+                    [gold_pairs] * len(th), type=pa.int64()
+                ),
+                "precision": pa.array(p_o, type=pa.float64()),
+                "recall": pa.array(r_o, type=pa.float64()),
+                "f1": pa.array(f_o, type=pa.float64()),
+            }
+        )
+    )
+
+
+def _ones(s: np.ndarray) -> np.ndarray:
+    return np.ones_like(s, dtype=np.float64)
+
+
+def muc(
+    items: "ray.data.Dataset", pred_col: str, gold_col: str
+) -> "ray.data.Dataset":
+    """-> one-row Dataset (n_items, n_cells, n_pred, n_gold,
+    muc_precision, muc_recall, muc_f1): the MUC link-based
+    clustering metric (Vilain et al., MUC-6 1995) of a predicted
+    clustering against gold labels — the third classic ER/coreference
+    cluster metric alongside B³ and pairwise F1 (B³ over-rewards
+    singletons, pairwise over-weights big clusters; MUC counts the
+    minimum spanning links a partition must break).
+
+    Identity: when every evaluated item carries both labels (our
+    contract — `_contingency` drops null-labeled rows), the MUC sums
+    collapse to four contingency-table cardinalities.  With C the
+    number of non-empty contingency CELLS, P/G the number of distinct
+    predicted/gold clusters and N the item count:
+
+        recall    = sum_g (n_g - p(g)) / sum_g (n_g - 1)
+                  = (N - C) / (N - G)
+        precision = (N - C) / (N - P)     (symmetrically)
+
+    because sum_g n_g = N and sum_g p(g) (the number of predicted
+    clusters each gold cluster is split across) telescopes to the
+    total cell count C.  All four terms are exact integers, so the
+    float divisions match a SQL oracle's double arithmetic exactly.
+
+    Degenerate edges: a partition of all singletons has N == P (or
+    N == G) and zero links to get right — that side is defined as
+    1.0 when the numerator is also 0 (identical trivial partitions)
+    else 0.0.
+
+    Scale shape: shared with bcubed (`_contingency`); C and N are one
+    pass over the bounded contingency set, P and G are the bucketed
+    marginal pass with a constant-1 kernel. The driver receives four
+    scalars."""
+    cont = _contingency(items, pred_col, gold_col)
+    n_items = int(cont.sum("n") or 0)
+    if not n_items:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_items": pa.array([0], type=pa.int64()),
+                    "n_cells": pa.array([0], type=pa.int64()),
+                    "n_pred": pa.array([0], type=pa.int64()),
+                    "n_gold": pa.array([0], type=pa.int64()),
+                    "muc_precision": pa.array([0.0]),
+                    "muc_recall": pa.array([0.0]),
+                    "muc_f1": pa.array([0.0]),
+                }
+            )
+        )
+    n_cells = int(_cell_sum(cont, _ones))
+    n_pred = int(_axis_reduce(cont, "pred", _ones))
+    n_gold = int(_axis_reduce(cont, "gold", _ones))
+    num = n_items - n_cells
+    prec = (
+        num / (n_items - n_pred)
+        if n_items != n_pred
+        else (1.0 if num == 0 else 0.0)
+    )
+    rec = (
+        num / (n_items - n_gold)
+        if n_items != n_gold
+        else (1.0 if num == 0 else 0.0)
+    )
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([n_items], type=pa.int64()),
+                "n_cells": pa.array([n_cells], type=pa.int64()),
+                "n_pred": pa.array([n_pred], type=pa.int64()),
+                "n_gold": pa.array([n_gold], type=pa.int64()),
+                "muc_precision": pa.array([round(prec, 6)]),
+                "muc_recall": pa.array([round(rec, 6)]),
+                "muc_f1": pa.array([round(f1, 6)]),
+            }
+        )
+    )

@@ -521,6 +521,83 @@ def meta_block_wep(
     return pairs.map_batches(keep, batch_format="pyarrow")
 
 
+def meta_block_cep(
+    records: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    *,
+    purge_threshold_x2: int,
+    block_filter: tuple[int, int] | None = None,
+) -> "ray.data.Dataset":
+    """Cardinality EDGE pruning (CEP) over the CBS blocking graph:
+    retain the K globally highest-weight comparisons, K = half the
+    number of post-purge block assignments (Papadakis et al. TKDE
+    2014's CEP — the global-budget sibling of CNP's per-node k).
+    Deterministic tie-break (weight desc, a asc, b asc) so the SQL
+    row_number() mirror agrees row-for-row.
+
+    -> Dataset (a, b, common_blocks): the K retained pairs.
+
+    Scale shape: the pair list comes from the shared bucketed CBS
+    path at min_common=1; the top-K is one distributed sort + limit
+    (Ray's range-partitioned sort — never a driver-side heap); K
+    itself is one count aggregate over the retained assignments.
+    """
+    pairs = meta_block_pairs(
+        records,
+        id_col,
+        text_col,
+        purge_threshold_x2=purge_threshold_x2,
+        min_common=1,
+        block_filter=block_filter,
+    )
+
+    assignments = records.map_batches(
+        _tok_rows_fn(id_col, text_col), batch_format="pyarrow"
+    )
+    if block_filter is not None:
+        num, den = block_filter
+        assignments = (
+            assignments.groupby("bucket")
+            .map_groups(_sizes_bucket, batch_format="pandas")
+            .groupby("id_bucket")
+            .map_groups(
+                _filter_bucket_fn(num, den), batch_format="pandas"
+            )
+        )
+    retained = (
+        assignments.groupby("bucket")
+        .map_groups(_sizes_bucket, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                (
+                                    2
+                                    * t["sz"].to_numpy(
+                                        zero_copy_only=False
+                                    )
+                                    <= purge_threshold_x2
+                                ).sum()
+                            )
+                        ],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("n")
+    )
+    k = int(retained) // 2
+    return pairs.sort(
+        ["common_blocks", "a", "b"],
+        descending=[True, False, False],
+    ).limit(k)
+
+
 def meta_block_wnp(
     records: "ray.data.Dataset",
     id_col: str,
@@ -582,3 +659,210 @@ def meta_block_wnp(
         .groupby("pair_bucket")
         .map_groups(_dedup_pairs, batch_format="pandas")
     )
+
+
+def _kept_segments(g: pd.DataFrame, purge_threshold_x2: int):
+    """Shared per-token-bucket segmentation: (ids sorted by token,
+    per-row kept mask, kept segment count) under the standard keep
+    rule — block size >= 2 and not purged (2*size <= threshold)."""
+    tok = g["token"].to_numpy()
+    ids = g["id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ids, tok))
+    tok, ids = tok[order], ids[order]
+    change = np.empty(len(tok), dtype=bool)
+    change[0] = True
+    change[1:] = tok[1:] != tok[:-1]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.append(starts, len(tok))).astype(np.int64)
+    keep = (sizes >= 2) & (2 * sizes <= purge_threshold_x2)
+    row_keep = np.repeat(keep, sizes)
+    return ids, row_keep, int(keep.sum())
+
+
+def meta_block_weights(
+    records: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    *,
+    purge_threshold_x2: int,
+    min_common: int = 1,
+    block_filter: tuple[int, int] | None = None,
+) -> "ray.data.Dataset":
+    """Blocking-graph EDGE WEIGHTING SCHEMES beyond raw CBS
+    (Papadakis et al. TKDE 2014 §4.1): for every CBS candidate pair,
+    attach the per-node block cardinalities and the two normalized
+    weights the pruning literature actually ranks by —
+
+        js   = cbs / (|Bi| + |Bj| - cbs)        (Jaccard scheme)
+        ecbs = cbs * log10(B/|Bi|) * log10(B/|Bj|)   (Enhanced CBS)
+
+    where |Bi| = number of KEPT blocks containing record i and B =
+    total kept blocks (kept = post-purge, size >= 2 — the blocks
+    that generate at least one comparison; hapax tokens, the bulk of
+    a webtext vocabulary, are excluded from every cardinality by the
+    same rule on both the Ray and SQL sides). JS down-weights hub
+    records that co-occur with everything; ECBS is CBS with an
+    IDF-style correction. Both are pure ratios/products of exact
+    integers, so round(w, 6) matches a DuckDB double oracle.
+
+    -> Dataset (a, b, cbs, bi, bj, js, ecbs), a < b.
+
+    Scale shape: the pair list is the shared bucketed CBS path; node
+    cardinalities are one extra token-bucket pass with per-bucket
+    np.unique partials summed by an id-keyed bucket shuffle (never a
+    per-node loop, nothing driver-sized); B is a scalar sum; the
+    attach is two distributed bucketed hash joins (pr_curve's shape)
+    with the tiny B broadcast in the finisher closure.
+    """
+    from ..stages.join import bucket_join
+
+    pairs = meta_block_pairs(
+        records,
+        id_col,
+        text_col,
+        purge_threshold_x2=purge_threshold_x2,
+        min_common=min_common,
+        block_filter=block_filter,
+    )
+
+    assignments = records.map_batches(
+        _tok_rows_fn(id_col, text_col), batch_format="pyarrow"
+    )
+    if block_filter is not None:
+        num, den = block_filter
+        assignments = (
+            assignments.groupby("bucket")
+            .map_groups(_sizes_bucket, batch_format="pandas")
+            .groupby("id_bucket")
+            .map_groups(
+                _filter_bucket_fn(num, den), batch_format="pandas"
+            )
+        )
+        assignments = assignments.materialize()
+
+    def block_count_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"nb": pa.array([0], type=pa.int64())})
+        _, _, n_kept = _kept_segments(g, purge_threshold_x2)
+        return pa.table({"nb": pa.array([n_kept], type=pa.int64())})
+
+    total_blocks = int(
+        assignments.groupby("bucket")
+        .map_groups(block_count_bucket, batch_format="pandas")
+        .sum("nb")
+        or 0
+    )
+
+    def node_partials(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "id": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+                "id_bucket": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ids, row_keep, _ = _kept_segments(g, purge_threshold_x2)
+        kept_ids = ids[row_keep]
+        if kept_ids.size == 0:
+            return empty
+        uid, cnt = np.unique(kept_ids, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(uid, type=pa.int64()),
+                "part": pa.array(
+                    cnt.astype(np.int64), type=pa.int64()
+                ),
+                "id_bucket": pa.array(
+                    (uid % _NUM_BUCKETS).astype(np.int64)
+                ),
+            }
+        )
+
+    def sum_node(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "nb": pa.array([], type=pa.int64()),
+                }
+            )
+        s = g.groupby("id", sort=False)["part"].sum()
+        return pa.table(
+            {
+                "id": pa.array(
+                    s.index.to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                "nb": pa.array(
+                    s.to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    nodes = (
+        assignments.groupby("bucket")
+        .map_groups(node_partials, batch_format="pandas")
+        .groupby("id_bucket")
+        .map_groups(sum_node, batch_format="pandas")
+    )
+
+    def side(n: str):
+        return nodes.map_batches(
+            lambda t, c=n: pa.table({"id": t["id"], c: t["nb"]}),
+            batch_format="pyarrow",
+        )
+
+    pair_schema = {
+        "a": pa.int64(),
+        "b": pa.int64(),
+        "common_blocks": pa.int64(),
+    }
+    j1 = bucket_join(
+        pairs,
+        side("bi"),
+        left_on="a",
+        right_on="id",
+        left_schema=pair_schema,
+        right_schema={"id": pa.int64(), "bi": pa.int64()},
+    )
+    j2 = bucket_join(
+        j1,
+        side("bj"),
+        left_on="b",
+        right_on="id",
+        left_schema={**pair_schema, "bi": pa.int64()},
+        right_schema={"id": pa.int64(), "bj": pa.int64()},
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        cbs = t["common_blocks"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        bi = t["bi"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        bj = t["bj"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        js = cbs / (bi + bj - cbs)
+        ecbs = (
+            cbs
+            * np.log10(total_blocks / bi)
+            * np.log10(total_blocks / bj)
+        )
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "cbs": t["common_blocks"],
+                "bi": t["bi"],
+                "bj": t["bj"],
+                "js": pa.array(np.round(js, 6), type=pa.float64()),
+                "ecbs": pa.array(
+                    np.round(ecbs, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return j2.map_batches(weigh, batch_format="pyarrow")

@@ -3560,6 +3560,88 @@ LEFT JOIN lab l ON l.doc_id = d.doc_id
 )
 
 
+PR_CURVE_THRESHOLDS = [0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9]
+
+
+def q_pr_curve_dedup_eval(sf_dir: str):
+    """Threshold-sweep pairwise precision/recall/F1 curve
+    (functions/evaluation.py pr_curve): candidate pairs = the EXACT
+    prefix-filtered jaccard join at 0.5 (setsim — exact at any
+    threshold, unlike LSH whose recall decays below its band design
+    point), gold = the strict 0.9 near-dup CC clusters. The
+    operating-point report read before fixing a match threshold;
+    recall charges pairs the candidate generator never surfaced."""
+    from ..functions.evaluation import pr_curve
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    pairs = fdedup.setsim_neardup(docs, threshold=0.5)
+    gold = fdedup.dedup_clusters(docs, threshold=0.9).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "gold": t["cluster_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return pr_curve(
+        pairs,
+        gold,
+        PR_CURVE_THRESHOLDS,
+        score_col="jaccard",
+        gold_col="gold",
+    )
+
+
+SQL_PR_CURVE = (
+    _CLUSTERS_CTE
+    + f""",
+gold AS (
+  SELECT d.doc_id, coalesce(least(d.doc_id, l.mn), d.doc_id) AS g
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {MINHASH_MAX_DOC}) d
+  LEFT JOIN lab l ON l.doc_id = d.doc_id
+),
+cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         round(len(list_intersect(a.ss, b.ss))::DOUBLE
+               / len(list_distinct(list_concat(a.ss, b.ss))), 6) AS s
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.ss) > 0 AND len(b.ss) > 0
+    AND len(list_intersect(a.ss, b.ss))::DOUBLE
+        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
+),
+lbl AS (
+  SELECT c.s, ga.g AS g1, gb.g AS g2
+  FROM cand c
+  JOIN gold ga ON ga.doc_id = c.da
+  JOIN gold gb ON gb.doc_id = c.db
+),
+grid AS (SELECT unnest([0.5, 0.55, 0.6, 0.65, 0.7, 0.75,
+                        0.8, 0.85, 0.9]) AS threshold),
+gp AS (SELECT sum((n * (n - 1)) // 2)::BIGINT AS gold_pairs
+       FROM (SELECT g, count(*) AS n FROM gold GROUP BY g)),
+agg AS (
+  SELECT t.threshold,
+         count(l.s)::BIGINT AS n_selected,
+         coalesce(sum(CASE WHEN l.g1 = l.g2 THEN 1 ELSE 0 END),
+                  0)::BIGINT AS tp
+  FROM grid t LEFT JOIN lbl l ON l.s >= t.threshold
+  GROUP BY t.threshold
+)
+SELECT a.threshold, a.n_selected, a.tp, g.gold_pairs,
+       round(CASE WHEN a.n_selected = 0 THEN 0
+                  ELSE a.tp::DOUBLE / a.n_selected END, 6)
+         AS "precision",
+       round(CASE WHEN g.gold_pairs = 0 THEN 0
+                  ELSE a.tp::DOUBLE / g.gold_pairs END, 6) AS recall,
+       round(CASE WHEN a.n_selected + g.gold_pairs = 0 THEN 0
+                  ELSE 2.0 * a.tp / (a.n_selected + g.gold_pairs)
+             END, 6) AS f1
+FROM agg a CROSS JOIN gp g
+"""
+)
+
+
 def q_golden_records(sf_dir: str):
     """ER survivorship over the near-dup clusters: one fused golden
     record per cluster (longest-text survivor, most-frequent lang,
@@ -3697,6 +3779,18 @@ def q_vmeasure_dedup_eval(sf_dir: str):
     from ..functions.evaluation import vmeasure
 
     return vmeasure(_loose_strict_items(sf_dir), "p_cid", "g_cid")
+
+
+def q_muc_dedup_eval(sf_dir: str):
+    """MUC link-based precision/recall/F1 (Vilain et al. 1995) of
+    the loose near-dup clustering against the strict one — the
+    minimum-spanning-link view completing the cluster-metric set
+    (pairwise / B³ / ARI / NMI / V-measure / MUC). Reduces to four
+    exact contingency cardinalities (N, cells, #pred, #gold), so the
+    DuckDB oracle matches bit-for-bit."""
+    from ..functions.evaluation import muc
+
+    return muc(_loose_strict_items(sf_dir), "p_cid", "g_cid")
 
 
 def q_nmi_dedup_eval(sf_dir: str):
@@ -3857,6 +3951,36 @@ SELECT tot.nn::BIGINT AS n_items,
        round(2 * greatest(hp.v + hg.v - hj.v, 0.0) / (hp.v + hg.v),
              6) AS nmi
 FROM tot, hj, hp, hg
+"""
+)
+
+
+SQL_MUC_DEDUP_EVAL = (
+    _SQL_LOOSE_STRICT_CONT
+    + """,
+tot AS (SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS cells
+        FROM cont),
+np AS (SELECT count(DISTINCT pred)::BIGINT AS p FROM cont),
+ng AS (SELECT count(DISTINCT gold)::BIGINT AS g FROM cont),
+pr AS (
+  SELECT
+    CASE WHEN tot.nn = np.p THEN
+           CASE WHEN tot.nn = tot.cells THEN 1.0 ELSE 0.0 END
+         ELSE (tot.nn - tot.cells)::DOUBLE / (tot.nn - np.p)
+    END AS mp,
+    CASE WHEN tot.nn = ng.g THEN
+           CASE WHEN tot.nn = tot.cells THEN 1.0 ELSE 0.0 END
+         ELSE (tot.nn - tot.cells)::DOUBLE / (tot.nn - ng.g)
+    END AS mr
+  FROM tot, np, ng)
+SELECT tot.nn AS n_items, tot.cells AS n_cells,
+       np.p AS n_pred, ng.g AS n_gold,
+       round(pr.mp, 6) AS muc_precision,
+       round(pr.mr, 6) AS muc_recall,
+       round(CASE WHEN pr.mp + pr.mr = 0 THEN 0
+                  ELSE 2 * pr.mp * pr.mr / (pr.mp + pr.mr)
+             END, 6) AS muc_f1
+FROM tot, np, ng, pr
 """
 )
 
@@ -4170,6 +4294,132 @@ def q_meta_blocking_filtered(sf_dir: str):
         min_common=2,
         block_filter=(4, 5),
     )
+
+
+def q_meta_blocking_cep(sf_dir: str):
+    """Cardinality edge pruning (CEP): the K globally
+    heaviest-weight comparisons of the CBS blocking graph, K = half
+    the post-purge block assignments — completing the TKDE-2014
+    pruning-scheme quartet (WEP weight-edge, WNP weight-node, CNP
+    cardinality-node [meta_blocking_topk], CEP cardinality-edge).
+    Distributed sort + limit; deterministic (weight desc, a, b)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.metablocking import meta_block_cep
+
+    path = f"{sf_dir}/part.parquet"
+    n_records = _pq.read_metadata(path).num_rows
+
+    def blocking_text(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["p_partkey"],
+                "bt": pc.binary_join_element_wise(
+                    t["p_name"], t["p_type"], t["p_brand"], " "
+                ),
+            }
+        )
+
+    recs = read_parquet_clean(
+        path, columns=["p_partkey", "p_name", "p_type", "p_brand"]
+    ).map_batches(blocking_text, batch_format="pyarrow")
+    return meta_block_cep(
+        recs, "id", "bt", purge_threshold_x2=n_records
+    )
+
+
+SQL_META_BLOCKING_CEP = """
+WITH tok AS (
+  SELECT DISTINCT id, token FROM (
+    SELECT p_partkey AS id,
+           unnest(regexp_extract_all(
+             lower(p_name || ' ' || p_type || ' ' || p_brand),
+             '[0-9a-zA-Z]+')) AS token
+    FROM part)
+),
+ok AS (SELECT token FROM tok
+       GROUP BY token
+       HAVING count(*) * 2 <= (SELECT count(*) FROM part)),
+kk AS (SELECT count(*) // 2 AS k FROM tok JOIN ok USING (token)),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, count(*)::BIGINT AS common_blocks
+  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+  JOIN ok ON ok.token = a.token
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT a, b, common_blocks,
+         row_number() OVER (
+           ORDER BY common_blocks DESC, a, b) AS rn
+  FROM pairs)
+SELECT a, b, common_blocks FROM ranked
+WHERE rn <= (SELECT k FROM kk)
+"""
+
+
+def q_meta_blocking_weights(sf_dir: str):
+    """Blocking-graph edge WEIGHTING SCHEMES (TKDE-2014 §4.1): every
+    CBS pair at min_common=3 with its node block-cardinalities and
+    the JS (Jaccard) and ECBS (IDF-corrected) weights the pruning
+    literature ranks by — the scheme family beyond raw co-occurrence
+    counts. Cardinalities count kept blocks only (post-purge,
+    size >= 2), identical rule both sides."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.metablocking import meta_block_weights
+
+    path = f"{sf_dir}/part.parquet"
+    n_records = _pq.read_metadata(path).num_rows
+
+    def blocking_text(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["p_partkey"],
+                "bt": pc.binary_join_element_wise(
+                    t["p_name"], t["p_type"], t["p_brand"], " "
+                ),
+            }
+        )
+
+    recs = read_parquet_clean(
+        path, columns=["p_partkey", "p_name", "p_type", "p_brand"]
+    ).map_batches(blocking_text, batch_format="pyarrow")
+    return meta_block_weights(
+        recs, "id", "bt", purge_threshold_x2=n_records, min_common=3
+    )
+
+
+SQL_META_BLOCKING_WEIGHTS = """
+WITH tok AS (
+  SELECT DISTINCT id, token FROM (
+    SELECT p_partkey AS id,
+           unnest(regexp_extract_all(
+             lower(p_name || ' ' || p_type || ' ' || p_brand),
+             '[0-9a-zA-Z]+')) AS token
+    FROM part)
+),
+ok AS (SELECT token FROM tok
+       GROUP BY token
+       HAVING count(*) >= 2
+          AND count(*) * 2 <= (SELECT count(*) FROM part)),
+bb AS (SELECT count(*)::DOUBLE AS b FROM ok),
+nodes AS (
+  SELECT id, count(*)::BIGINT AS nb
+  FROM tok JOIN ok USING (token) GROUP BY 1),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, count(*)::BIGINT AS cbs
+  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+  JOIN ok ON ok.token = a.token
+  GROUP BY 1, 2
+  HAVING count(*) >= 3)
+SELECT p.a, p.b, p.cbs, na.nb AS bi, nb_.nb AS bj,
+       round(p.cbs::DOUBLE / (na.nb + nb_.nb - p.cbs), 6) AS js,
+       round(p.cbs * log10(bb.b / na.nb) * log10(bb.b / nb_.nb),
+             6) AS ecbs
+FROM pairs p
+JOIN nodes na ON na.id = p.a
+JOIN nodes nb_ ON nb_.id = p.b
+CROSS JOIN bb
+"""
 
 
 SQL_META_BLOCKING_FILTERED = """
@@ -4847,12 +5097,16 @@ DRIVER_EXCLUDE = {
     "ari_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "nmi_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "vmeasure_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "pr_curve_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "muc_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_topk",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_wnp",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_wep",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_quality",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_filtered",  # local gate + pytest (keeps driver at 50)
+    "meta_blocking_cep",  # local gate + pytest (keeps driver at 50)
+    "meta_blocking_weights",  # local gate + pytest (keeps driver at 50)
     "snm_multipass",  # local gate + pytest (keeps driver at 50)
     "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
@@ -4968,6 +5222,8 @@ REGISTRY: dict[str, tuple] = {
     "ari_dedup_eval": (q_ari_dedup_eval, SQL_ARI_DEDUP_EVAL),
     "nmi_dedup_eval": (q_nmi_dedup_eval, SQL_NMI_DEDUP_EVAL),
     "vmeasure_dedup_eval": (q_vmeasure_dedup_eval, SQL_VMEASURE_DEDUP_EVAL),
+    "pr_curve_dedup_eval": (q_pr_curve_dedup_eval, SQL_PR_CURVE),
+    "muc_dedup_eval": (q_muc_dedup_eval, SQL_MUC_DEDUP_EVAL),
     "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
     "meta_blocking_topk": (q_meta_blocking_topk, SQL_META_BLOCKING_TOPK),
     "meta_blocking_wnp": (q_meta_blocking_wnp, SQL_META_BLOCKING_WNP),
@@ -4975,6 +5231,11 @@ REGISTRY: dict[str, tuple] = {
     "meta_blocking_filtered": (
         q_meta_blocking_filtered,
         SQL_META_BLOCKING_FILTERED,
+    ),
+    "meta_blocking_cep": (q_meta_blocking_cep, SQL_META_BLOCKING_CEP),
+    "meta_blocking_weights": (
+        q_meta_blocking_weights,
+        SQL_META_BLOCKING_WEIGHTS,
     ),
     "meta_blocking_quality": (
         q_meta_blocking_quality,

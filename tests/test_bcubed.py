@@ -275,3 +275,110 @@ def test_vmeasure_refinement_completeness_one():
     row = vmeasure(_ds(pred, gold), "pred", "gold").to_pandas().iloc[0]
     assert row["completeness"] == 1.0
     assert 0 < row["homogeneity"] < 1
+
+
+def test_pr_curve_matches_duckdb_and_monotone(ray_session):
+    """The threshold-sweep curve is value-identical to the DuckDB
+    oracle at sf0.001 and satisfies the sweep invariants: n_selected
+    and tp are non-increasing in the threshold, recall is
+    non-increasing, and tp <= min(n_selected, gold_pairs)."""
+    import duckdb
+
+    from bern_ray.pipelines.relational import (
+        SQL_PR_CURVE,
+        q_pr_curve_dedup_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_pr_curve_dedup_eval(sf)
+        .to_pandas()
+        .sort_values("threshold")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = (
+        con.sql(SQL_PR_CURVE)
+        .df()
+        .sort_values("threshold")
+        .reset_index(drop=True)
+    )
+    for c in ("threshold", "n_selected", "tp", "gold_pairs",
+              "precision", "recall", "f1"):
+        assert (
+            got[c].astype(float).round(6).tolist()
+            == exp[c].astype(float).round(6).tolist()
+        ), c
+    assert (got.n_selected.diff().dropna() <= 0).all()
+    assert (got.tp.diff().dropna() <= 0).all()
+    assert (got.recall.diff().dropna() <= 1e-9).all()
+    assert (got.tp <= got.n_selected).all()
+    assert (got.tp <= got.gold_pairs).all()
+    assert got.n_selected.iloc[0] > got.n_selected.iloc[-1] > 0
+
+
+def _brute_muc(pred, gold):
+    """Classic per-cluster MUC sums (Vilain et al. 1995)."""
+    pred = np.asarray(pred)
+    gold = np.asarray(gold)
+
+    def side(part, other):
+        num = den = 0
+        for lab in np.unique(part):
+            m = part == lab
+            num += m.sum() - len(np.unique(other[m]))
+            den += m.sum() - 1
+        return num, den
+
+    rn, rd = side(gold, pred)
+    pn, pd_ = side(pred, gold)
+    r = rn / rd if rd else (1.0 if rn == 0 else 0.0)
+    p = pn / pd_ if pd_ else (1.0 if pn == 0 else 0.0)
+    return p, r
+
+
+def _run_muc(pred, gold):
+    from bern_ray.functions.evaluation import muc
+
+    t = pa.table(
+        {
+            "pred": pa.array(pred, type=pa.string()),
+            "gold": pa.array(gold, type=pa.string()),
+        }
+    )
+    return (
+        muc(ray.data.from_arrow(t).repartition(3), "pred", "gold")
+        .to_pandas()
+        .iloc[0]
+    )
+
+
+def test_muc_matches_bruteforce_random(ray_session):
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = 60
+        pred = [f"c{v}" for v in rng.integers(0, 9, size=n)]
+        gold = [f"g{v}" for v in rng.integers(0, 7, size=n)]
+        row = _run_muc(pred, gold)
+        p, r = _brute_muc(pred, gold)
+        assert row["muc_precision"] == round(p, 6)
+        assert row["muc_recall"] == round(r, 6)
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        assert row["muc_f1"] == round(f, 6)
+
+
+def test_muc_degenerate_cases(ray_session):
+    # identical partitions: P = R = F1 = 1
+    row = _run_muc(["a", "a", "b"], ["x", "x", "y"])
+    assert row["muc_precision"] == 1.0 and row["muc_recall"] == 1.0
+    # all-singleton pred vs one gold block: precision defined 1.0
+    # (no links asserted), recall 0
+    row = _run_muc(["a", "b", "c"], ["g", "g", "g"])
+    assert row["muc_precision"] == 1.0
+    assert row["muc_recall"] == 0.0
+    # all-singleton BOTH: identical trivial partitions -> 1.0 / 1.0
+    row = _run_muc(["a", "b", "c"], ["x", "y", "z"])
+    assert row["muc_precision"] == 1.0 and row["muc_recall"] == 1.0

@@ -416,3 +416,133 @@ def test_block_filtering_shrinks_zipf_comparisons(ray_session):
     ) > 0
     planted = {(j, 1000 + j) for j in range(12)}
     assert planted <= set(filtered)
+
+
+def test_cep_matches_bruteforce_random(ray_session):
+    """CEP == brute force: K = half the post-purge assignments,
+    global top-K by (weight desc, a, b)."""
+    from bern_ray.functions.metablocking import meta_block_cep
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{j}" for j in range(18)]
+    records = [
+        (i, " ".join(rng.choice(vocab, size=5, replace=False)))
+        for i in range(60)
+    ]
+    thr = len(records)  # purge blocks larger than half the corpus
+    exp_pairs = _brute(records, thr, 1)
+    # retained assignments under the same purge rule
+    import re
+
+    toks = {
+        i: set(re.findall(r"[0-9a-zA-Z]+", s.lower()))
+        for i, s in records
+    }
+    bsz: dict[str, int] = {}
+    for ts in toks.values():
+        for tk in ts:
+            bsz[tk] = bsz.get(tk, 0) + 1
+    retained = sum(
+        1
+        for ts in toks.values()
+        for tk in ts
+        if 2 * bsz[tk] <= thr
+    )
+    k = retained // 2
+    exp = sorted(
+        exp_pairs.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:k]
+    t = pa.table(
+        {
+            "id": pa.array([i for i, _ in records], type=pa.int64()),
+            "bt": pa.array([s for _, s in records], type=pa.string()),
+        }
+    )
+    out = meta_block_cep(
+        ray.data.from_arrow(t).repartition(3),
+        "id",
+        "bt",
+        purge_threshold_x2=thr,
+    ).to_pandas()
+    got = sorted(
+        ((int(r.a), int(r.b)), int(r.common_blocks))
+        for r in out.itertuples()
+    )
+    assert got == sorted(((a, b), w) for (a, b), w in exp)
+    assert len(got) == k
+
+
+def test_weights_match_bruteforce_random(ray_session):
+    """meta_block_weights == brute force: JS and ECBS computed from
+    the kept-block cardinalities (post-purge, size >= 2), same float
+    arithmetic (np.log10 / division) as the operator."""
+    import re
+
+    from bern_ray.functions.metablocking import meta_block_weights
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{j}" for j in range(20)]
+    records = [
+        (i, " ".join(rng.choice(vocab, size=6, replace=False)))
+        for i in range(70)
+    ]
+    thr = len(records)  # purge blocks larger than half the corpus
+    toks = {
+        i: set(re.findall(r"[0-9a-zA-Z]+", s.lower()))
+        for i, s in records
+    }
+    blocks: dict[str, list[int]] = {}
+    for i, ts in toks.items():
+        for tk in ts:
+            blocks.setdefault(tk, []).append(i)
+    kept = {
+        tk: ids
+        for tk, ids in blocks.items()
+        if len(ids) >= 2 and 2 * len(ids) <= thr
+    }
+    total_b = len(kept)
+    nb = {
+        i: sum(1 for ids in kept.values() if i in ids)
+        for i, _ in records
+    }
+    exp_cbs = _brute(records, thr, 1)
+    exp = {}
+    for (a, b), c in exp_cbs.items():
+        js = c / (nb[a] + nb[b] - c)
+        ecbs = (
+            c
+            * np.log10(total_b / nb[a])
+            * np.log10(total_b / nb[b])
+        )
+        exp[(a, b)] = (
+            c,
+            nb[a],
+            nb[b],
+            round(float(js), 6),
+            round(float(np.round(ecbs, 6)), 6),
+        )
+    t = pa.table(
+        {
+            "id": pa.array([i for i, _ in records], type=pa.int64()),
+            "bt": pa.array([s for _, s in records], type=pa.string()),
+        }
+    )
+    out = meta_block_weights(
+        ray.data.from_arrow(t).repartition(3),
+        "id",
+        "bt",
+        purge_threshold_x2=thr,
+    ).to_pandas()
+    got = {
+        (int(r.a), int(r.b)): (
+            int(r.cbs),
+            int(r.bi),
+            int(r.bj),
+            round(float(r.js), 6),
+            round(float(r.ecbs), 6),
+        )
+        for r in out.itertuples()
+    }
+    assert got == exp
+    # JS is a proper (0, 1] normalization; ECBS down-weights hubs
+    assert all(0 < v[3] <= 1 for v in got.values())
