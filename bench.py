@@ -84,6 +84,7 @@ def run_bench() -> dict:
         q_consensus_neardup,
         q_meta_blocking_wnp,
         q_meta_blocking_weights,
+        q_tfidf_cosine_pairs,
         q_passage_dedup,
         q_pii_redact,
         q_returned_revenue,
@@ -247,6 +248,8 @@ def run_bench() -> dict:
         ("muc_dedup_eval", lambda: q_muc_dedup_eval(SF_DIR).count()),
         ("meta_blocking_weights",
          lambda: q_meta_blocking_weights(SF_DIR).count()),
+        ("tfidf_cosine_pairs",
+         lambda: q_tfidf_cosine_pairs(SF_DIR).count()),
         ("wordpiece_features", lambda: wordpiece_features(
             read_parquet_clean(
                 f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]

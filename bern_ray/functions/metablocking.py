@@ -866,3 +866,279 @@ def meta_block_weights(
         )
 
     return j2.map_batches(weigh, batch_format="pyarrow")
+
+
+def tfidf_cosine_pairs(
+    records: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    *,
+    n_records: int,
+    threshold: float,
+) -> "ray.data.Dataset":
+    """TF-IDF COSINE similarity self-join (WHIRL, Cohen SIGMOD
+    1998): every record is an idf-weighted set vector over its
+    distinct tokens and pairs with cosine >= ``threshold`` are
+    emitted — the soft-matching comparison measure classic ER stacks
+    rank string pairs by, complementing the char-level kernels
+    (Jaro-Winkler / Levenshtein) and the unweighted set measures
+    (jaccard/cosine/dice in setsim_neardup) already in-repo.
+
+        idf_t     = ln(N / df_t)           (set semantics, tf = 1)
+        cos(i,j)  = sum_{t in Ti∩Tj} idf_t^2 / (||vi|| * ||vj||)
+
+    Near-stopword tokens with 2*df > N (more than half the corpus)
+    are dropped from every vector on BOTH the Ray and SQL sides —
+    their idf is < ln 2 and they are exactly the blocks that would
+    cost C(n,2) pair emission (the same purge rule meta-blocking
+    uses, here doubling as the skew defense).
+
+    -> Dataset (a, b, cosine), a < b, cosine rounded to 6.
+
+    Scale shape: one token-bucket shuffle computes df/idf in-bucket
+    (a token's rows co-locate) and emits BOTH per-record norm
+    partials and per-pair dot partials (idf^2 summed per packed pair
+    within the bucket — np.add.reduceat, no Python loop); an
+    id-keyed bucket shuffle sums the norms; a pair-keyed bucket
+    shuffle sums the dots; two distributed bucketed hash joins attach
+    the endpoint norms; the finisher divides and filters. Nothing is
+    driver-sized and no all-pairs step exists outside a token block
+    bounded by the purge rule.
+    """
+    from ..stages.join import bucket_join
+
+    log_n = float(np.log(float(n_records)))
+
+    assignments = records.map_batches(
+        _tok_rows_fn(id_col, text_col), batch_format="pyarrow"
+    )
+
+    def norm_partials(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "id": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.float64()),
+                "id_bucket": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        tok = g["token"].to_numpy()
+        ids = g["id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, tok))
+        tok, ids = tok[order], ids[order]
+        change = np.empty(len(tok), dtype=bool)
+        change[0] = True
+        change[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, len(tok))).astype(np.int64)
+        kept = 2 * sizes <= n_records
+        row_keep = np.repeat(kept, sizes)
+        if not row_keep.any():
+            return empty
+        idf = log_n - np.log(sizes.astype(np.float64))
+        idf2_row = np.repeat(idf * idf, sizes)[row_keep]
+        ids_k = ids[row_keep]
+        # per-id partial sums within this bucket (ids not contiguous
+        # after the token sort -> one more argsort + reduceat)
+        o2 = np.argsort(ids_k, kind="stable")
+        ids_k, idf2_row = ids_k[o2], idf2_row[o2]
+        ch = np.empty(ids_k.size, dtype=bool)
+        ch[0] = True
+        ch[1:] = ids_k[1:] != ids_k[:-1]
+        st = np.flatnonzero(ch)
+        return pa.table(
+            {
+                "id": pa.array(ids_k[st], type=pa.int64()),
+                "part": pa.array(
+                    np.add.reduceat(idf2_row, st), type=pa.float64()
+                ),
+                "id_bucket": pa.array(
+                    (ids_k[st] % _NUM_BUCKETS).astype(np.int64)
+                ),
+            }
+        )
+
+    def sum_norm(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "n2": pa.array([], type=pa.float64()),
+                }
+            )
+        s = g.groupby("id", sort=False)["part"].sum()
+        return pa.table(
+            {
+                "id": pa.array(
+                    s.index.to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                "n2": pa.array(
+                    s.to_numpy(dtype=np.float64), type=pa.float64()
+                ),
+            }
+        )
+
+    norms = (
+        assignments.groupby("bucket")
+        .map_groups(norm_partials, batch_format="pandas")
+        .groupby("id_bucket")
+        .map_groups(sum_norm, batch_format="pandas")
+    )
+
+    _DOT_SCHEMA = pa.schema(
+        [
+            ("pair", pa.int64()),
+            ("partial", pa.float64()),
+            ("pair_bucket", pa.int64()),
+        ]
+    )
+
+    def dot_partials(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _DOT_SCHEMA.empty_table()
+        tok = g["token"].to_numpy()
+        ids = g["id"].to_numpy(dtype=np.int64)
+        if ids.size and int(ids.max()) > _ID_MAX:
+            raise ValueError(
+                "tfidf_cosine_pairs ids must fit in 31 bits for the "
+                "packed pair key; re-key to dense int64 first"
+            )
+        order = np.lexsort((ids, tok))
+        tok, ids = tok[order], ids[order]
+        change = np.empty(len(tok), dtype=bool)
+        change[0] = True
+        change[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, len(tok))).astype(np.int64)
+        purged = 2 * sizes > n_records
+        if purged.any():
+            ps = sizes[purged].astype(np.int64)
+            counters.add_many(
+                {
+                    "tfidf_cos_purged_tokens": int(purged.sum()),
+                    "tfidf_cos_purged_pairs": int(
+                        (ps * (ps - 1) // 2).sum()
+                    ),
+                }
+            )
+        keep = (sizes >= 2) & ~purged
+        ai, bi = segment_pairs(starts[keep], sizes[keep], cap=None)
+        if ai.size == 0:
+            return _DOT_SCHEMA.empty_table()
+        idf = log_n - np.log(sizes.astype(np.float64))
+        seg = np.cumsum(change) - 1
+        w_pair = (idf * idf)[seg[ai]]
+        pair = (ids[ai] << _ID_BITS) | ids[bi]
+        o2 = np.argsort(pair, kind="stable")
+        pair, w_pair = pair[o2], w_pair[o2]
+        ch = np.empty(pair.size, dtype=bool)
+        ch[0] = True
+        ch[1:] = pair[1:] != pair[:-1]
+        st = np.flatnonzero(ch)
+        uniq = pair[st]
+        dots = np.add.reduceat(w_pair, st)
+        with np.errstate(over="ignore"):
+            pb = (
+                uniq.astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(40)
+            ) % _NUM_BUCKETS
+        return pa.table(
+            {
+                "pair": pa.array(uniq, type=pa.int64()),
+                "partial": pa.array(dots, type=pa.float64()),
+                "pair_bucket": pa.array(pb.astype(np.int64)),
+            }
+        )
+
+    def sum_dots(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "dot": pa.array([], type=pa.float64()),
+                }
+            )
+        pairk = g["pair"].to_numpy(dtype=np.int64)
+        part = g["partial"].to_numpy(dtype=np.float64)
+        order = np.argsort(pairk, kind="stable")
+        pairk, part = pairk[order], part[order]
+        ch = np.empty(pairk.size, dtype=bool)
+        ch[0] = True
+        ch[1:] = pairk[1:] != pairk[:-1]
+        st = np.flatnonzero(ch)
+        uniq = pairk[st]
+        return pa.table(
+            {
+                "a": pa.array(uniq >> _ID_BITS, type=pa.int64()),
+                "b": pa.array(uniq & _ID_MAX, type=pa.int64()),
+                "dot": pa.array(
+                    np.add.reduceat(part, st), type=pa.float64()
+                ),
+            }
+        )
+
+    dots = (
+        assignments.groupby("bucket")
+        .map_groups(dot_partials, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(sum_dots, batch_format="pandas")
+    )
+
+    def side(n: str):
+        return norms.map_batches(
+            lambda t, c=n: pa.table({"id": t["id"], c: t["n2"]}),
+            batch_format="pyarrow",
+        )
+
+    j1 = bucket_join(
+        dots,
+        side("n2a"),
+        left_on="a",
+        right_on="id",
+        left_schema={
+            "a": pa.int64(),
+            "b": pa.int64(),
+            "dot": pa.float64(),
+        },
+        right_schema={"id": pa.int64(), "n2a": pa.float64()},
+    )
+    j2 = bucket_join(
+        j1,
+        side("n2b"),
+        left_on="b",
+        right_on="id",
+        left_schema={
+            "a": pa.int64(),
+            "b": pa.int64(),
+            "dot": pa.float64(),
+            "n2a": pa.float64(),
+        },
+        right_schema={"id": pa.int64(), "n2b": pa.float64()},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        dot = t["dot"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        n2a = t["n2a"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        n2b = t["n2b"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cos = dot / np.sqrt(n2a * n2b)
+        m = cos >= threshold
+        return pa.table(
+            {
+                "a": t["a"].combine_chunks().filter(pa.array(m)),
+                "b": t["b"].combine_chunks().filter(pa.array(m)),
+                "cosine": pa.array(
+                    np.round(cos[m], 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")

@@ -4422,6 +4422,70 @@ CROSS JOIN bb
 """
 
 
+def q_tfidf_cosine_pairs(sf_dir: str):
+    """TF-IDF cosine similarity self-join (WHIRL, Cohen SIGMOD 1998)
+    over the part blocking text at cosine >= 0.55: the idf-weighted
+    soft-match measure classic ER stacks rank string pairs by —
+    complements the char-level kernels (fuzzy_join_names) and the
+    unweighted set measures (setsim_neardup). Near-stopword tokens
+    (df > half the corpus) drop from every vector on both sides,
+    doubling as the C(n,2) skew defense."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.metablocking import tfidf_cosine_pairs
+
+    path = f"{sf_dir}/part.parquet"
+    n_records = _pq.read_metadata(path).num_rows
+
+    def blocking_text(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["p_partkey"],
+                "bt": pc.binary_join_element_wise(
+                    t["p_name"], t["p_type"], t["p_brand"], " "
+                ),
+            }
+        )
+
+    recs = read_parquet_clean(
+        path, columns=["p_partkey", "p_name", "p_type", "p_brand"]
+    ).map_batches(blocking_text, batch_format="pyarrow")
+    return tfidf_cosine_pairs(
+        recs, "id", "bt", n_records=n_records, threshold=0.55
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = """
+WITH tok AS (
+  SELECT DISTINCT id, token FROM (
+    SELECT p_partkey AS id,
+           unnest(regexp_extract_all(
+             lower(p_name || ' ' || p_type || ' ' || p_brand),
+             '[0-9a-zA-Z]+')) AS token
+    FROM part)
+),
+n AS (SELECT count(*)::DOUBLE AS cnt FROM part),
+kept AS (
+  SELECT token, ln(n.cnt / count(*)) AS idf
+  FROM tok CROSS JOIN n
+  GROUP BY token, n.cnt
+  HAVING 2 * count(*) <= n.cnt),
+vec AS (SELECT t.id, t.token, k.idf
+        FROM tok t JOIN kept k USING (token)),
+norm AS (SELECT id, sum(idf * idf) AS n2 FROM vec GROUP BY 1),
+dot AS (
+  SELECT a.id AS a, b.id AS b, sum(a.idf * a.idf) AS d
+  FROM vec a JOIN vec b ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT d.a, d.b,
+       round(d.d / sqrt(na.n2 * nb.n2), 6) AS cosine
+FROM dot d
+JOIN norm na ON na.id = d.a
+JOIN norm nb ON nb.id = d.b
+WHERE d.d / sqrt(na.n2 * nb.n2) >= 0.55
+"""
+
+
 SQL_META_BLOCKING_FILTERED = """
 WITH tok AS (
   SELECT DISTINCT id, token FROM (
@@ -5107,6 +5171,7 @@ DRIVER_EXCLUDE = {
     "meta_blocking_filtered",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_cep",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_weights",  # local gate + pytest (keeps driver at 50)
+    "tfidf_cosine_pairs",  # local gate + pytest (keeps driver at 50)
     "snm_multipass",  # local gate + pytest (keeps driver at 50)
     "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
@@ -5236,6 +5301,10 @@ REGISTRY: dict[str, tuple] = {
     "meta_blocking_weights": (
         q_meta_blocking_weights,
         SQL_META_BLOCKING_WEIGHTS,
+    ),
+    "tfidf_cosine_pairs": (
+        q_tfidf_cosine_pairs,
+        SQL_TFIDF_COSINE_PAIRS,
     ),
     "meta_blocking_quality": (
         q_meta_blocking_quality,

@@ -546,3 +546,69 @@ def test_weights_match_bruteforce_random(ray_session):
     assert got == exp
     # JS is a proper (0, 1] normalization; ECBS down-weights hubs
     assert all(0 < v[3] <= 1 for v in got.values())
+
+
+def test_tfidf_cosine_matches_bruteforce_random(ray_session):
+    """tfidf_cosine_pairs == brute force: idf-weighted set cosine
+    with the half-corpus stopword purge, identical float regime."""
+    import re
+    from itertools import combinations
+
+    from bern_ray.functions.metablocking import tfidf_cosine_pairs
+
+    rng = np.random.default_rng(59)
+    vocab = [f"w{j}" for j in range(25)]
+    records = [
+        (i, " ".join(rng.choice(vocab, size=7, replace=False)))
+        for i in range(80)
+    ]
+    n = len(records)
+    toks = {
+        i: set(re.findall(r"[0-9a-zA-Z]+", s.lower()))
+        for i, s in records
+    }
+    df: dict[str, int] = {}
+    for ts in toks.values():
+        for tk in ts:
+            df[tk] = df.get(tk, 0) + 1
+    idf = {
+        tk: np.log(float(n)) - np.log(float(c))
+        for tk, c in df.items()
+        if 2 * c <= n
+    }
+    vecs = {
+        i: {tk: idf[tk] for tk in ts if tk in idf}
+        for i, ts in toks.items()
+    }
+    norm2 = {i: sum(w * w for w in v.values()) for i, v in vecs.items()}
+    thr = 0.35
+    exp = {}
+    for a, b in combinations(sorted(vecs), 2):
+        shared = set(vecs[a]) & set(vecs[b])
+        if not shared or not norm2[a] or not norm2[b]:
+            continue
+        d = sum(idf[tk] * idf[tk] for tk in shared)
+        cos = d / np.sqrt(norm2[a] * norm2[b])
+        if cos >= thr:
+            exp[(a, b)] = round(float(np.round(cos, 6)), 6)
+    t = pa.table(
+        {
+            "id": pa.array([i for i, _ in records], type=pa.int64()),
+            "bt": pa.array([s for _, s in records], type=pa.string()),
+        }
+    )
+    out = tfidf_cosine_pairs(
+        ray.data.from_arrow(t).repartition(3),
+        "id",
+        "bt",
+        n_records=n,
+        threshold=thr,
+    ).to_pandas()
+    got = {
+        (int(r.a), int(r.b)): round(float(r.cosine), 6)
+        for r in out.itertuples()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 2e-6, k
+    assert all(0 < v <= 1 + 1e-9 for v in got.values())
