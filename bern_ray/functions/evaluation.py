@@ -582,6 +582,90 @@ def _ones(s: np.ndarray) -> np.ndarray:
     return np.ones_like(s, dtype=np.float64)
 
 
+def blanc(
+    items: "ray.data.Dataset", pred_col: str, gold_col: str
+) -> "ray.data.Dataset":
+    """-> one-row Dataset (n_items, rc_links, rn_nonlinks, pred_links,
+    gold_links, f_link, f_non, blanc): the BLANC bilateral
+    link/non-link metric (Recasens & Hovy 2011) of a predicted
+    clustering against gold labels — the fourth classic
+    ER/coreference cluster metric alongside MUC, B³ and pairwise F1.
+    Where pairwise F1 scores only the LINKS, BLANC averages an F over
+    links with an F over NON-links, so it rewards keeping distinct
+    entities apart as much as merging duplicates.
+
+    Identity (pure function of the same contingency sums pairwise_eval
+    computes — never of items or actual pairs): with
+    rc = sum_{c,g} C(n_cg,2) the pairs linked in BOTH partitions,
+    PL = sum_c C(n_c,2), GL = sum_g C(n_g,2), T = C(N,2),
+
+        rn (non-links right in both) = T - PL - GL + rc
+          (inclusion-exclusion: PL + GL - rc pairs are linked in at
+           least one side)
+        F_link = F1(rc/PL, rc/GL);  F_non = F1(rn/(T-PL), rn/(T-GL))
+        BLANC  = (F_link + F_non) / 2
+
+    Boundary convention (Recasens & Hovy §4): if neither side has any
+    link (both all-singletons) BLANC = F_non alone; if every pair is
+    a link on both sides (both one-cluster) BLANC = F_link alone.
+
+    All sums are integer-valued (exact in float64 far below 2^53), so
+    the result matches a SQL oracle's double arithmetic bit-for-bit.
+    Scale shape: shared with bcubed/pairwise_eval (`_contingency` +
+    bucketed marginal passes); the driver receives four scalars."""
+    cont = _contingency(items, pred_col, gold_col)
+    n_items = int(cont.sum("n") or 0)
+    if not n_items:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_items": pa.array([0], type=pa.int64()),
+                    "rc_links": pa.array([0], type=pa.int64()),
+                    "rn_nonlinks": pa.array([0], type=pa.int64()),
+                    "pred_links": pa.array([0], type=pa.int64()),
+                    "gold_links": pa.array([0], type=pa.int64()),
+                    "f_link": pa.array([0.0]),
+                    "f_non": pa.array([0.0]),
+                    "blanc": pa.array([0.0]),
+                }
+            )
+        )
+    rc = _cell_sum(cont, _comb2)
+    pl = _axis_reduce(cont, "pred", _comb2)
+    gl = _axis_reduce(cont, "gold", _comb2)
+    t = n_items * (n_items - 1) / 2.0
+    rn = t - pl - gl + rc
+
+    def _f1(p: float, r: float) -> float:
+        return 2 * p * r / (p + r) if p + r else 0.0
+
+    f_link = _f1(rc / pl if pl else 0.0, rc / gl if gl else 0.0)
+    f_non = _f1(
+        rn / (t - pl) if t != pl else 0.0,
+        rn / (t - gl) if t != gl else 0.0,
+    )
+    if pl == 0 and gl == 0:
+        b = f_non
+    elif pl == t and gl == t:
+        b = f_link
+    else:
+        b = (f_link + f_non) / 2.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([n_items], type=pa.int64()),
+                "rc_links": pa.array([int(rc)], type=pa.int64()),
+                "rn_nonlinks": pa.array([int(rn)], type=pa.int64()),
+                "pred_links": pa.array([int(pl)], type=pa.int64()),
+                "gold_links": pa.array([int(gl)], type=pa.int64()),
+                "f_link": pa.array([round(f_link, 6)]),
+                "f_non": pa.array([round(f_non, 6)]),
+                "blanc": pa.array([round(b, 6)]),
+            }
+        )
+    )
+
+
 def muc(
     items: "ray.data.Dataset", pred_col: str, gold_col: str
 ) -> "ray.data.Dataset":

@@ -2517,6 +2517,74 @@ FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < {SN_WINDOW}
 """
 
 
+def q_progressive_snm(sf_dir: str):
+    """PROGRESSIVE sorted-neighborhood (Papenbrock, Heise & Naumann,
+    TKDE 2015): the same SN_WINDOW candidate pairs, but emitted as a
+    COMPARISON SCHEDULE — rounds of increasing window distance
+    (adjacent pairs first: most-likely duplicates), rank order within
+    a round — so a budget-bound ER run stopped at any prefix has
+    maximized expected recall. The priority is CLOSED-FORM from the
+    exact global ranks (pairs at distance d' < d precede; within d,
+    rank_a orders):
+
+        priority = (d-1)*N - d*(d-1)/2 + rank_a
+
+    so the schedule costs zero extra shuffles beyond the SN pair
+    emission itself (no global sort of the pair list — the formula
+    IS the row_number() the SQL oracle computes)."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.order import sorted_neighborhood
+
+    n_docs = _pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+
+    def pack(t: pa.Table) -> pa.Table:
+        okey = (
+            t["n_chars"].to_numpy(zero_copy_only=False) << np.int64(32)
+        ) | t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "okey": okey})
+
+    keyed = _docs(sf_dir).map_batches(pack, batch_format="pyarrow")
+    pairs = sorted_neighborhood(
+        keyed, "okey", "doc_id", SN_WINDOW, with_ranks=True
+    )
+
+    def schedule(t: pa.Table) -> pa.Table:
+        ra = t["rank_a"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        rb = t["rank_b"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        d = rb - ra
+        prio = (d - 1) * n_docs - d * (d - 1) // 2 + ra
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "dist": pa.array(d, type=pa.int64()),
+                "priority": pa.array(prio, type=pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(schedule, batch_format="pyarrow")
+
+
+SQL_PROGRESSIVE_SNM = f"""
+WITH r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (b.rn - a.rn)::BIGINT AS dist,
+       row_number() OVER (ORDER BY b.rn - a.rn, a.rn)::BIGINT
+         AS priority
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < {SN_WINDOW}
+"""
+
+
 def q_snm_multipass(sf_dir: str):
     """MULTI-PASS sorted-neighborhood (Hernandez & Stolfo's actual
     production recipe: several cheap sort keys, union the windows —
@@ -5173,6 +5241,7 @@ DRIVER_EXCLUDE = {
     "meta_blocking_weights",  # local gate + pytest (keeps driver at 50)
     "tfidf_cosine_pairs",  # local gate + pytest (keeps driver at 50)
     "snm_multipass",  # local gate + pytest (keeps driver at 50)
+    "progressive_snm",  # local gate + pytest (keeps driver at 50)
     "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
     "pubmed_roundtrip",  # S8 XML wire formats (local gate + pytest)
@@ -5266,6 +5335,7 @@ REGISTRY: dict[str, tuple] = {
     "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
     "sorted_neighbors": (q_sorted_neighbors, SQL_SORTED_NEIGHBORS),
     "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
+    "progressive_snm": (q_progressive_snm, SQL_PROGRESSIVE_SNM),
     "local_supplier_volume": (
         q_local_supplier_volume,
         SQL_LOCAL_SUPPLIER_VOLUME,

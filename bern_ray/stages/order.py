@@ -143,11 +143,14 @@ def sorted_neighborhood(
     id_col: str,
     window: int,
     num_buckets: int = 64,
+    with_ranks: bool = False,
 ) -> "ray.data.Dataset":
     """All id pairs within ``window`` positions of each other in the
     global ``okey`` order: (id_a, id_b), rank_a < rank_b,
     rank_b - rank_a < window. Output ids ride the rank order (id_a is
-    the lower-ranked row).
+    the lower-ranked row). ``with_ranks=True`` additionally emits the
+    1-based global ranks (rank_a, rank_b) — the handle progressive
+    resolution needs to order its comparison schedule.
     """
     if window < 2:
         raise ValueError("window must be >= 2")
@@ -190,20 +193,24 @@ def sorted_neighborhood(
         starts, sizes = segments(seg)
         a, b = segment_pairs(starts, sizes, cap=None)
         if len(a) == 0:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                }
-            )
+            empty = {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+            }
+            if with_ranks:
+                empty["rank_a"] = pa.array([], type=pa.int64())
+                empty["rank_b"] = pa.array([], type=pa.int64())
+            return pa.table(empty)
         keep = (rank[b] - rank[a] < window) & orig[b]
         a, b = a[keep], b[keep]
-        return pa.table(
-            {
-                "id_a": pa.array(ids[a], type=pa.int64()),
-                "id_b": pa.array(ids[b], type=pa.int64()),
-            }
-        )
+        cols = {
+            "id_a": pa.array(ids[a], type=pa.int64()),
+            "id_b": pa.array(ids[b], type=pa.int64()),
+        }
+        if with_ranks:
+            cols["rank_a"] = pa.array(rank[a], type=pa.int64())
+            cols["rank_b"] = pa.array(rank[b], type=pa.int64())
+        return pa.table(cols)
 
     exploded = ranked.map_batches(
         explode, batch_format="pyarrow", batch_size=PREP_BATCH

@@ -136,3 +136,39 @@ def test_snm_multipass_second_key_catches(ray_session, tmp_path):
     }
     assert got == want
     assert (100, 101) in got  # only pass 2 can produce this pair
+
+
+def test_progressive_schedule_is_permutation(ray_session):
+    """with_ranks=True emits exact global ranks, and the progressive
+    closed-form priority ((d-1)N - d(d-1)/2 + rank_a) is a
+    permutation of 1..n_pairs ordered by (dist, rank_a) — the PSNM
+    schedule invariant."""
+    from bern_ray.stages.order import sorted_neighborhood
+
+    rng = np.random.default_rng(3)
+    n, w = 300, 5
+    keys = rng.permutation(n) * 7 + 1
+    ids = rng.permutation(n) + 500
+    df = sorted_neighborhood(
+        _make_ds(keys, ids),
+        "okey",
+        "doc_id",
+        w,
+        num_buckets=8,
+        with_ranks=True,
+    ).to_pandas()
+    d = df.rank_b - df.rank_a
+    assert ((d >= 1) & (d < w)).all()
+    prio = (d - 1) * n - d * (d - 1) // 2 + df.rank_a
+    assert sorted(prio) == list(range(1, len(df) + 1))
+    # schedule order == (dist, rank_a) lexicographic order
+    sched = df.assign(prio=prio).sort_values("prio")
+    assert (sched.rank_b - sched.rank_a).is_monotonic_increasing or (
+        sorted(
+            zip(sched.rank_b - sched.rank_a, sched.rank_a)
+        )
+        == list(zip(sched.rank_b - sched.rank_a, sched.rank_a))
+    )
+    # round boundaries: exactly n - dist pairs per distance
+    counts = d.value_counts().to_dict()
+    assert counts == {dist: n - dist for dist in range(1, w)}
