@@ -3861,6 +3861,20 @@ def q_muc_dedup_eval(sf_dir: str):
     return muc(_loose_strict_items(sf_dir), "p_cid", "g_cid")
 
 
+def q_blanc_dedup_eval(sf_dir: str):
+    """BLANC bilateral link/non-link F (Recasens & Hovy 2011) of the
+    loose near-dup clustering against the strict one — completes the
+    coreference-metric canon (MUC / B³ / CEAF-family / BLANC) over
+    the shared contingency reduction: where pairwise F1 scores only
+    the links, BLANC averages in an F over NON-links, rewarding the
+    clusterings for keeping distinct documents apart. Reduces to the
+    same three integer contingency sums as ARI, so the DuckDB oracle
+    matches bit-for-bit."""
+    from ..functions.evaluation import blanc
+
+    return blanc(_loose_strict_items(sf_dir), "p_cid", "g_cid")
+
+
 def q_nmi_dedup_eval(sf_dir: str):
     """NORMALIZED MUTUAL INFORMATION (arithmetic-mean normalization,
     natural log) of the loose near-dup clustering against the strict
@@ -4019,6 +4033,43 @@ SELECT tot.nn::BIGINT AS n_items,
        round(2 * greatest(hp.v + hg.v - hj.v, 0.0) / (hp.v + hg.v),
              6) AS nmi
 FROM tot, hj, hp, hg
+"""
+)
+
+
+SQL_BLANC_DEDUP_EVAL = (
+    _SQL_LOOSE_STRICT_CONT
+    + """,
+tp AS (SELECT sum(n * (n - 1) / 2.0) AS v FROM cont),
+pp AS (SELECT sum(s * (s - 1) / 2.0) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY pred)),
+gp AS (SELECT sum(s * (s - 1) / 2.0) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY gold)),
+tot AS (SELECT sum(n) AS nn FROM cont),
+d AS (SELECT tot.nn AS nn, tp.v AS rc, pp.v AS pl, gp.v AS gl,
+             tot.nn * (tot.nn - 1) / 2.0 AS t,
+             tot.nn * (tot.nn - 1) / 2.0 - pp.v - gp.v + tp.v AS rn
+      FROM tot, tp, pp, gp),
+pr AS (SELECT *,
+         CASE WHEN pl = 0 THEN 0.0 ELSE rc / pl END AS p_l,
+         CASE WHEN gl = 0 THEN 0.0 ELSE rc / gl END AS r_l,
+         CASE WHEN t = pl THEN 0.0 ELSE rn / (t - pl) END AS p_n,
+         CASE WHEN t = gl THEN 0.0 ELSE rn / (t - gl) END AS r_n
+       FROM d),
+f AS (SELECT *,
+        CASE WHEN p_l + r_l = 0 THEN 0.0
+             ELSE 2 * p_l * r_l / (p_l + r_l) END AS fl,
+        CASE WHEN p_n + r_n = 0 THEN 0.0
+             ELSE 2 * p_n * r_n / (p_n + r_n) END AS fn
+      FROM pr)
+SELECT nn::BIGINT AS n_items, rc::BIGINT AS rc_links,
+       rn::BIGINT AS rn_nonlinks, pl::BIGINT AS pred_links,
+       gl::BIGINT AS gold_links,
+       round(fl, 6) AS f_link, round(fn, 6) AS f_non,
+       round(CASE WHEN pl = 0 AND gl = 0 THEN fn
+                  WHEN pl = t AND gl = t THEN fl
+                  ELSE (fl + fn) / 2.0 END, 6) AS blanc
+FROM f
 """
 )
 
@@ -5231,6 +5282,7 @@ DRIVER_EXCLUDE = {
     "vmeasure_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "pr_curve_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "muc_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "blanc_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_topk",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_wnp",  # local gate + pytest (keeps driver at 50)
@@ -5359,6 +5411,7 @@ REGISTRY: dict[str, tuple] = {
     "vmeasure_dedup_eval": (q_vmeasure_dedup_eval, SQL_VMEASURE_DEDUP_EVAL),
     "pr_curve_dedup_eval": (q_pr_curve_dedup_eval, SQL_PR_CURVE),
     "muc_dedup_eval": (q_muc_dedup_eval, SQL_MUC_DEDUP_EVAL),
+    "blanc_dedup_eval": (q_blanc_dedup_eval, SQL_BLANC_DEDUP_EVAL),
     "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
     "meta_blocking_topk": (q_meta_blocking_topk, SQL_META_BLOCKING_TOPK),
     "meta_blocking_wnp": (q_meta_blocking_wnp, SQL_META_BLOCKING_WNP),

@@ -382,3 +382,87 @@ def test_muc_degenerate_cases(ray_session):
     # all-singleton BOTH: identical trivial partitions -> 1.0 / 1.0
     row = _run_muc(["a", "b", "c"], ["x", "y", "z"])
     assert row["muc_precision"] == 1.0 and row["muc_recall"] == 1.0
+
+
+def _brute_blanc(pred, gold):
+    """Pair-inventory BLANC reference: enumerate all C(n,2) pairs,
+    classify each as link/non-link in each partition."""
+    pred = np.asarray(pred)
+    gold = np.asarray(gold)
+    rc = rn = pl = gl = 0
+    n = len(pred)
+    for i, j in combinations(range(n), 2):
+        lp = pred[i] == pred[j]
+        lg = gold[i] == gold[j]
+        pl += lp
+        gl += lg
+        rc += lp and lg
+        rn += (not lp) and (not lg)
+    t = n * (n - 1) // 2
+
+    def f1(p, r):
+        return 2 * p * r / (p + r) if p + r else 0.0
+
+    fl = f1(rc / pl if pl else 0.0, rc / gl if gl else 0.0)
+    fn = f1(
+        rn / (t - pl) if t != pl else 0.0,
+        rn / (t - gl) if t != gl else 0.0,
+    )
+    if pl == 0 and gl == 0:
+        b = fn
+    elif pl == t and gl == t:
+        b = fl
+    else:
+        b = (fl + fn) / 2.0
+    return rc, rn, fl, fn, b
+
+
+def _run_blanc(pred, gold):
+    from bern_ray.functions.evaluation import blanc
+
+    t = pa.table(
+        {
+            "pred": pa.array(pred, type=pa.string()),
+            "gold": pa.array(gold, type=pa.string()),
+        }
+    )
+    return (
+        blanc(ray.data.from_arrow(t).repartition(3), "pred", "gold")
+        .to_pandas()
+        .iloc[0]
+    )
+
+
+def test_blanc_matches_bruteforce_random(ray_session):
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = 60
+        pred = [f"c{v}" for v in rng.integers(0, 9, size=n)]
+        gold = [f"g{v}" for v in rng.integers(0, 7, size=n)]
+        row = _run_blanc(pred, gold)
+        rc, rn, fl, fn, b = _brute_blanc(pred, gold)
+        assert row["rc_links"] == rc
+        assert row["rn_nonlinks"] == rn
+        assert row["f_link"] == round(fl, 6)
+        assert row["f_non"] == round(fn, 6)
+        assert row["blanc"] == round(b, 6)
+
+
+def test_blanc_boundary_cases(ray_session):
+    # identical partitions: both Fs 1.0, blanc 1.0
+    row = _run_blanc(["a", "a", "b"], ["x", "x", "y"])
+    assert row["f_link"] == 1.0 and row["f_non"] == 1.0
+    assert row["blanc"] == 1.0
+    # all-singletons BOTH: no links anywhere -> blanc = f_non = 1.0
+    row = _run_blanc(["a", "b", "c"], ["x", "y", "z"])
+    assert row["blanc"] == 1.0 and row["f_non"] == 1.0
+    # one-cluster BOTH: no non-links -> blanc = f_link = 1.0
+    row = _run_blanc(["a", "a", "a"], ["g", "g", "g"])
+    assert row["blanc"] == 1.0 and row["f_link"] == 1.0
+    # orthogonal-ish: singletons vs one block -> f_link 0
+    row = _run_blanc(["a", "b", "c"], ["g", "g", "g"])
+    rc, rn, fl, fn, b = _brute_blanc(
+        ["a", "b", "c"], ["g", "g", "g"]
+    )
+    assert row["f_link"] == round(fl, 6) == 0.0
+    assert row["blanc"] == round(b, 6)
