@@ -340,6 +340,50 @@ def q_canopy_blocking(sf_dir: str):
     return canopy_blocking(_docs(sf_dir))
 
 
+SUFFIX_MIN_LEN = 5
+SUFFIX_MAX_BLOCK = 40
+
+
+def q_suffix_blocking(sf_dir: str):
+    """Suffix-array blocking (Aizawa & Oyama 2005) over part names:
+    candidate pairs sharing a >=5-char name suffix whose block has
+    2..40 members, weighted by the shared-block count
+    (functions/suffixblock.py — zero-copy suffix explosion, one
+    suffix-hash shuffle, purge counters). Prefix-error-robust
+    complement to the soundex and fold-key blocking families."""
+    from ..functions.suffixblock import suffix_blocking
+
+    parts = read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return suffix_blocking(
+        parts,
+        "p_partkey",
+        "p_name",
+        min_len=SUFFIX_MIN_LEN,
+        max_block=SUFFIX_MAX_BLOCK,
+    )
+
+
+SQL_SUFFIX_BLOCKING = f"""
+WITH suf AS (
+  SELECT p_partkey AS id,
+         unnest(list_transform(
+           generate_series(1, length(p_name) - {SUFFIX_MIN_LEN} + 1),
+           i -> substr(p_name, i, 100000))) AS s
+  FROM part
+),
+blk AS (
+  SELECT s FROM suf GROUP BY s
+  HAVING count(*) BETWEEN 2 AND {SUFFIX_MAX_BLOCK}
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+FROM suf a JOIN suf b USING (s)
+WHERE a.id < b.id AND s IN (SELECT s FROM blk)
+GROUP BY a.id, b.id
+"""
+
+
 def q_phonetic_blocking(sf_dir: str):
     """Soundex phonetic block-key census over the documents corpus:
     (soundex, n_tokens, occurrences) — functions/phonetic.py; the
@@ -5265,6 +5309,7 @@ DRIVER_EXCLUDE = {
     # + ≡-minhash pytest; minhash/embedding keep the driver rows)
     "setsim_cosine",  # measure variants of setsim_neardup (local
     "setsim_dice",  # gate + prefix-lemma fuzz pytest)
+    "suffix_blocking",  # local gate + pytest (keeps driver at 50)
     "phonetic_blocking",  # soundex key census (local gate + canonical
     # vectors + hypothesis fuzz in tests/test_phonetic.py)
     "cross_corpus_neardup",  # R-S setsim join (local gate + pytest;
@@ -5336,6 +5381,7 @@ REGISTRY: dict[str, tuple] = {
     "setsim_cosine": (q_setsim_cosine, SQL_SETSIM_COSINE),
     "setsim_dice": (q_setsim_dice, SQL_SETSIM_DICE),
     "phonetic_blocking": (q_phonetic_blocking, _sql_phonetic_blocking()),
+    "suffix_blocking": (q_suffix_blocking, SQL_SUFFIX_BLOCKING),
     "canopy_blocking": (q_canopy_blocking, None),
     "graph_clusters": (q_graph_clusters, None),
     "cross_corpus_neardup": (
