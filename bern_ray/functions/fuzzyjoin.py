@@ -143,3 +143,266 @@ def suffix_digits_block(names: list[str], k: int = 3) -> np.ndarray:
                 >> 1
             )
     return out
+
+
+def _split_tokens(names) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """-> (parent_idx, pos 1-based, tokens): explode each name on
+    single spaces, exactly mirroring SQL ``string_split(nm, ' ')``
+    (consecutive spaces yield empty tokens there too)."""
+    import pyarrow.compute as pc
+
+    col = names
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type):
+        col = pc.cast(col, pa.string())
+    lists = pc.split_pattern(pc.fill_null(col, ""), " ")
+    toks = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    # 1-based position within each name (mirrors the SQL ordinality)
+    if len(parent):
+        starts = np.flatnonzero(
+            np.diff(np.concatenate(([-1], parent))) != 0
+        )
+        run_start = np.zeros(len(parent), dtype=np.int64)
+        run_start[starts] = starts
+        np.maximum.accumulate(run_start, out=run_start)
+        pos = np.arange(len(parent), dtype=np.int64) - run_start + 1
+    else:
+        pos = np.empty(0, dtype=np.int64)
+    return parent, pos, toks
+
+
+def monge_elkan_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    threshold: float = 0.88,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """left (l_id, l_name) ⋈~ right (r_id, r_name) by the MONGE-ELKAN
+    hybrid similarity (Monge & Elkan 1996; the standard multi-token
+    string measure of Christen's ER survey §5.3): with left tokens
+    a_1..a_m and right tokens b_1..b_n,
+
+        ME(A, B) = (1/m) * sum_i max_j JW(a_i, b_j)
+
+    — token-REORDER-robust where whole-string Jaro-Winkler is not
+    ("cold widget" vs "widget c0ld" scores ~0.92 here, ~0.55 as whole
+    strings). Asymmetric by definition: the mean runs over LEFT token
+    occurrences (duplicate right tokens only feed the max).
+
+    Candidates are token-blocked: only pairs sharing at least one
+    EXACT token are scored (the blocking recall trade, mirrored by
+    the SQL oracle's token equi-join). The shared-token join runs on
+    a 63-bit token hash with in-bucket exact-token verification, so
+    hash collisions never add or drop a pair. Skew caveat: a token
+    shared by f_l left and f_r right rows emits f_l*f_r candidates —
+    on hot-token corpora compose with block purging
+    (functions/metablocking.py) before this join.
+
+    Returns (l_id, r_id, me float64 rounded 6dp) where me >= threshold.
+    Ids must be int64 < 2^31 (packed pair dedup key).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .textstats import _token_h64
+
+    def tok_rows(id_col, name_col, id_out, tok_out, with_pos):
+        def fn(t: pa.Table) -> pa.Table:
+            parent, pos, toks = _split_tokens(t[name_col])
+            ids = t[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )[parent]
+            cols = {
+                id_out: pa.array(
+                    ids.astype(np.int64), type=pa.int64()
+                ),
+                tok_out: toks,
+                "th": pa.array(
+                    _token_h64(toks).astype(np.int64)
+                    if len(toks)
+                    else np.empty(0, dtype=np.int64),
+                    type=pa.int64(),
+                ),
+            }
+            if with_pos:
+                cols["pos"] = pa.array(pos, type=pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(
+        tok_rows("l_id", "l_name", "l_id", "l_tok", False),
+        batch_format="pyarrow",
+    )
+    rt = right.map_batches(
+        tok_rows("r_id", "r_name", "r_id", "r_tok", False),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        lt,
+        rt,
+        left_on="th",
+        right_on="th",
+        left_schema={
+            "th": pa.int64(),
+            "l_id": pa.int64(),
+            "l_tok": pa.string(),
+        },
+        right_schema={
+            "th": pa.int64(),
+            "r_id": pa.int64(),
+            "r_tok": pa.string(),
+        },
+        num_buckets=num_buckets,
+    )
+
+    _ID_BITS, _NB = 31, 256
+    _ID_MAX = (1 << _ID_BITS) - 1
+
+    def pack_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], type=pa.int64()),
+                    "pb": pa.array([], type=pa.int64()),
+                }
+            )
+        same = pc.equal(t["l_tok"], t["r_tok"])
+        t = t.filter(same)
+        li = t["l_id"].to_numpy(zero_copy_only=False)
+        ri = t["r_id"].to_numpy(zero_copy_only=False)
+        if li.size and max(int(li.max()), int(ri.max())) > _ID_MAX:
+            raise ValueError(
+                "monge_elkan_join ids must fit in 31 bits"
+            )
+        pair = np.unique((li << np.int64(_ID_BITS)) | ri)
+        with np.errstate(over="ignore"):
+            pb = (
+                pair.astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(40)
+            ) % _NB
+        return pa.table(
+            {
+                "pair": pa.array(pair, type=pa.int64()),
+                "pb": pa.array(pb.astype(np.int64)),
+            }
+        )
+
+    def distinct_pairs(g: pd.DataFrame) -> pa.Table:
+        u = np.unique(g["pair"].to_numpy(dtype=np.int64))
+        return pa.table(
+            {
+                "l_id": pa.array(u >> _ID_BITS, type=pa.int64()),
+                "r_id": pa.array(u & _ID_MAX, type=pa.int64()),
+            }
+        )
+
+    cand = (
+        joined.map_batches(pack_pairs, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(distinct_pairs, batch_format="pandas")
+    )
+
+    with_l = bucket_join(
+        cand,
+        left,
+        left_on="l_id",
+        right_on="l_id",
+        left_schema={"l_id": pa.int64(), "r_id": pa.int64()},
+        right_schema={"l_id": pa.int64(), "l_name": pa.string()},
+        num_buckets=num_buckets,
+    )
+    with_both = bucket_join(
+        with_l,
+        right,
+        left_on="r_id",
+        right_on="r_id",
+        left_schema={
+            "l_id": pa.int64(),
+            "r_id": pa.int64(),
+            "l_name": pa.string(),
+        },
+        right_schema={"r_id": pa.int64(), "r_name": pa.string()},
+        num_buckets=num_buckets,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_id": pa.array([], type=pa.int64()),
+                "r_id": pa.array([], type=pa.int64()),
+                "me": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        lp, _, ltoks = _split_tokens(t["l_name"])
+        rp, _, rtoks = _split_tokens(t["r_name"])
+        # per-pair token counts
+        n = t.num_rows
+        lm = np.bincount(lp, minlength=n)
+        rm = np.bincount(rp, minlength=n)
+        # cross product per pair: row i contributes lm[i]*rm[i] JW
+        # evals; build flattened index arrays with repeat/arange
+        cross = lm * rm
+        total = int(cross.sum())
+        if total == 0:
+            return empty
+        # left-token occurrence index (flattened over all pairs):
+        # each left token of pair i repeats rm[i] times
+        l_rep = np.repeat(rm, lm)  # per left-token occurrence
+        a_idx = np.repeat(
+            np.arange(len(ltoks), dtype=np.int64), l_rep
+        )
+        # right-token index within each (pair, left-token) group:
+        # consecutive run of rm[i] right tokens of pair i
+        r_starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(rm, out=r_starts[1:])
+        grp_starts = np.zeros(len(a_idx) + 1, dtype=np.int64)
+        np.cumsum(l_rep, out=grp_starts[1 : len(l_rep) + 1])
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            grp_starts[: len(l_rep)], l_rep
+        )
+        b_idx = r_starts[lp[a_idx]] + within
+        jw = jaro_winkler(
+            ltoks.take(pa.array(a_idx)).to_pylist(),
+            rtoks.take(pa.array(b_idx)).to_pylist(),
+        )
+        # max over right tokens per left-token occurrence
+        keep_groups = np.flatnonzero(l_rep > 0)
+        mx = np.maximum.reduceat(jw, grp_starts[keep_groups])
+        # mean over left-token occurrences per pair (pairs whose
+        # every left token had >= 1 right token — rm > 0 everywhere
+        # in practice; guard anyway)
+        per_tok_pair = lp[np.flatnonzero(l_rep > 0)]
+        sums = np.bincount(
+            per_tok_pair, weights=mx, minlength=n
+        )
+        cnts = np.bincount(per_tok_pair, minlength=n)
+        valid = cnts > 0
+        me = np.zeros(n, dtype=np.float64)
+        me[valid] = sums[valid] / cnts[valid]
+        keep = valid & (me >= threshold)
+        return pa.table(
+            {
+                "l_id": pa.array(
+                    t["l_id"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "r_id": pa.array(
+                    t["r_id"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "me": pa.array(
+                    np.round(me[keep], 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return with_both.map_batches(score, batch_format="pyarrow")

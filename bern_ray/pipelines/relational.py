@@ -340,6 +340,84 @@ def q_canopy_blocking(sf_dir: str):
     return canopy_blocking(_docs(sf_dir))
 
 
+ME_THRESHOLD = 0.88
+
+
+def q_monge_elkan_join(sf_dir: str):
+    """Monge-Elkan hybrid-similarity join of the clean part names
+    against a dirty table with planted TOKEN SWAP + one-char
+    substitution (both pure functions of p_partkey): ME(A,B) = mean
+    over clean-name tokens of the max Jaro-Winkler against the dirty
+    tokens — token-reorder-robust where whole-string JW is not.
+    Candidates are token-blocked (pairs sharing >= 1 exact token),
+    mirrored by the oracle's token equi-join; the JW kernel is the
+    bit-equal-to-DuckDB one the fuzzy-join family pins."""
+    from ..functions.fuzzyjoin import monge_elkan_join
+
+    left = read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"l_id": t["p_partkey"], "l_name": t["p_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def dirty(t: pa.Table) -> pa.Table:
+        keys = t["p_partkey"].to_numpy(zero_copy_only=False)
+        keep = keys % 3 == 0
+        keys = keys[keep]
+        names = np.asarray(t["p_name"].to_pylist(), dtype=object)[
+            keep
+        ]
+        out_id, out_nm = [], []
+        for k, s in zip(keys, names):
+            toks = s.split(" ")
+            p0 = int(k % 3)  # 0-indexed; SQL mirror is 1-indexed
+            mut = toks[0][:p0] + str(int(k % 10)) + toks[0][p0 + 1 :]
+            out_id.append(int(k))
+            out_nm.append(toks[1] + " " + mut)
+        return pa.table(
+            {
+                "r_id": pa.array(out_id, type=pa.int64()),
+                "r_name": pa.array(out_nm, type=pa.string()),
+            }
+        )
+
+    right = read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(dirty, batch_format="pyarrow")
+    return monge_elkan_join(left, right, threshold=ME_THRESHOLD)
+
+
+SQL_MONGE_ELKAN_JOIN = f"""
+WITH clean AS (SELECT p_partkey AS id, p_name AS nm FROM part),
+dirty0 AS (SELECT p_partkey AS id, string_split(p_name, ' ') AS ts,
+                  p_partkey % 10 AS d, 1 + p_partkey % 3 AS pos
+           FROM part WHERE p_partkey % 3 = 0),
+dirty AS (SELECT id,
+            ts[2] || ' ' ||
+            substr(ts[1], 1, pos - 1) || d::VARCHAR ||
+            substr(ts[1], pos + 1, 100000) AS nm
+          FROM dirty0),
+lt AS (SELECT id, unnest(string_split(nm, ' ')) AS tok,
+              unnest(generate_series(1, len(string_split(nm, ' '))))
+                AS pos
+       FROM clean),
+rt AS (SELECT id, unnest(string_split(nm, ' ')) AS tok FROM dirty),
+cand AS (SELECT DISTINCT lt.id AS l_id, rt.id AS r_id
+         FROM lt JOIN rt USING (tok)),
+mx AS (SELECT c.l_id, c.r_id, a.pos,
+              max(jaro_winkler_similarity(a.tok, b.tok)) AS m
+       FROM cand c JOIN lt a ON a.id = c.l_id
+                   JOIN rt b ON b.id = c.r_id
+       GROUP BY 1, 2, 3),
+me AS (SELECT l_id, r_id, avg(m) AS s FROM mx GROUP BY 1, 2)
+SELECT l_id, r_id, round(s, 6) AS me
+FROM me WHERE s >= {ME_THRESHOLD}
+"""
+
+
 SUFFIX_MIN_LEN = 5
 SUFFIX_MAX_BLOCK = 40
 
@@ -5310,6 +5388,7 @@ DRIVER_EXCLUDE = {
     "setsim_cosine",  # measure variants of setsim_neardup (local
     "setsim_dice",  # gate + prefix-lemma fuzz pytest)
     "suffix_blocking",  # local gate + pytest (keeps driver at 50)
+    "monge_elkan_join",  # local gate + pytest (keeps driver at 50)
     "phonetic_blocking",  # soundex key census (local gate + canonical
     # vectors + hypothesis fuzz in tests/test_phonetic.py)
     "cross_corpus_neardup",  # R-S setsim join (local gate + pytest;
@@ -5382,6 +5461,7 @@ REGISTRY: dict[str, tuple] = {
     "setsim_dice": (q_setsim_dice, SQL_SETSIM_DICE),
     "phonetic_blocking": (q_phonetic_blocking, _sql_phonetic_blocking()),
     "suffix_blocking": (q_suffix_blocking, SQL_SUFFIX_BLOCKING),
+    "monge_elkan_join": (q_monge_elkan_join, SQL_MONGE_ELKAN_JOIN),
     "canopy_blocking": (q_canopy_blocking, None),
     "graph_clusters": (q_graph_clusters, None),
     "cross_corpus_neardup": (

@@ -73,3 +73,100 @@ def test_cross_block_pairs_never_compared(joined):
     # Gadget#777 vs Widget#001 is similar-ish but different block —
     # must be absent regardless of threshold
     assert not ((joined.l_id == 3) & (joined.r_id == 10)).any()
+
+
+def test_split_tokens_matches_sql_split():
+    import pyarrow as pa
+
+    from bern_ray.functions.fuzzyjoin import _split_tokens
+
+    names = ["cold widget", "a", "", "x  y", None, "one two three"]
+    parent, pos, toks = _split_tokens(pa.array(names))
+    # reference: SQL string_split(nm, ' ') with 1-based ordinality
+    want = []
+    for i, nm in enumerate(names):
+        for j, tok in enumerate((nm or "").split(" ")):
+            want.append((i, j + 1, tok))
+    got = list(zip(parent.tolist(), pos.tolist(), toks.to_pylist()))
+    assert got == want
+
+
+def test_monge_elkan_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.core.similarity import jaro_winkler
+    from bern_ray.functions.fuzzyjoin import monge_elkan_join
+
+    left_rows = [
+        (1, "cold widget"),
+        (2, "small widget"),
+        (3, "blue rod"),
+        (4, "one two three"),  # 3 tokens: mean over 3 occurrences
+        (5, "dup dup"),  # duplicate left token: counted twice
+    ]
+    right_rows = [
+        (11, "widget c0ld"),  # reorder + substitution of (1)
+        (12, "rod blue"),  # pure reorder of (3)
+        (13, "three one zwo"),  # shares 2 tokens with (4)
+        (14, "dup"),  # single token
+        (15, "nomatch xyz"),  # shares no token: never a candidate
+    ]
+    th = 0.5
+
+    def brute():
+        out = {}
+        for lid, ln in left_rows:
+            lt = ln.split(" ")
+            for rid, rn in right_rows:
+                rt = rn.split(" ")
+                if not set(lt) & set(rt):
+                    continue
+                me = float(
+                    np.mean(
+                        [
+                            max(
+                                jaro_winkler([a], [b])[0]
+                                for b in rt
+                            )
+                            for a in lt
+                        ]
+                    )
+                )
+                if me >= th:
+                    out[(lid, rid)] = round(me, 6)
+        return out
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_id": pa.array(
+                    [r[0] for r in left_rows], type=pa.int64()
+                ),
+                "l_name": pa.array([r[1] for r in left_rows]),
+            }
+        )
+    ).repartition(2)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "r_id": pa.array(
+                    [r[0] for r in right_rows], type=pa.int64()
+                ),
+                "r_name": pa.array([r[1] for r in right_rows]),
+            }
+        )
+    ).repartition(2)
+    df = monge_elkan_join(left, right, threshold=th).to_pandas()
+    got = {
+        (int(a), int(b)): float(m)
+        for a, b, m in zip(df.l_id, df.r_id, df.me)
+    }
+    want = brute()
+    assert got == want
+    # reorder robustness: the pure-reorder pair scores exactly 1.0
+    assert got[(3, 12)] == 1.0
+    # no-shared-token pairs are never emitted (blocking semantics)
+    assert all(b != 15 for (_, b) in got)
