@@ -351,6 +351,17 @@ _SETSIM_MEASURES = {
             where=(na + nb) > 0,
         ),
     },
+    # ABSOLUTE overlap |A∩B| >= T (SSJoin base predicate): threshold
+    # is the integer T itself, not a coefficient — alpha_coef is a
+    # placeholder (setsim_overlap_join uses the absolute prefix
+    # p = n - T + 1 instead); the overlap COEFFICIENT inter/min(n)
+    # admits no sound prefix/size pruning (min-normalization permits
+    # arbitrarily small partners), which is why the absolute form is
+    # the one the literature prunes.
+    "overlap": {
+        "alpha_coef": lambda t: 0.0,
+        "score": lambda inter, na, nb: inter,
+    },
 }
 
 
@@ -388,6 +399,7 @@ def verify_setsim_pairs(
 
     score_fn = _SETSIM_MEASURES[sim]["score"]
     score_col = score_col or sim
+    int_score = sim == "overlap"
 
     def side(name: str, src=None):
         return (src if src is not None else shingles).map_batches(
@@ -436,11 +448,18 @@ def verify_setsim_pairs(
             na[i], nb[i] = len(sa), len(sb)
         score = score_fn(inter.astype(float), na, nb)
         keep = score >= threshold
+        out_score = (
+            pa.array(
+                score[keep].astype(np.int64), type=pa.int64()
+            )
+            if int_score
+            else pa.array(np.round(score[keep], 6))
+        )
         return pa.table(
             {
                 "doc_id_a": pa.array(a[keep], type=pa.int64()),
                 "doc_id_b": pa.array(b[keep], type=pa.int64()),
-                score_col: pa.array(np.round(score[keep], 6)),
+                score_col: out_score,
             }
         )
 
@@ -1811,4 +1830,139 @@ def cluster_cohesion(
         edges.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def _prefix_rows_abs(t: pa.Table, min_overlap: int) -> pa.Table:
+    """Absolute-overlap prefix emission: a pair with
+    |A∩B| >= T shares a token within each side's first
+    p = n - T + 1 tokens (Chaudhuri et al. SSJoin lemma with the
+    absolute threshold), and a doc with n < T can never qualify —
+    it emits nothing."""
+    col = t["tok"].combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    values = col.values.to_numpy(zero_copy_only=False)
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    n = np.diff(offsets)
+    p = np.clip(n - min_overlap + 1, 0, n)
+    total = int(p.sum())
+    seg_starts = np.zeros(len(p), dtype=np.int64)
+    np.cumsum(p[:-1], out=seg_starts[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        seg_starts, p
+    )
+    take = np.repeat(offsets[:-1], p) + within
+    return pa.table(
+        {
+            "tok": pa.array(values[take], type=pa.int64()),
+            "doc_id": pa.array(
+                np.repeat(doc_ids, p), type=pa.int64()
+            ),
+            "nt": pa.array(np.repeat(n, p), type=pa.int64()),
+        }
+    )
+
+
+def _posting_pairs_abs_bucket(
+    min_overlap: int, posting_cap: int | None
+):
+    """Candidate pairs per prefix-token posting list with the
+    absolute-overlap size filter min(|A|, |B|) >= T (a side smaller
+    than T cannot reach T shared tokens)."""
+
+    def fn(g: pd.DataFrame) -> pa.Table:
+        from ..stages.blocking import segment_pairs
+
+        g = g.drop_duplicates(["tok", "doc_id"])
+        g = g.sort_values(
+            ["tok", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        m = len(g)
+        empty = pa.table(
+            {
+                "doc_id_a": pa.array([], type=pa.int64()),
+                "doc_id_b": pa.array([], type=pa.int64()),
+            }
+        )
+        if m < 2:
+            return empty
+        toks = g["tok"].to_numpy()
+        new_run = np.empty(m, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = toks[1:] != toks[:-1]
+        starts = np.flatnonzero(new_run)
+        sizes = np.diff(np.append(starts, m))
+        stats: dict = {}
+        ai, bi = segment_pairs(
+            starts, sizes, cap=posting_cap, stats=stats
+        )
+        if stats.get("capped_segments"):
+            from ..state.counters import add_many as _add_many
+
+            _add_many(
+                {
+                    "setsim_postings_capped": stats[
+                        "capped_segments"
+                    ],
+                    "setsim_pairs_elided": stats["elided_pairs"],
+                }
+            )
+        if len(ai) == 0:
+            return empty
+        ids = g["doc_id"].to_numpy()
+        nt = g["nt"].to_numpy()
+        keep = np.minimum(nt[ai], nt[bi]) >= min_overlap
+        return pa.table(
+            {
+                "doc_id_a": pa.array(ids[ai][keep], type=pa.int64()),
+                "doc_id_b": pa.array(ids[bi][keep], type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def setsim_overlap_join(
+    docs: "ray.data.Dataset",
+    min_overlap: int = 10,
+    shingle_k: int = 3,
+    posting_cap: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT absolute-overlap set-similarity self-join: all doc pairs
+    sharing >= ``min_overlap`` distinct k-shingles — the SSJoin base
+    predicate (Chaudhuri, Ganti & Kaushik ICDE 2006), completing the
+    prefix-filter family (jaccard / cosine / dice normalize this
+    count; the absolute form is what their filters reduce to). Prefix
+    p = n - T + 1, size filter min(|A|,|B|) >= T, exact verification
+    via the shared distributed-join tail. Output (doc_id_a, doc_id_b,
+    overlap int64), a < b.
+
+    The overlap COEFFICIENT |A∩B|/min(|A|,|B|) is deliberately NOT
+    offered through the prefix machinery: min-normalization permits
+    arbitrarily small partners, so no prefix shorter than the whole
+    set is sound for it (see _SETSIM_MEASURES note)."""
+    shingles = docs.map_batches(
+        lambda t: _shingle_list_rows(t, shingle_k),
+        batch_format="pyarrow",
+    ).materialize()
+    prefix = shingles.map_batches(
+        lambda t: _prefix_rows_abs(t, min_overlap),
+        batch_format="pyarrow",
+    ).map_batches(
+        _tok_bucket,
+        batch_format="pyarrow",
+        batch_size=SHUFFLE_PREP_ROWS,
+    )
+    pairs = prefix.groupby("bucket").map_groups(
+        _posting_pairs_abs_bucket(min_overlap, posting_cap),
+        batch_format="pandas",
+    )
+    return verify_setsim_pairs(
+        pairs,
+        shingles,
+        float(min_overlap),
+        sim="overlap",
+        score_col="overlap",
     )

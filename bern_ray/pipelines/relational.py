@@ -490,6 +490,24 @@ def q_setsim_cosine(sf_dir: str):
     return fdedup.setsim_neardup(docs, threshold=0.9, sim="cosine")
 
 
+SETSIM_MIN_OVERLAP = 10
+
+
+def q_setsim_overlap(sf_dir: str):
+    """Prefix-filtered exact ABSOLUTE-OVERLAP set-similarity
+    self-join: |A∩B| >= 10 shared 3-shingles (the SSJoin base
+    predicate, Chaudhuri et al. ICDE 2006) — prefix n - T + 1, size
+    filter min >= T. Completes the setsim family's measure set
+    (jaccard / cosine / dice / absolute overlap)."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.setsim_overlap_join(
+        docs, min_overlap=SETSIM_MIN_OVERLAP
+    )
+
+
 def q_setsim_dice(sf_dir: str):
     """Prefix-filtered exact DICE set-similarity self-join:
     2|A∩B|/(|A|+|B|) >= 0.9 — prefix length n - ceil(t/(2-t)*n) + 1."""
@@ -526,6 +544,16 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(a.ss) > 0 AND len(b.ss) > 0
   AND len(list_intersect(a.ss, b.ss))::DOUBLE
       / sqrt(len(a.ss)::DOUBLE * len(b.ss)) >= 0.9
+"""
+)
+
+SQL_SETSIM_OVERLAP = (
+    _SETSIM_TOK_CTE
+    + f"""
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       len(list_intersect(a.ss, b.ss))::BIGINT AS overlap
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ss, b.ss)) >= {SETSIM_MIN_OVERLAP}
 """
 )
 
@@ -5387,6 +5415,7 @@ DRIVER_EXCLUDE = {
     # + ≡-minhash pytest; minhash/embedding keep the driver rows)
     "setsim_cosine",  # measure variants of setsim_neardup (local
     "setsim_dice",  # gate + prefix-lemma fuzz pytest)
+    "setsim_overlap",  # local gate + pytest (keeps driver at 50)
     "suffix_blocking",  # local gate + pytest (keeps driver at 50)
     "monge_elkan_join",  # local gate + pytest (keeps driver at 50)
     "phonetic_blocking",  # soundex key census (local gate + canonical
@@ -5459,6 +5488,7 @@ REGISTRY: dict[str, tuple] = {
     "setsim_neardup": (q_setsim_neardup, SQL_SETSIM_NEARDUP),
     "setsim_cosine": (q_setsim_cosine, SQL_SETSIM_COSINE),
     "setsim_dice": (q_setsim_dice, SQL_SETSIM_DICE),
+    "setsim_overlap": (q_setsim_overlap, SQL_SETSIM_OVERLAP),
     "phonetic_blocking": (q_phonetic_blocking, _sql_phonetic_blocking()),
     "suffix_blocking": (q_suffix_blocking, SQL_SUFFIX_BLOCKING),
     "monge_elkan_join": (q_monge_elkan_join, SQL_MONGE_ELKAN_JOIN),

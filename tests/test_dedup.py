@@ -553,6 +553,8 @@ def test_setsim_prefix_lemma_fuzz(token_sets):
     import math
 
     for sim, m in _SETSIM_MEASURES.items():
+        if sim == "overlap":
+            continue  # absolute threshold: own lemma fuzz below
         coef = m["alpha_coef"](t)
         out = _prefix_rows(tbl, coef)
         prefixes: dict[int, set] = {i: set() for i in range(len(sets))}
@@ -662,3 +664,114 @@ def test_setsim_join_cap_counter(ray_session):
     assert snap.get("setsim_rs_pairs_elided", 0) > 0
     assert 0 < len(capped) < 400
     assert (capped.jaccard == 1.0).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_setsim_abs_overlap_prefix_lemma_fuzz(token_sets, min_ov):
+    """Absolute-overlap prefix lemma: any pair with |A∩B| >= T shares
+    a token within both docs' first n - T + 1 tokens (global uint64
+    order), via the production kernel (_prefix_rows_abs)."""
+    from bern_ray.functions.dedup import _prefix_rows_abs
+
+    sets = [
+        np.unique(
+            np.asarray(s, dtype=np.int64).view(np.uint64)
+        ).view(np.int64)
+        for s in token_sets
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(sets)), type=pa.int64()),
+            "tok": pa.array(
+                [s.tolist() for s in sets],
+                type=pa.list_(pa.int64()),
+            ),
+        }
+    )
+    out = _prefix_rows_abs(tbl, min_ov)
+    prefixes: dict[int, set] = {i: set() for i in range(len(sets))}
+    for tok, did in zip(
+        out["tok"].to_pylist(), out["doc_id"].to_pylist()
+    ):
+        prefixes[did].add(tok)
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a = set(sets[i].tolist())
+            b = set(sets[j].tolist())
+            if len(a & b) >= min_ov:
+                assert prefixes[i] & prefixes[j]
+    # docs shorter than T emit nothing (they can never qualify)
+    for i, s_i in enumerate(sets):
+        if len(s_i) < min_ov:
+            assert not prefixes[i]
+
+
+def test_setsim_overlap_join_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data
+
+    from bern_ray.functions.dedup import (
+        _shingle_list_rows,
+        setsim_overlap_join,
+    )
+
+    rng = np.random.default_rng(9)
+    words = [f"w{k}" for k in range(30)]
+    # families of near-duplicates: a base sequence per family, each
+    # member mutates a couple of positions — members share long
+    # shingle runs, cross-family pairs share almost none
+    docs_rows = []
+    i = 0
+    for fam in range(5):
+        base = rng.choice(words, size=15)
+        for _ in range(5):
+            seq = base.copy()
+            for p in rng.integers(0, 15, size=rng.integers(0, 3)):
+                seq[p] = rng.choice(words)
+            docs_rows.append(
+                {"doc_id": i, "text": " ".join(seq)}
+            )
+            i += 1
+    docs = ray.data.from_items(docs_rows).repartition(3)
+    T = 4
+    got = {
+        (int(a), int(b)): int(o)
+        for a, b, o in setsim_overlap_join(docs, min_overlap=T)
+        .to_pandas()[["doc_id_a", "doc_id_b", "overlap"]]
+        .itertuples(index=False)
+    }
+    # brute force over the SAME shingle sets the kernel builds
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(
+                [d["doc_id"] for d in docs_rows], type=pa.int64()
+            ),
+            "text": pa.array([d["text"] for d in docs_rows]),
+        }
+    )
+    sh = _shingle_list_rows(tbl, 3)
+    sets = {
+        d: set(tk)
+        for d, tk in zip(
+            sh["doc_id"].to_pylist(), sh["tok"].to_pylist()
+        )
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        ov = len(sets[a] & sets[b])
+        if ov >= T:
+            want[(a, b)] = ov
+    assert got == want and len(want) > 0
