@@ -2735,6 +2735,59 @@ FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < {SN_WINDOW}
 """
 
 
+ASNM_PHI = 2
+ASNM_MAX_ISLAND = 40
+
+
+def q_adaptive_snm(sf_dir: str):
+    """ADAPTIVE sorted-neighborhood (Yan et al. 2007): documents
+    sorted by n_chars partition into gaps-and-islands (break where
+    the length gap exceeds phi=2); all pairs within islands of
+    2..40 members, larger islands purged with elision counters —
+    the data-driven window that fixed-w SNM (sorted_neighbors)
+    approximates. Oracle: SQL lag/sum-over gaps-and-islands with the
+    identical HAVING purge."""
+    from ..stages.order import adaptive_snm
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_chars": t["n_chars"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return adaptive_snm(
+        docs,
+        "n_chars",
+        "doc_id",
+        phi=ASNM_PHI,
+        max_island=ASNM_MAX_ISLAND,
+    )
+
+
+SQL_ADAPTIVE_SNM = f"""
+WITH o AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars - lag(n_chars)
+                OVER (ORDER BY n_chars, doc_id) > {ASNM_PHI}
+              THEN 1 ELSE 0 END AS brk
+  FROM documents
+),
+i AS (
+  SELECT doc_id,
+         sum(brk) OVER (ORDER BY n_chars, doc_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS island
+  FROM o
+),
+ok AS (
+  SELECT island FROM i GROUP BY island
+  HAVING count(*) BETWEEN 2 AND {ASNM_MAX_ISLAND}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.island
+FROM i a JOIN i b ON a.island = b.island AND a.doc_id < b.doc_id
+WHERE a.island IN (SELECT island FROM ok)
+"""
+
+
 def q_snm_multipass(sf_dir: str):
     """MULTI-PASS sorted-neighborhood (Hernandez & Stolfo's actual
     production recipe: several cheap sort keys, union the windows —
@@ -5447,6 +5500,7 @@ DRIVER_EXCLUDE = {
     "tfidf_cosine_pairs",  # local gate + pytest (keeps driver at 50)
     "snm_multipass",  # local gate + pytest (keeps driver at 50)
     "progressive_snm",  # local gate + pytest (keeps driver at 50)
+    "adaptive_snm",  # local gate + pytest (keeps driver at 50)
     "cluster_cohesion",  # local gate + pytest (keeps driver at 50)
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
     "pubmed_roundtrip",  # S8 XML wire formats (local gate + pytest)
@@ -5544,6 +5598,7 @@ REGISTRY: dict[str, tuple] = {
     "sorted_neighbors": (q_sorted_neighbors, SQL_SORTED_NEIGHBORS),
     "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
     "progressive_snm": (q_progressive_snm, SQL_PROGRESSIVE_SNM),
+    "adaptive_snm": (q_adaptive_snm, SQL_ADAPTIVE_SNM),
     "local_supplier_volume": (
         q_local_supplier_volume,
         SQL_LOCAL_SUPPLIER_VOLUME,

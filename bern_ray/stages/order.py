@@ -216,3 +216,135 @@ def sorted_neighborhood(
         explode, batch_format="pyarrow", batch_size=PREP_BATCH
     )
     return bucketed_apply(exploded, "_seg", pairs_bucket, num_buckets)
+
+
+def adaptive_snm(
+    ds: "ray.data.Dataset",
+    okey: str,
+    id_col: str,
+    *,
+    phi: int,
+    max_island: int,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """ADAPTIVE sorted-neighborhood (Yan, Lee, Kan & Giles, the
+    adaptive SNM family of JCDL/ICDM 2007): instead of a FIXED window
+    over the sort order, the window grows while consecutive sort keys
+    stay close — rows partition into ISLANDS at every gap
+    okey[i] - okey[i-1] > ``phi`` (the classic gaps-and-islands), and
+    all pairs within an island of 2..``max_island`` members are
+    emitted. Larger islands are purged (a dense key region carries no
+    ordering signal; the SQL mirror applies the identical HAVING) and
+    reported through the counters sidecar. Output (id_a, id_b,
+    island), id_a < id_b, island = the 0-based count of gap breaks
+    before the row in (okey, id) order — matching a SQL
+    sum(brk) OVER (ORDER BY okey, id) mirror exactly.
+
+    Unlike `global_rank`, ``okey`` need NOT be unique: equal keys
+    always share an island (gap 0), and range partitioning sends
+    equal keys to one bucket, so island assignment is deterministic.
+
+    Scale shape: one O(B)-driver metadata pass (per range bucket:
+    min/max key + internal break count -> island offsets), one
+    assignment pass, one island-hash shuffle for pair emission —
+    never a row inventory on the driver.
+    """
+    from ..state import counters
+
+    keyed = ds.select_columns([id_col, okey]).materialize()
+    bounds = _sample_boundaries(keyed, okey, num_buckets)
+
+    def add_rbucket(t: pa.Table) -> pa.Table:
+        k = t[okey].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_rbucket",
+            pa.array(np.searchsorted(bounds, k, side="right")),
+        )
+
+    bucketed = keyed.map_batches(
+        add_rbucket, batch_format="pyarrow", batch_size=PREP_BATCH
+    )
+
+    def bucket_meta(t: pa.Table) -> pa.Table:
+        k = np.sort(t[okey].to_numpy(zero_copy_only=False))
+        breaks = int((np.diff(k) > phi).sum())
+        return pa.table(
+            {
+                "_rbucket": pa.array(
+                    [int(t["_rbucket"][0].as_py())], type=pa.int64()
+                ),
+                "kmin": pa.array([int(k[0])], type=pa.int64()),
+                "kmax": pa.array([int(k[-1])], type=pa.int64()),
+                "breaks": pa.array([breaks], type=pa.int64()),
+            }
+        )
+
+    meta = (
+        bucketed.groupby("_rbucket")
+        .map_groups(bucket_meta, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("_rbucket")
+        .reset_index(drop=True)
+    )
+    # island offset per bucket: breaks in all earlier buckets plus the
+    # boundary break between each adjacent bucket pair
+    offsets: dict[int, int] = {}
+    running = 0
+    prev_max = None
+    for rb, kmin, kmax, brk in zip(
+        meta["_rbucket"], meta["kmin"], meta["kmax"], meta["breaks"]
+    ):
+        if prev_max is not None and kmin - prev_max > phi:
+            running += 1
+        offsets[int(rb)] = running
+        running += int(brk)
+        prev_max = kmax
+
+    def assign_islands(t: pa.Table) -> pa.Table:
+        rb = int(t["_rbucket"][0].as_py())
+        k = t[okey].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, ids = k[order], ids[order]
+        brk = np.zeros(len(k), dtype=np.int64)
+        brk[1:] = (np.diff(k) > phi).astype(np.int64)
+        island = offsets[rb] + np.cumsum(brk)
+        return pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "island": pa.array(island, type=pa.int64()),
+            }
+        )
+
+    islands = bucketed.groupby("_rbucket").map_groups(
+        assign_islands, batch_format="pyarrow"
+    )
+
+    def island_pairs(t: pa.Table) -> pa.Table:
+        isl = t["island"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, isl))
+        isl, ids = isl[order], ids[order]
+        starts, sizes = segments(isl)
+        purged = sizes > max_island
+        if purged.any():
+            ps = sizes[purged].astype(np.int64)
+            counters.add_many(
+                {
+                    "adaptive_snm_purged_islands": int(purged.sum()),
+                    "adaptive_snm_purged_pairs": int(
+                        (ps * (ps - 1) // 2).sum()
+                    ),
+                }
+            )
+        keep = (sizes >= 2) & ~purged
+        a, b = segment_pairs(starts[keep], sizes[keep], cap=None)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[a], type=pa.int64()),
+                "id_b": pa.array(ids[b], type=pa.int64()),
+                "island": pa.array(isl[a], type=pa.int64()),
+            }
+        )
+
+    return bucketed_apply(islands, "island", island_pairs, num_buckets)

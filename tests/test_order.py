@@ -172,3 +172,53 @@ def test_progressive_schedule_is_permutation(ray_session):
     # round boundaries: exactly n - dist pairs per distance
     counts = d.value_counts().to_dict()
     assert counts == {dist: n - dist for dist in range(1, w)}
+
+
+def test_adaptive_snm_matches_bruteforce(ray_session):
+    """Gaps-and-islands pair emission vs a sequential reference,
+    with num_buckets > islands so islands MUST span range-bucket
+    boundaries, plus the purge counter."""
+    from bern_ray.stages.order import adaptive_snm
+    from bern_ray.state import counters
+
+    rng = np.random.default_rng(13)
+    # keys in clumps separated by big gaps; one clump oversized
+    keys = np.concatenate(
+        [
+            100 + np.arange(6),          # island of 6
+            200 + np.arange(0, 8, 2),    # island of 4 (gap 2 = phi)
+            300 + np.arange(15),         # island of 15 -> purged
+            400 + np.array([0]),         # singleton
+            500 + np.array([0, 1, 5]),   # islands {0,1} and {5}... gap 4 > 2
+        ]
+    ).astype(np.int64)
+    ids = (rng.permutation(len(keys)) + 1000).astype(np.int64)
+    phi, cap = 2, 10
+
+    # sequential reference
+    order = np.lexsort((ids, keys))
+    sk, si = keys[order], ids[order]
+    brk = np.zeros(len(sk), dtype=np.int64)
+    brk[1:] = (np.diff(sk) > phi).astype(np.int64)
+    island = np.cumsum(brk)
+    want = set()
+    for isl in np.unique(island):
+        members = sorted(si[island == isl].tolist())
+        if 2 <= len(members) <= cap:
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    want.add((members[x], members[y], int(isl)))
+
+    counters.reset()
+    ds = _make_ds(keys, ids)
+    df = adaptive_snm(
+        ds, "okey", "doc_id", phi=phi, max_island=cap, num_buckets=16
+    ).to_pandas()
+    got = {
+        (int(a), int(b), int(i))
+        for a, b, i in zip(df.id_a, df.id_b, df.island)
+    }
+    assert got == want
+    snap = counters.snapshot()
+    assert snap.get("adaptive_snm_purged_islands", 0) == 1
+    assert snap.get("adaptive_snm_purged_pairs", 0) == 15 * 14 // 2
