@@ -406,3 +406,138 @@ def monge_elkan_join(
         )
 
     return with_both.map_batches(score, batch_format="pyarrow")
+
+
+def one_to_one_match(
+    pairs: "ray.data.Dataset",
+    *,
+    l_col: str = "l_id",
+    r_col: str = "r_id",
+    score_col: str = "me",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """MUTUAL-BEST-MATCH 1:1 assignment over scored candidate pairs —
+    the greedy-free symmetric reduction every record-linkage deploy
+    runs after scoring (Fellegi-Sunter's one-to-one restriction;
+    "best-buddy" matching): keep (l, r) iff r is l's best-scoring
+    candidate AND l is r's, ties broken by ascending partner id.
+    Unlike sequential greedy assignment this is order-free, so it
+    distributes as two per-side argmax shuffles + one pair-key join
+    and is exactly mirrored by a SQL double row_number() oracle.
+
+    Output (l_col, r_col, score_col) — a subset of the input pairs in
+    which every l and every r appears at most once (1:1 by
+    construction: each side's winner is unique per key).
+
+    Ids must be int64 < 2^31 (packed pair join key)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    _ID_BITS, _NB = 31, 256
+    _ID_MAX = (1 << _ID_BITS) - 1
+
+    def tag(group_col):
+        def fn(t: pa.Table) -> pa.Table:
+            g = t[group_col].to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                b = (
+                    g.astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                    >> np.uint64(40)
+                ) % _NB
+            return pa.table(
+                {
+                    "g": pa.array(g, type=pa.int64()),
+                    "o": pc.cast(
+                        t[r_col if group_col == l_col else l_col],
+                        pa.int64(),
+                    ),
+                    "s": pc.cast(t[score_col], pa.float64()),
+                    "gb": pa.array(b.astype(np.int64)),
+                }
+            )
+
+        return fn
+
+    def best_bucket(swap: bool):
+        def fn(g: pd.DataFrame) -> pa.Table:
+            if len(g) == 0:
+                return pa.table(
+                    {
+                        "pair": pa.array([], type=pa.int64()),
+                        "s": pa.array([], type=pa.float64()),
+                        "pb": pa.array([], type=pa.int64()),
+                    }
+                )
+            # argmax per group: score desc, partner id asc
+            d = g.sort_values(
+                ["g", "s", "o"], ascending=[True, False, True]
+            ).drop_duplicates("g")
+            gi = d["g"].to_numpy(dtype=np.int64)
+            oi = d["o"].to_numpy(dtype=np.int64)
+            if gi.size and max(int(gi.max()), int(oi.max())) > _ID_MAX:
+                raise ValueError(
+                    "one_to_one_match ids must fit in 31 bits"
+                )
+            li, ri = (oi, gi) if swap else (gi, oi)
+            pair = (li << np.int64(_ID_BITS)) | ri
+            with np.errstate(over="ignore"):
+                pb = (
+                    pair.astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                    >> np.uint64(40)
+                ) % _NB
+            return pa.table(
+                {
+                    "pair": pa.array(pair, type=pa.int64()),
+                    "s": pa.array(
+                        d["s"].to_numpy(dtype=np.float64)
+                    ),
+                    "pb": pa.array(pb.astype(np.int64)),
+                }
+            )
+
+        return fn
+
+    pairs = pairs.materialize()
+    left_best = (
+        pairs.map_batches(tag(l_col), batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(best_bucket(swap=False), batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["pair", "s"]),
+            batch_format="pyarrow",
+        )
+    )
+    right_best = (
+        pairs.map_batches(tag(r_col), batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(best_bucket(swap=True), batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["pair"]), batch_format="pyarrow"
+        )
+    )
+    mutual = bucket_join(
+        left_best,
+        right_best,
+        left_on="pair",
+        right_on="pair",
+        left_schema={"pair": pa.int64(), "s": pa.float64()},
+        right_schema={"pair": pa.int64()},
+        num_buckets=num_buckets,
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["pair"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                l_col: pa.array(p >> _ID_BITS, type=pa.int64()),
+                r_col: pa.array(p & _ID_MAX, type=pa.int64()),
+                score_col: pa.array(
+                    t["s"].to_numpy(zero_copy_only=False),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return mutual.map_batches(unpack, batch_format="pyarrow")

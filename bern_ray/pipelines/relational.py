@@ -343,17 +343,10 @@ def q_canopy_blocking(sf_dir: str):
 ME_THRESHOLD = 0.88
 
 
-def q_monge_elkan_join(sf_dir: str):
-    """Monge-Elkan hybrid-similarity join of the clean part names
-    against a dirty table with planted TOKEN SWAP + one-char
-    substitution (both pure functions of p_partkey): ME(A,B) = mean
-    over clean-name tokens of the max Jaro-Winkler against the dirty
-    tokens — token-reorder-robust where whole-string JW is not.
-    Candidates are token-blocked (pairs sharing >= 1 exact token),
-    mirrored by the oracle's token equi-join; the JW kernel is the
-    bit-equal-to-DuckDB one the fuzzy-join family pins."""
-    from ..functions.fuzzyjoin import monge_elkan_join
-
+def _me_sides(sf_dir: str):
+    """(clean, dirty) name tables of the Monge-Elkan family: clean =
+    part names; dirty = TOKEN SWAP + one-char substitution, both pure
+    functions of p_partkey (SQL mirror: _SQL_ME_CTES)."""
     left = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     ).map_batches(
@@ -387,10 +380,45 @@ def q_monge_elkan_join(sf_dir: str):
     right = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     ).map_batches(dirty, batch_format="pyarrow")
+    return left, right
+
+
+def q_monge_elkan_join(sf_dir: str):
+    """Monge-Elkan hybrid-similarity join of the clean part names
+    against a dirty table with planted TOKEN SWAP + one-char
+    substitution (both pure functions of p_partkey): ME(A,B) = mean
+    over clean-name tokens of the max Jaro-Winkler against the dirty
+    tokens — token-reorder-robust where whole-string JW is not.
+    Candidates are token-blocked (pairs sharing >= 1 exact token),
+    mirrored by the oracle's token equi-join; the JW kernel is the
+    bit-equal-to-DuckDB one the fuzzy-join family pins."""
+    from ..functions.fuzzyjoin import monge_elkan_join
+
+    left, right = _me_sides(sf_dir)
     return monge_elkan_join(left, right, threshold=ME_THRESHOLD)
 
 
-SQL_MONGE_ELKAN_JOIN = f"""
+def q_one_to_one_match(sf_dir: str):
+    """MUTUAL-BEST-MATCH 1:1 assignment over the loose (>= 0.5)
+    Monge-Elkan candidates: keep (l, r) iff each is the other's
+    best-scoring candidate (ties by ascending partner id) — the
+    one-to-one restriction of Fellegi-Sunter linkage, order-free so
+    it distributes as two per-side argmax shuffles + one pair join
+    (functions/fuzzyjoin.one_to_one_match). Oracle: double
+    row_number() mirror over the identical candidate CTE."""
+    from ..functions.fuzzyjoin import (
+        monge_elkan_join,
+        one_to_one_match,
+    )
+
+    left, right = _me_sides(sf_dir)
+    pairs = monge_elkan_join(left, right, threshold=O2O_THRESHOLD)
+    return one_to_one_match(pairs)
+
+
+# shared CTE prefix of the Monge-Elkan oracles: dirty-table
+# derivation, token explosion, token-blocked candidates, ME score
+_SQL_ME_CTES = """
 WITH clean AS (SELECT p_partkey AS id, p_name AS nm FROM part),
 dirty0 AS (SELECT p_partkey AS id, string_split(p_name, ' ') AS ts,
                   p_partkey % 10 AS d, 1 + p_partkey % 3 AS pos
@@ -413,9 +441,38 @@ mx AS (SELECT c.l_id, c.r_id, a.pos,
                    JOIN rt b ON b.id = c.r_id
        GROUP BY 1, 2, 3),
 me AS (SELECT l_id, r_id, avg(m) AS s FROM mx GROUP BY 1, 2)
+"""
+
+SQL_MONGE_ELKAN_JOIN = (
+    _SQL_ME_CTES
+    + f"""
 SELECT l_id, r_id, round(s, 6) AS me
 FROM me WHERE s >= {ME_THRESHOLD}
 """
+)
+
+# the 1:1 reduction runs on a LOOSER candidate set so the mutual
+# restriction has real many-to-many input to resolve
+O2O_THRESHOLD = 0.5
+
+SQL_ONE_TO_ONE_MATCH = (
+    _SQL_ME_CTES
+    + f""",
+p AS (SELECT l_id, r_id, s FROM me WHERE s >= {O2O_THRESHOLD}),
+bl AS (SELECT l_id, r_id FROM (
+         SELECT l_id, r_id,
+                row_number() OVER (PARTITION BY l_id
+                                   ORDER BY s DESC, r_id) AS rn
+         FROM p) WHERE rn = 1),
+br AS (SELECT l_id, r_id FROM (
+         SELECT l_id, r_id,
+                row_number() OVER (PARTITION BY r_id
+                                   ORDER BY s DESC, l_id) AS rn
+         FROM p) WHERE rn = 1)
+SELECT p.l_id, p.r_id, round(p.s, 6) AS me
+FROM p JOIN bl USING (l_id, r_id) JOIN br USING (l_id, r_id)
+"""
+)
 
 
 SUFFIX_MIN_LEN = 5
@@ -5471,6 +5528,7 @@ DRIVER_EXCLUDE = {
     "setsim_overlap",  # local gate + pytest (keeps driver at 50)
     "suffix_blocking",  # local gate + pytest (keeps driver at 50)
     "monge_elkan_join",  # local gate + pytest (keeps driver at 50)
+    "one_to_one_match",  # local gate + pytest (keeps driver at 50)
     "phonetic_blocking",  # soundex key census (local gate + canonical
     # vectors + hypothesis fuzz in tests/test_phonetic.py)
     "cross_corpus_neardup",  # R-S setsim join (local gate + pytest;
@@ -5546,6 +5604,7 @@ REGISTRY: dict[str, tuple] = {
     "phonetic_blocking": (q_phonetic_blocking, _sql_phonetic_blocking()),
     "suffix_blocking": (q_suffix_blocking, SQL_SUFFIX_BLOCKING),
     "monge_elkan_join": (q_monge_elkan_join, SQL_MONGE_ELKAN_JOIN),
+    "one_to_one_match": (q_one_to_one_match, SQL_ONE_TO_ONE_MATCH),
     "canopy_blocking": (q_canopy_blocking, None),
     "graph_clusters": (q_graph_clusters, None),
     "cross_corpus_neardup": (

@@ -170,3 +170,48 @@ def test_monge_elkan_matches_bruteforce(ray_session):
     assert got[(3, 12)] == 1.0
     # no-shared-token pairs are never emitted (blocking semantics)
     assert all(b != 15 for (_, b) in got)
+
+
+def test_one_to_one_match_mutual_best(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.fuzzyjoin import one_to_one_match
+
+    # l=1: best r=11 (0.9); r=11: best l=1 -> mutual
+    # l=2: best r=11 (0.8) but r=11 prefers l=1 -> dropped
+    # l=3 / r=12: tie 0.7 with r=13; tie-break ascending -> r=12;
+    #             r=12's best l=3 -> mutual
+    # l=4 / r=14: only candidates of each other -> mutual
+    rows = [
+        (1, 11, 0.9),
+        (2, 11, 0.8),
+        (1, 12, 0.6),
+        (3, 12, 0.7),
+        (3, 13, 0.7),
+        (4, 14, 0.55),
+    ]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_id": pa.array(
+                    [r[0] for r in rows], type=pa.int64()
+                ),
+                "r_id": pa.array(
+                    [r[1] for r in rows], type=pa.int64()
+                ),
+                "me": pa.array(
+                    [r[2] for r in rows], type=pa.float64()
+                ),
+            }
+        )
+    ).repartition(3)
+    df = one_to_one_match(pairs).to_pandas()
+    got = {
+        (int(a), int(b)): float(s)
+        for a, b, s in zip(df.l_id, df.r_id, df.me)
+    }
+    assert got == {(1, 11): 0.9, (3, 12): 0.7, (4, 14): 0.55}
+    # 1:1 by construction
+    assert df.l_id.is_unique and df.r_id.is_unique
