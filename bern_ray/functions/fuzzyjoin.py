@@ -206,6 +206,22 @@ def monge_elkan_join(
     Returns (l_id, r_id, me float64 rounded 6dp) where me >= threshold.
     Ids must be int64 < 2^31 (packed pair dedup key).
     """
+    pairs = _blocked_name_pairs(left, right, num_buckets)
+    return pairs.map_batches(
+        _me_score_fn(threshold), batch_format="pyarrow"
+    )
+
+
+def _blocked_name_pairs(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    num_buckets: int,
+) -> "ray.data.Dataset":
+    """Shared candidate machinery of the hybrid-measure joins
+    (Monge-Elkan, soft TF-IDF): token-blocked DISTINCT (l_id, r_id)
+    pairs — token-hash bucket join with in-bucket exact-token
+    verification, packed-pair global dedup — with both full name
+    strings attached via two bucketed id joins."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -332,6 +348,42 @@ def monge_elkan_join(
         num_buckets=num_buckets,
     )
 
+    return with_both
+
+
+def _token_cross(t: pa.Table):
+    """Flattened per-pair token cross product of a candidate batch:
+    -> (n, lp, ltoks, rtoks, a_idx, b_idx, grp_starts, l_rep, jw)
+    where jw[g] runs over each (pair, left-token) group's right
+    tokens (group g starts at grp_starts[g]); returns None when the
+    batch yields no comparisons."""
+    lp, _, ltoks = _split_tokens(t["l_name"])
+    rp, _, rtoks = _split_tokens(t["r_name"])
+    n = t.num_rows
+    lm = np.bincount(lp, minlength=n)
+    rm = np.bincount(rp, minlength=n)
+    total = int((lm * rm).sum())
+    if total == 0:
+        return None
+    # each left-token occurrence of pair i repeats rm[i] times
+    l_rep = np.repeat(rm, lm)
+    a_idx = np.repeat(np.arange(len(ltoks), dtype=np.int64), l_rep)
+    r_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(rm, out=r_starts[1:])
+    grp_starts = np.zeros(len(a_idx) + 1, dtype=np.int64)
+    np.cumsum(l_rep, out=grp_starts[1 : len(l_rep) + 1])
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        grp_starts[: len(l_rep)], l_rep
+    )
+    b_idx = r_starts[lp[a_idx]] + within
+    jw = jaro_winkler(
+        ltoks.take(pa.array(a_idx)).to_pylist(),
+        rtoks.take(pa.array(b_idx)).to_pylist(),
+    )
+    return n, lp, ltoks, rtoks, a_idx, b_idx, grp_starts, l_rep, jw
+
+
+def _me_score_fn(threshold: float):
     def score(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -342,48 +394,16 @@ def monge_elkan_join(
         )
         if t.num_rows == 0:
             return empty
-        lp, _, ltoks = _split_tokens(t["l_name"])
-        rp, _, rtoks = _split_tokens(t["r_name"])
-        # per-pair token counts
-        n = t.num_rows
-        lm = np.bincount(lp, minlength=n)
-        rm = np.bincount(rp, minlength=n)
-        # cross product per pair: row i contributes lm[i]*rm[i] JW
-        # evals; build flattened index arrays with repeat/arange
-        cross = lm * rm
-        total = int(cross.sum())
-        if total == 0:
+        cross = _token_cross(t)
+        if cross is None:
             return empty
-        # left-token occurrence index (flattened over all pairs):
-        # each left token of pair i repeats rm[i] times
-        l_rep = np.repeat(rm, lm)  # per left-token occurrence
-        a_idx = np.repeat(
-            np.arange(len(ltoks), dtype=np.int64), l_rep
-        )
-        # right-token index within each (pair, left-token) group:
-        # consecutive run of rm[i] right tokens of pair i
-        r_starts = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(rm, out=r_starts[1:])
-        grp_starts = np.zeros(len(a_idx) + 1, dtype=np.int64)
-        np.cumsum(l_rep, out=grp_starts[1 : len(l_rep) + 1])
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            grp_starts[: len(l_rep)], l_rep
-        )
-        b_idx = r_starts[lp[a_idx]] + within
-        jw = jaro_winkler(
-            ltoks.take(pa.array(a_idx)).to_pylist(),
-            rtoks.take(pa.array(b_idx)).to_pylist(),
-        )
+        n, lp, _, _, _, _, grp_starts, l_rep, jw = cross
         # max over right tokens per left-token occurrence
         keep_groups = np.flatnonzero(l_rep > 0)
         mx = np.maximum.reduceat(jw, grp_starts[keep_groups])
-        # mean over left-token occurrences per pair (pairs whose
-        # every left token had >= 1 right token — rm > 0 everywhere
-        # in practice; guard anyway)
-        per_tok_pair = lp[np.flatnonzero(l_rep > 0)]
-        sums = np.bincount(
-            per_tok_pair, weights=mx, minlength=n
-        )
+        # mean over left-token occurrences per pair
+        per_tok_pair = lp[keep_groups]
+        sums = np.bincount(per_tok_pair, weights=mx, minlength=n)
         cnts = np.bincount(per_tok_pair, minlength=n)
         valid = cnts > 0
         me = np.zeros(n, dtype=np.float64)
@@ -405,7 +425,7 @@ def monge_elkan_join(
             }
         )
 
-    return with_both.map_batches(score, batch_format="pyarrow")
+    return score
 
 
 def one_to_one_match(
@@ -541,3 +561,190 @@ def one_to_one_match(
         )
 
     return mutual.map_batches(unpack, batch_format="pyarrow")
+
+
+def clean_token_df(
+    left: "ray.data.Dataset",
+    *,
+    name_col: str = "l_name",
+    id_col: str = "l_id",
+    vocab_limit: int = 1_000_000,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(sorted token-hash array, df array, N): document frequency of
+    every distinct token of the reference corpus, keyed by the 63-bit
+    token hash for vectorized searchsorted lookup inside score
+    kernels, plus the corpus row count N. The vocabulary is
+    broadcast-sized by assumption (name fields, not documents) —
+    ``vocab_limit`` guards it: beyond the limit the caller must shard
+    the idf table instead of broadcasting (raise, never truncate
+    silently). Hash collisions merge two tokens' df (p ~ V^2/2^63)."""
+    import pandas as pd
+
+    from .textstats import _token_h64
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        parent, _, toks = _split_tokens(t[name_col])
+        ids = t[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )[parent]
+        df = pd.DataFrame(
+            {
+                "th": _token_h64(toks).astype(np.int64)
+                if len(toks)
+                else np.empty(0, dtype=np.int64),
+                "id": ids.astype(np.int64),
+            }
+        ).drop_duplicates()
+        # a record lives in one batch: per-batch (token, id) dedup is
+        # global, so counts are summable partials of the true df
+        vc = df.groupby("th", sort=False).size()
+        return pa.table(
+            {
+                "th": pa.array(
+                    vc.index.to_numpy(), type=pa.int64()
+                ),
+                "partial": pa.array(
+                    vc.to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        left.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("th")
+        .sum("partial")
+    )
+    rows = agg.take_all()
+    if len(rows) > vocab_limit:
+        raise ValueError(
+            f"token vocabulary {len(rows)} exceeds vocab_limit="
+            f"{vocab_limit}; shard the idf table instead of "
+            "broadcasting"
+        )
+    th = np.array([r["th"] for r in rows], dtype=np.int64)
+    df = np.array(
+        [r["sum(partial)"] for r in rows], dtype=np.float64
+    )
+    order = np.argsort(th)
+    n = int(left.count())
+    return th[order], df[order], n
+
+
+def soft_tfidf_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    theta: float = 0.8,
+    threshold: float = 0.8,
+    num_buckets: int = 64,
+    vocab_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """left (l_id, l_name) ⋈~ right (r_id, r_name) by SOFT TF-IDF
+    (Cohen, Ravikumar & Fienberg, IIWeb 2003 — their best-performing
+    name-matching measure): WHIRL's tf-idf cosine relaxed so tokens
+    need only be CLOSE (Jaro-Winkler >= ``theta``), not equal:
+
+        S(A, B) = sum over a in A with jmax(a) >= theta of
+                  V(a, A) * V(b*(a), B) * jmax(a)
+
+    where jmax(a) = max_b JW(a, b), b*(a) the argmax (ties: the
+    highest-weight tied token), and V(t, X) = idf(t)/||X|| the
+    L2-normalized idf weight (tf = occurrence count is 1 per token
+    occurrence here; idf = ln((1+N)/(1+df)) from the LEFT corpus,
+    unseen tokens df = 0).
+
+    Candidates are token-blocked exactly like monge_elkan_join
+    (shared >= 1 exact token; the recall trade the SQL oracle
+    mirrors). The idf table is a broadcast sorted-hash array
+    (clean_token_df) — name-field vocabularies are broadcast-sized;
+    the guard raises beyond ``vocab_limit``.
+
+    Returns (l_id, r_id, soft_tfidf float64 rounded 6dp) where
+    score >= threshold."""
+    import ray
+
+    th_arr, df_arr, n_docs = clean_token_df(
+        left, vocab_limit=vocab_limit
+    )
+    idf_ref = ray.put(
+        (th_arr, np.log((1.0 + n_docs) / (1.0 + df_arr)))
+    )
+    idf_unseen = float(np.log(1.0 + n_docs))
+
+    from .textstats import _token_h64
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_id": pa.array([], type=pa.int64()),
+                "r_id": pa.array([], type=pa.int64()),
+                "soft_tfidf": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        cross = _token_cross(t)
+        if cross is None:
+            return empty
+        n, lp, ltoks, rtoks, a_idx, b_idx, grp_starts, l_rep, jw = (
+            cross
+        )
+        th_keys, idf_vals = ray.get(idf_ref)
+
+        def idf_of(toks) -> np.ndarray:
+            h = _token_h64(toks).astype(np.int64)
+            pos = np.searchsorted(th_keys, h)
+            pos_c = np.clip(pos, 0, len(th_keys) - 1)
+            hit = (len(th_keys) > 0) & (th_keys[pos_c] == h)
+            out = np.full(len(h), idf_unseen, dtype=np.float64)
+            if len(th_keys):
+                out[hit] = idf_vals[pos_c[hit]]
+            return out
+
+        rp, _, _ = _split_tokens(t["r_name"])
+        lw = idf_of(ltoks)
+        rw = idf_of(rtoks)
+        lnorm = np.sqrt(np.bincount(lp, weights=lw * lw, minlength=n))
+        rnorm = np.sqrt(np.bincount(rp, weights=rw * rw, minlength=n))
+        # per (pair, left-token) group: jmax and the max weight among
+        # jw-tied argmax right tokens
+        keep_groups = np.flatnonzero(l_rep > 0)
+        jmax = np.maximum.reduceat(jw, grp_starts[keep_groups])
+        is_max = jw == np.repeat(jmax, l_rep[keep_groups])
+        bw_masked = np.where(is_max, rw[b_idx], -np.inf)
+        wb = np.maximum.reduceat(bw_masked, grp_starts[keep_groups])
+        a_occ = a_idx[grp_starts[keep_groups]]
+        pair_of_group = lp[a_occ]
+        close = jmax >= theta
+        # contribution, mirroring the SQL's left-to-right fp order:
+        # ((aw / lnorm) * wb) / rnorm * jmax
+        contrib = (
+            (lw[a_occ] / lnorm[pair_of_group])
+            * wb
+            / rnorm[pair_of_group]
+            * jmax
+        )
+        sums = np.bincount(
+            pair_of_group[close],
+            weights=contrib[close],
+            minlength=n,
+        )
+        keep = sums >= threshold
+        return pa.table(
+            {
+                "l_id": pa.array(
+                    t["l_id"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "r_id": pa.array(
+                    t["r_id"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "soft_tfidf": pa.array(
+                    np.round(sums[keep], 6), type=pa.float64()
+                ),
+            }
+        )
+
+    pairs = _blocked_name_pairs(left, right, num_buckets)
+    return pairs.map_batches(score, batch_format="pyarrow")

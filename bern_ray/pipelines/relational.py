@@ -451,6 +451,67 @@ FROM me WHERE s >= {ME_THRESHOLD}
 """
 )
 
+SOFT_TFIDF_THETA = 0.8
+SOFT_TFIDF_THRESHOLD = 0.8
+
+
+def q_soft_tfidf_join(sf_dir: str):
+    """SOFT TF-IDF join (Cohen, Ravikumar & Fienberg 2003 — their
+    best name-matching measure) of the clean part names against the
+    same planted dirty table: WHIRL's idf-cosine relaxed to
+    CLOSE (Jaro-Winkler >= 0.8) token matches, idf from the clean
+    corpus (ln((1+N)/(1+df)), unseen df=0), L2-normalized weights.
+    Same token-blocked candidates as monge_elkan_join; idf table
+    broadcast once (functions/fuzzyjoin.clean_token_df)."""
+    from ..functions.fuzzyjoin import soft_tfidf_join
+
+    left, right = _me_sides(sf_dir)
+    return soft_tfidf_join(
+        left,
+        right,
+        theta=SOFT_TFIDF_THETA,
+        threshold=SOFT_TFIDF_THRESHOLD,
+    )
+
+
+SQL_SOFT_TFIDF_JOIN = (
+    _SQL_ME_CTES
+    + f""",
+nn AS (SELECT count(*)::DOUBLE AS n FROM clean),
+df AS (SELECT tok, count(DISTINCT id)::DOUBLE AS df
+       FROM lt GROUP BY tok),
+lw AS (SELECT lt.id, lt.pos, lt.tok,
+              ln((1 + nn.n) / (1 + df.df)) AS w
+       FROM lt JOIN df USING (tok) CROSS JOIN nn),
+rw AS (SELECT rt.id, rt.tok,
+              ln((1 + nn.n) / (1 + coalesce(df.df, 0))) AS w
+       FROM rt LEFT JOIN df USING (tok) CROSS JOIN nn),
+lnm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM lw GROUP BY id),
+rnm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM rw GROUP BY id),
+cr AS (SELECT c.l_id, c.r_id, a.pos, a.w AS aw, b.w AS bw,
+              jaro_winkler_similarity(a.tok, b.tok) AS jw
+       FROM cand c JOIN lw a ON a.id = c.l_id
+                   JOIN rw b ON b.id = c.r_id),
+smx AS (SELECT l_id, r_id, pos, any_value(aw) AS aw,
+               max(jw) AS jmax
+        FROM cr GROUP BY 1, 2, 3),
+swb AS (SELECT cr.l_id, cr.r_id, cr.pos, max(cr.bw) AS wb
+        FROM cr JOIN smx USING (l_id, r_id, pos)
+        WHERE cr.jw = smx.jmax GROUP BY 1, 2, 3),
+contrib AS (SELECT m.l_id, m.r_id, m.aw, m.jmax, w.wb
+            FROM smx m JOIN swb w USING (l_id, r_id, pos)
+            WHERE m.jmax >= {SOFT_TFIDF_THETA}),
+score AS (SELECT c.l_id, c.r_id,
+                 sum(c.aw / lnm.nrm * c.wb / rnm.nrm * c.jmax) AS s
+          FROM contrib c JOIN lnm ON lnm.id = c.l_id
+                         JOIN rnm ON rnm.id = c.r_id
+          GROUP BY 1, 2)
+SELECT l_id, r_id, round(s, 6) AS soft_tfidf
+FROM score WHERE s >= {SOFT_TFIDF_THRESHOLD}
+"""
+)
+
+
 # the 1:1 reduction runs on a LOOSER candidate set so the mutual
 # restriction has real many-to-many input to resolve
 O2O_THRESHOLD = 0.5
@@ -5529,6 +5590,7 @@ DRIVER_EXCLUDE = {
     "suffix_blocking",  # local gate + pytest (keeps driver at 50)
     "monge_elkan_join",  # local gate + pytest (keeps driver at 50)
     "one_to_one_match",  # local gate + pytest (keeps driver at 50)
+    "soft_tfidf_join",  # local gate + pytest (keeps driver at 50)
     "phonetic_blocking",  # soundex key census (local gate + canonical
     # vectors + hypothesis fuzz in tests/test_phonetic.py)
     "cross_corpus_neardup",  # R-S setsim join (local gate + pytest;
@@ -5605,6 +5667,7 @@ REGISTRY: dict[str, tuple] = {
     "suffix_blocking": (q_suffix_blocking, SQL_SUFFIX_BLOCKING),
     "monge_elkan_join": (q_monge_elkan_join, SQL_MONGE_ELKAN_JOIN),
     "one_to_one_match": (q_one_to_one_match, SQL_ONE_TO_ONE_MATCH),
+    "soft_tfidf_join": (q_soft_tfidf_join, SQL_SOFT_TFIDF_JOIN),
     "canopy_blocking": (q_canopy_blocking, None),
     "graph_clusters": (q_graph_clusters, None),
     "cross_corpus_neardup": (

@@ -99,8 +99,13 @@ def test_stage_metrics_rollup(ray_session, tmp_path):
 
     import ray.data
 
+    from bern_ray.state import counters
     from bern_ray.state.checkpoint import checkpointed, read_manifest
     from bern_ray.state.metrics import stage_metrics
+
+    # cap counters from tests that ran earlier in this Ray session
+    # would otherwise surface as extra cap:* rollup rows
+    counters.reset()
 
     root = str(tmp_path / "ckpt")
 

@@ -215,3 +215,96 @@ def test_one_to_one_match_mutual_best(ray_session):
     assert got == {(1, 11): 0.9, (3, 12): 0.7, (4, 14): 0.55}
     # 1:1 by construction
     assert df.l_id.is_unique and df.r_id.is_unique
+
+
+def test_soft_tfidf_matches_bruteforce(ray_session):
+    import math
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.core.similarity import jaro_winkler
+    from bern_ray.functions.fuzzyjoin import soft_tfidf_join
+
+    left_rows = [
+        (1, "cold widget"),
+        (2, "small widget"),
+        (3, "cold widget"),  # duplicate name: df counts ids
+        (4, "blue rod"),
+    ]
+    right_rows = [
+        (11, "widget c0ld"),  # close-but-unequal + reorder
+        (12, "rod blue"),
+        (13, "widget zz"),  # unseen token zz: smoothed idf
+    ]
+    theta, th = 0.8, 0.1
+
+    def brute():
+        n = len(left_rows)
+        df = {}
+        for _, nm in left_rows:
+            for tok in set(nm.split(" ")):
+                df[tok] = df.get(tok, 0) + 1
+
+        def idf(tok):
+            return math.log((1 + n) / (1 + df.get(tok, 0)))
+
+        out = {}
+        for lid, ln in left_rows:
+            lt = ln.split(" ")
+            lnorm = math.sqrt(sum(idf(a) ** 2 for a in lt))
+            for rid, rn in right_rows:
+                rt = rn.split(" ")
+                if not set(lt) & set(rt):
+                    continue
+                rnorm = math.sqrt(sum(idf(b) ** 2 for b in rt))
+                s = 0.0
+                for a in lt:
+                    jws = [
+                        float(jaro_winkler([a], [b])[0]) for b in rt
+                    ]
+                    jmax = max(jws)
+                    if jmax < theta:
+                        continue
+                    wb = max(
+                        idf(b)
+                        for b, j in zip(rt, jws)
+                        if j == jmax
+                    )
+                    s += idf(a) / lnorm * wb / rnorm * jmax
+                if s >= th:
+                    out[(lid, rid)] = round(s, 6)
+        return out
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_id": pa.array(
+                    [r[0] for r in left_rows], type=pa.int64()
+                ),
+                "l_name": pa.array([r[1] for r in left_rows]),
+            }
+        )
+    ).repartition(2)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "r_id": pa.array(
+                    [r[0] for r in right_rows], type=pa.int64()
+                ),
+                "r_name": pa.array([r[1] for r in right_rows]),
+            }
+        )
+    ).repartition(2)
+    df = soft_tfidf_join(
+        left, right, theta=theta, threshold=th
+    ).to_pandas()
+    got = {
+        (int(a), int(b)): float(s)
+        for a, b, s in zip(df.l_id, df.r_id, df.soft_tfidf)
+    }
+    assert got == brute()
+    assert len(got) > 0
+    # identical-token-set reorder pair scores ~1.0 (cosine of self)
+    assert abs(got[(4, 12)] - 1.0) < 1e-6
