@@ -748,3 +748,80 @@ def soft_tfidf_join(
 
     pairs = _blocked_name_pairs(left, right, num_buckets)
     return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def topk_matches(
+    pairs: "ray.data.Dataset",
+    k: int,
+    *,
+    l_col: str = "l_id",
+    r_col: str = "r_id",
+    score_col: str = "me",
+) -> "ray.data.Dataset":
+    """TOP-K similarity matches per left record: each l keeps its k
+    best-scoring candidates (score desc, ties by ascending r id),
+    with the 1-based rank attached — the candidate shortlist a human
+    review queue or a downstream classifier consumes (the k=1 case is
+    one side of one_to_one_match). One bucketed shuffle on l's hash;
+    nothing driver-sized. Output (l_col, r_col, score_col, rk)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    _NB = 256
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t[l_col].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            b = (
+                g.astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(40)
+            ) % _NB
+        return pa.table(
+            {
+                "g": pa.array(g, type=pa.int64()),
+                "o": pc.cast(t[r_col], pa.int64()),
+                "s": pc.cast(t[score_col], pa.float64()),
+                "gb": pa.array(b.astype(np.int64)),
+            }
+        )
+
+    def topk_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    l_col: pa.array([], type=pa.int64()),
+                    r_col: pa.array([], type=pa.int64()),
+                    score_col: pa.array([], type=pa.float64()),
+                    "rk": pa.array([], type=pa.int64()),
+                }
+            )
+        d = g.sort_values(
+            ["g", "s", "o"], ascending=[True, False, True]
+        )
+        rk = d.groupby("g", sort=False).cumcount() + 1
+        d = d[rk <= k]
+        rk = rk[rk <= k]
+        return pa.table(
+            {
+                l_col: pa.array(
+                    d["g"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                r_col: pa.array(
+                    d["o"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                score_col: pa.array(
+                    d["s"].to_numpy(dtype=np.float64),
+                    type=pa.float64(),
+                ),
+                "rk": pa.array(
+                    rk.to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(topk_bucket, batch_format="pandas")
+    )

@@ -398,6 +398,22 @@ def q_monge_elkan_join(sf_dir: str):
     return monge_elkan_join(left, right, threshold=ME_THRESHOLD)
 
 
+TOPK_MATCHES_K = 3
+
+
+def q_topk_matches(sf_dir: str):
+    """TOP-K (k=3) match shortlist per clean part name over the
+    loose (>= 0.5) Monge-Elkan candidates, score desc / r_id asc,
+    rank attached — the reviewer-queue reduction next to
+    one_to_one_match's 1:1 (functions/fuzzyjoin.topk_matches,
+    one l-hash shuffle). Oracle: row_number() <= k mirror."""
+    from ..functions.fuzzyjoin import monge_elkan_join, topk_matches
+
+    left, right = _me_sides(sf_dir)
+    pairs = monge_elkan_join(left, right, threshold=O2O_THRESHOLD)
+    return topk_matches(pairs, TOPK_MATCHES_K)
+
+
 def q_one_to_one_match(sf_dir: str):
     """MUTUAL-BEST-MATCH 1:1 assignment over the loose (>= 0.5)
     Monge-Elkan candidates: keep (l, r) iff each is the other's
@@ -532,6 +548,20 @@ br AS (SELECT l_id, r_id FROM (
          FROM p) WHERE rn = 1)
 SELECT p.l_id, p.r_id, round(p.s, 6) AS me
 FROM p JOIN bl USING (l_id, r_id) JOIN br USING (l_id, r_id)
+"""
+)
+
+
+SQL_TOPK_MATCHES = (
+    _SQL_ME_CTES
+    + f""",
+p AS (SELECT l_id, r_id, s FROM me WHERE s >= {O2O_THRESHOLD}),
+rk AS (SELECT l_id, r_id, s,
+              row_number() OVER (PARTITION BY l_id
+                                 ORDER BY s DESC, r_id) AS rk
+       FROM p)
+SELECT l_id, r_id, round(s, 6) AS me, rk
+FROM rk WHERE rk <= {TOPK_MATCHES_K}
 """
 )
 
@@ -5591,6 +5621,7 @@ DRIVER_EXCLUDE = {
     "monge_elkan_join",  # local gate + pytest (keeps driver at 50)
     "one_to_one_match",  # local gate + pytest (keeps driver at 50)
     "soft_tfidf_join",  # local gate + pytest (keeps driver at 50)
+    "topk_matches",  # local gate + pytest (keeps driver at 50)
     "phonetic_blocking",  # soundex key census (local gate + canonical
     # vectors + hypothesis fuzz in tests/test_phonetic.py)
     "cross_corpus_neardup",  # R-S setsim join (local gate + pytest;
@@ -5668,6 +5699,7 @@ REGISTRY: dict[str, tuple] = {
     "monge_elkan_join": (q_monge_elkan_join, SQL_MONGE_ELKAN_JOIN),
     "one_to_one_match": (q_one_to_one_match, SQL_ONE_TO_ONE_MATCH),
     "soft_tfidf_join": (q_soft_tfidf_join, SQL_SOFT_TFIDF_JOIN),
+    "topk_matches": (q_topk_matches, SQL_TOPK_MATCHES),
     "canopy_blocking": (q_canopy_blocking, None),
     "graph_clusters": (q_graph_clusters, None),
     "cross_corpus_neardup": (

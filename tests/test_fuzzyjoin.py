@@ -308,3 +308,49 @@ def test_soft_tfidf_matches_bruteforce(ray_session):
     assert len(got) > 0
     # identical-token-set reorder pair scores ~1.0 (cosine of self)
     assert abs(got[(4, 12)] - 1.0) < 1e-6
+
+
+def test_topk_matches(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.fuzzyjoin import topk_matches
+
+    rows = [
+        (1, 11, 0.9),
+        (1, 12, 0.8),
+        (1, 13, 0.8),  # tie with 12: rank by ascending r_id
+        (1, 14, 0.7),  # rank 4 -> dropped at k=3
+        (2, 11, 0.5),  # fewer than k candidates: all kept
+    ]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_id": pa.array(
+                    [r[0] for r in rows], type=pa.int64()
+                ),
+                "r_id": pa.array(
+                    [r[1] for r in rows], type=pa.int64()
+                ),
+                "me": pa.array(
+                    [r[2] for r in rows], type=pa.float64()
+                ),
+            }
+        )
+    ).repartition(2)
+    df = (
+        topk_matches(pairs, 3)
+        .to_pandas()
+        .sort_values(["l_id", "rk"])
+        .reset_index(drop=True)
+    )
+    got = list(
+        zip(df.l_id, df.r_id, df.me, df.rk)
+    )
+    assert got == [
+        (1, 11, 0.9, 1),
+        (1, 12, 0.8, 2),
+        (1, 13, 0.8, 3),
+        (2, 11, 0.5, 1),
+    ]
