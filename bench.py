@@ -93,6 +93,8 @@ def run_bench() -> dict:
         q_sorted_neighbors,
         q_tfidf_top_terms,
         q_token_freq,
+        q_suffix_blocking,
+        q_adaptive_snm,
     )
     from bern_ray.functions.wordpiece import wordpiece_features
     from bern_ray.sources.pages import read_pages
@@ -250,6 +252,14 @@ def run_bench() -> dict:
          lambda: q_meta_blocking_weights(SF_DIR).count()),
         ("tfidf_cosine_pairs",
          lambda: q_tfidf_cosine_pairs(SF_DIR).count()),
+        # the Monge-Elkan/soft-tfidf demo queries are NOT tracked
+        # here: their planted dirty-table has a ~10-token vocabulary,
+        # so at sf0.1 the token-blocked candidate set is genuinely
+        # quadratic (2.6M true output pairs, ~280 s) — a property of
+        # the demo data, not the operators; the oracle gate covers
+        # them at sf0.001/0.01
+        ("suffix_blocking", lambda: q_suffix_blocking(SF_DIR).count()),
+        ("adaptive_snm", lambda: q_adaptive_snm(SF_DIR).count()),
         ("wordpiece_features", lambda: wordpiece_features(
             read_parquet_clean(
                 f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
