@@ -466,7 +466,9 @@ def verify_setsim_pairs(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
-def _prefix_rows(t: pa.Table, coef: float) -> pa.Table:
+def _prefix_rows(
+    t: pa.Table, coef: float, with_pos: bool = False
+) -> pa.Table:
     """Prefix-filter emission for one (doc_id, tok-list) batch.
 
     `coef` is the measure's overlap coefficient c (threshold t for
@@ -495,13 +497,16 @@ def _prefix_rows(t: pa.Table, coef: float) -> pa.Table:
     np.cumsum(p[:-1], out=seg_starts[1:])
     within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, p)
     take = np.repeat(offsets[:-1], p) + within
-    return pa.table(
-        {
-            "tok": pa.array(values[take], type=pa.int64()),
-            "doc_id": pa.array(np.repeat(doc_ids, p), type=pa.int64()),
-            "nt": pa.array(np.repeat(n, p), type=pa.int64()),
-        }
-    )
+    cols = {
+        "tok": pa.array(values[take], type=pa.int64()),
+        "doc_id": pa.array(np.repeat(doc_ids, p), type=pa.int64()),
+        "nt": pa.array(np.repeat(n, p), type=pa.int64()),
+    }
+    if with_pos:
+        # 0-based index of the token within the doc's sorted set —
+        # the PPJoin positional filter's input
+        cols["pos"] = pa.array(within, type=pa.int64())
+    return pa.table(cols)
 
 
 def _tok_bucket(t: pa.Table) -> pa.Table:
@@ -515,14 +520,28 @@ def _tok_bucket(t: pa.Table) -> pa.Table:
     )
 
 
-def _posting_pairs_bucket(coef: float, posting_cap: int | None):
+def _posting_pairs_bucket(
+    coef: float,
+    posting_cap: int | None,
+    positional: bool = False,
+):
     """Candidate pairs for every prefix-token posting list of one
     bucket: vectorized all-pairs per token segment (the exact-oracle
     regime at cap=None), with the size-ratio filter
     min(|A|,|B|)/max(|A|,|B|) >= c applied before emission. A
     `posting_cap` (opt-in, scale runs) switches oversized posting
     lists to segment_pairs' star+chain spanning set and reports the
-    elision through the counters sidecar."""
+    elision through the counters sidecar.
+
+    ``positional`` adds PPJoin's positional filter (Xiao et al.
+    WWW 2008): an emission at a token at positions (pa, pb) of the
+    two sorted sets bounds the overlap by min(na - pa, nb - pb), so
+    emissions whose bound is below the required ceil(c * max(na, nb))
+    are dropped. OUTPUT-PRESERVING: a qualifying pair's globally
+    FIRST common token has no earlier common tokens, there the bound
+    >= the true overlap >= required, so that emission always
+    survives (later-token emissions are redundant duplicates). The
+    pruned-emission count is reported via counters."""
 
     def fn(g: pd.DataFrame) -> pa.Table:
         from ..stages.blocking import segment_pairs
@@ -565,6 +584,16 @@ def _posting_pairs_bucket(coef: float, posting_cap: int | None):
         nt = g["nt"].to_numpy()
         na, nb = nt[ai], nt[bi]
         keep = np.minimum(na, nb) >= coef * np.maximum(na, nb) - 1e-9
+        if positional and "pos" in g.columns:
+            pos = g["pos"].to_numpy()
+            ub = np.minimum(na - pos[ai], nb - pos[bi])
+            pos_keep = ub >= coef * np.maximum(na, nb) - 1e-9
+            n_pruned = int((keep & ~pos_keep).sum())
+            if n_pruned:
+                from ..state.counters import add_many as _add
+
+                _add({"setsim_pos_pruned": n_pruned})
+            keep &= pos_keep
         return pa.table(
             {
                 "doc_id_a": pa.array(ids[ai][keep], type=pa.int64()),
@@ -581,6 +610,7 @@ def setsim_neardup(
     shingle_k: int = 3,
     posting_cap: int | None = None,
     sim: str = "jaccard",
+    positional: bool = True,
 ) -> "ray.data.Dataset":
     """EXACT set-similarity self-join via prefix filtering (SSJoin /
     All-Pairs family) — the zero-recall-loss counterpart to
@@ -613,12 +643,13 @@ def setsim_neardup(
     ).materialize()
 
     prefix = shingles.map_batches(
-        lambda t: _prefix_rows(t, coef), batch_format="pyarrow"
+        lambda t: _prefix_rows(t, coef, with_pos=positional),
+        batch_format="pyarrow",
     ).map_batches(
         _tok_bucket, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
     )
     pairs = prefix.groupby("bucket").map_groups(
-        _posting_pairs_bucket(coef, posting_cap),
+        _posting_pairs_bucket(coef, posting_cap, positional),
         batch_format="pandas",
     )
     return verify_setsim_pairs(

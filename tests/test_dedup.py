@@ -775,3 +775,49 @@ def test_setsim_overlap_join_matches_bruteforce(ray_session):
         if ov >= T:
             want[(a, b)] = ov
     assert got == want and len(want) > 0
+
+
+def test_setsim_positional_filter_output_preserving(ray_session):
+    """PPJoin positional filter prunes emissions, never pairs: the
+    positional and non-positional joins emit the identical pair set
+    on a mixed near-dup corpus, and the pruned-emission counter
+    fires."""
+    import ray.data
+
+    from bern_ray.functions.dedup import setsim_neardup
+    from bern_ray.state import counters
+
+    rng = np.random.default_rng(21)
+    words = [f"w{k}" for k in range(40)]
+    rows = []
+    i = 0
+    # size-DIVERSE families: members are prefixes of the base at
+    # different lengths (plus small mutations), so shared-token
+    # emissions exist between sets of very different sizes — the
+    # regime where the positional bound actually prunes
+    for fam in range(8):
+        base = rng.choice(words, size=24)
+        for ln in (24, 23, 16, 12):
+            seq = base[:ln].copy()
+            for p in rng.integers(0, ln, size=rng.integers(0, 2)):
+                seq[p] = rng.choice(words)
+            rows.append({"doc_id": i, "text": " ".join(seq)})
+            i += 1
+    docs = ray.data.from_items(rows).repartition(3)
+
+    def run(positional):
+        return sorted(
+            (int(a), int(b), float(j))
+            for a, b, j in setsim_neardup(
+                docs, threshold=0.7, positional=positional
+            )
+            .to_pandas()[["doc_id_a", "doc_id_b", "jaccard"]]
+            .itertuples(index=False)
+        )
+
+    counters.reset()
+    with_pos = run(True)
+    pruned = counters.snapshot().get("setsim_pos_pruned", 0)
+    without = run(False)
+    assert with_pos == without and len(with_pos) > 0
+    assert pruned >= 1  # the filter actually did work
