@@ -745,3 +745,142 @@ def muc(
             }
         )
     )
+
+
+def _hungarian_max(score: np.ndarray) -> float:
+    """Maximum-weight one-to-one assignment value of a dense
+    (possibly rectangular) nonnegative score matrix — the exact
+    Kuhn-Munkres solution via the O(n^3) shortest-augmenting-path
+    potentials formulation (Jonker-Volgenant shape; standard public
+    algorithm). Only the optimal VALUE is needed (CEAF uses Φ(g*),
+    never the matching itself)."""
+    if score.size == 0:
+        return 0.0
+    # minimization form on a square padded matrix
+    nr, nc = score.shape
+    n = max(nr, nc)
+    cost = np.zeros((n, n), dtype=np.float64)
+    cost[:nr, :nc] = -score
+    INF = np.inf
+    u = np.zeros(n + 1)
+    v = np.zeros(n + 1)
+    p = np.zeros(n + 1, dtype=np.int64)  # p[j] = row matched to col j
+    way = np.zeros(n + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, INF)
+        used = np.zeros(n + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = 0
+            cur = cost[i0 - 1, :] - u[i0] - v[1:]
+            for j in range(1, n + 1):
+                if not used[j]:
+                    if cur[j - 1] < minv[j]:
+                        minv[j] = cur[j - 1]
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            used_idx = used
+            u[p[used_idx]] += delta
+            v[np.flatnonzero(used_idx)] -= delta
+            minv[~used_idx] -= delta
+            # v[0] drift is irrelevant: only j >= 1 columns are read
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    total = 0.0
+    for j in range(1, n + 1):
+        if p[j] >= 1 and p[j] <= nr and j <= nc:
+            total += score[p[j] - 1, j - 1]
+    return float(total)
+
+
+def ceaf(
+    items: "ray.data.Dataset",
+    pred_col: str,
+    gold_col: str,
+    phi: str = "e",
+) -> "ray.data.Dataset":
+    """-> one-row Dataset (n_items, n_pred, n_gold, phi_star,
+    ceaf_precision, ceaf_recall, ceaf_f1): the CEAF
+    constrained-entity-alignment metric (Luo, EMNLP 2005) of a
+    predicted clustering against gold labels — the last member of the
+    coreference canon (MUC / B³ / CEAF / BLANC). Clusters are aligned
+    ONE-TO-ONE by the maximum-total-similarity assignment g* over the
+    contingency table; with Φ* = sum of the aligned similarities,
+
+        phi="m" (mention-based, φ3 = |C∩K|):
+            precision = recall = Φ*/N
+        phi="e" (entity-based, φ4 = 2|C∩K|/(|C|+|K|)):
+            precision = Φ*/P,  recall = Φ*/G
+
+    Scale shape: the CONTINGENCY reduction is the same distributed
+    pass every other metric here shares; the assignment then runs
+    driver-side on the dense P×G matrix — CEAF is inherently a
+    global-alignment metric, so this stage is bounded by the CLUSTER
+    counts, not the item count (fine for evaluation corpora; do not
+    point it at a billion-cluster partition — no SQL oracle exists
+    for the same reason: optimal assignment is not expressible in
+    DuckDB)."""
+    if phi not in ("e", "m"):
+        raise ValueError("phi must be 'e' or 'm'")
+    cont = _contingency(items, pred_col, gold_col)
+    n_items = int(cont.sum("n") or 0)
+    if not n_items:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_items": pa.array([0], type=pa.int64()),
+                    "n_pred": pa.array([0], type=pa.int64()),
+                    "n_gold": pa.array([0], type=pa.int64()),
+                    "phi_star": pa.array([0.0]),
+                    "ceaf_precision": pa.array([0.0]),
+                    "ceaf_recall": pa.array([0.0]),
+                    "ceaf_f1": pa.array([0.0]),
+                }
+            )
+        )
+    cells = cont.to_pandas()  # bounded by #distinct (pred, gold)
+    preds = {k: i for i, k in enumerate(sorted(set(cells["pred"])))}
+    golds = {k: i for i, k in enumerate(sorted(set(cells["gold"])))}
+    P, G = len(preds), len(golds)
+    inter = np.zeros((P, G), dtype=np.float64)
+    pi = cells["pred"].map(preds).to_numpy()
+    gi = cells["gold"].map(golds).to_numpy()
+    nv = cells["n"].to_numpy(dtype=np.float64)
+    inter[pi, gi] = nv
+    if phi == "m":
+        score = inter
+    else:
+        psz = inter.sum(axis=1, keepdims=True)
+        gsz = inter.sum(axis=0, keepdims=True)
+        score = np.where(inter > 0, 2.0 * inter / (psz + gsz), 0.0)
+    phi_star = _hungarian_max(score)
+    if phi == "m":
+        prec = rec = phi_star / n_items
+    else:
+        prec = phi_star / P
+        rec = phi_star / G
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([n_items], type=pa.int64()),
+                "n_pred": pa.array([P], type=pa.int64()),
+                "n_gold": pa.array([G], type=pa.int64()),
+                "phi_star": pa.array([round(phi_star, 6)]),
+                "ceaf_precision": pa.array([round(prec, 6)]),
+                "ceaf_recall": pa.array([round(rec, 6)]),
+                "ceaf_f1": pa.array([round(f1, 6)]),
+            }
+        )
+    )

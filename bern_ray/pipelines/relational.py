@@ -4226,6 +4226,32 @@ def q_blanc_dedup_eval(sf_dir: str):
     return blanc(_loose_strict_items(sf_dir), "p_cid", "g_cid")
 
 
+def q_ceaf_dedup_eval(sf_dir: str):
+    """CEAF (Luo 2005) of the loose vs strict near-dup clusterings,
+    BOTH variants as tagged rows: mention-based φ3 and entity-based
+    φ4, aligned by the exact maximum-similarity one-to-one assignment
+    (hand-rolled O(n^3) Kuhn-Munkres on the driver over the bounded
+    contingency matrix — functions/evaluation.py _hungarian_max).
+    Rows-only: optimal assignment is not SQL-expressible; the solver
+    is pytest-pinned against exhaustive permutation search and the
+    metric against a scalar reference."""
+    from ..functions.evaluation import ceaf
+
+    items = _loose_strict_items(sf_dir).materialize()
+
+    def tag(ds, name):
+        return ds.map_batches(
+            lambda t, n=name: t.append_column(
+                "phi", pa.array([n] * len(t), type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    return tag(ceaf(items, "p_cid", "g_cid", phi="m"), "m").union(
+        tag(ceaf(items, "p_cid", "g_cid", phi="e"), "e")
+    )
+
+
 def q_nmi_dedup_eval(sf_dir: str):
     """NORMALIZED MUTUAL INFORMATION (arithmetic-mean normalization,
     natural log) of the loose near-dup clustering against the strict
@@ -5640,6 +5666,7 @@ DRIVER_EXCLUDE = {
     "pr_curve_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "muc_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "blanc_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "ceaf_dedup_eval",  # rows-only (assignment not SQL-expressible)
     "meta_blocking",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_topk",  # local gate + pytest (keeps driver at 50)
     "meta_blocking_wnp",  # local gate + pytest (keeps driver at 50)
@@ -5777,6 +5804,7 @@ REGISTRY: dict[str, tuple] = {
     "pr_curve_dedup_eval": (q_pr_curve_dedup_eval, SQL_PR_CURVE),
     "muc_dedup_eval": (q_muc_dedup_eval, SQL_MUC_DEDUP_EVAL),
     "blanc_dedup_eval": (q_blanc_dedup_eval, SQL_BLANC_DEDUP_EVAL),
+    "ceaf_dedup_eval": (q_ceaf_dedup_eval, None),
     "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
     "meta_blocking_topk": (q_meta_blocking_topk, SQL_META_BLOCKING_TOPK),
     "meta_blocking_wnp": (q_meta_blocking_wnp, SQL_META_BLOCKING_WNP),

@@ -466,3 +466,122 @@ def test_blanc_boundary_cases(ray_session):
     )
     assert row["f_link"] == round(fl, 6) == 0.0
     assert row["blanc"] == round(b, 6)
+
+
+def test_hungarian_matches_bruteforce():
+    from itertools import permutations
+
+    from bern_ray.functions.evaluation import _hungarian_max
+
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        nr = int(rng.integers(1, 6))
+        nc = int(rng.integers(1, 6))
+        m = rng.random((nr, nc))
+        # brute force over injective col assignments for min side
+        if nr <= nc:
+            best = max(
+                sum(m[i, p[i]] for i in range(nr))
+                for p in permutations(range(nc), nr)
+            )
+        else:
+            best = max(
+                sum(m[p[j], j] for j in range(nc))
+                for p in permutations(range(nr), nc)
+            )
+        got = _hungarian_max(m)
+        assert abs(got - best) < 1e-9, (trial, got, best)
+
+
+def _brute_ceaf(pred, gold, phi):
+    from itertools import permutations
+
+    import collections
+
+    pc_ = collections.Counter(pred)
+    gc_ = collections.Counter(gold)
+    P = sorted(pc_)
+    G = sorted(gc_)
+    inter = {
+        (c, k): sum(
+            1 for p, g in zip(pred, gold) if p == c and g == k
+        )
+        for c in P
+        for k in G
+    }
+
+    def sim(c, k):
+        i = inter[(c, k)]
+        if phi == "m":
+            return float(i)
+        return 2.0 * i / (pc_[c] + gc_[k]) if i else 0.0
+
+    if len(P) <= len(G):
+        best = max(
+            sum(sim(c, kk) for c, kk in zip(P, combo))
+            for combo in permutations(G, len(P))
+        )
+    else:
+        best = max(
+            sum(sim(cc, k) for cc, k in zip(combo, G))
+            for combo in permutations(P, len(G))
+        )
+    n = len(pred)
+    if phi == "m":
+        prec = rec = best / n
+    else:
+        prec = best / len(P)
+        rec = best / len(G)
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return best, prec, rec, f1
+
+
+@pytest.mark.parametrize("phi", ["m", "e"])
+def test_ceaf_matches_bruteforce(ray_session, phi):
+    from bern_ray.functions.evaluation import ceaf
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 40
+        pred = [f"c{v}" for v in rng.integers(0, 5, size=n)]
+        gold = [f"g{v}" for v in rng.integers(0, 4, size=n)]
+        t = pa.table(
+            {
+                "pred": pa.array(pred, type=pa.string()),
+                "gold": pa.array(gold, type=pa.string()),
+            }
+        )
+        row = (
+            ceaf(
+                ray.data.from_arrow(t).repartition(3),
+                "pred",
+                "gold",
+                phi=phi,
+            )
+            .to_pandas()
+            .iloc[0]
+        )
+        best, prec, rec, f1 = _brute_ceaf(pred, gold, phi)
+        assert abs(row["phi_star"] - round(best, 6)) < 1e-9
+        assert row["ceaf_precision"] == round(prec, 6)
+        assert row["ceaf_recall"] == round(rec, 6)
+        assert row["ceaf_f1"] == round(f1, 6)
+    # identical partitions: perfect scores in both variants
+    row = (
+        ceaf(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "pred": pa.array(["a", "a", "b"]),
+                        "gold": pa.array(["x", "x", "y"]),
+                    }
+                )
+            ),
+            "pred",
+            "gold",
+            phi=phi,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    assert row["ceaf_f1"] == 1.0
