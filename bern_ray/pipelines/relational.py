@@ -3912,6 +3912,42 @@ def _sql_fs_em() -> str:
     return fs_em_sql(_SQL_FS_PAIRS)
 
 
+# decision-rule error bounds for the fs_decisions query: a 5%
+# false-match budget admits the strong-agreement patterns into the
+# link region, a 10% false-non-match budget admits the
+# all-disagreement bulk into non_link, and the middle patterns stay
+# clerical — a non-degenerate link / possible / non_link trichotomy
+# on this corpus at sf0.001 and sf0.01 (the blocked pairs are ~90%
+# non-matches, so per-pattern u-masses are large; tighter bounds
+# collapse everything into the clerical band).
+FS_MU = 0.05
+FS_LAM_ERR = 0.10
+
+
+def q_fs_decisions(sf_dir: str):
+    """Fellegi-Sunter three-way decision rule (functions/fellegi.py
+    fs_decision_table): EM-learned per-pattern match weights, patterns
+    ordered by weight, link/possible/non_link regions from cumulative
+    error masses at bounds (mu, lam_err) — FS 1969's Theorem-1
+    trichotomy, the step the reference hard-codes as fixed score
+    thresholds (normalize.py:168-289). Driver work is O(2^k) whatever
+    the corpus size; the DuckDB oracle replays EM chain + weights +
+    window-cumsum regions, so the DECISIONS are value-checked."""
+    from ..functions.fellegi import fs_decisions
+
+    return fs_decisions(
+        q_fs_patterns(sf_dir), mu=FS_MU, lam_err=FS_LAM_ERR
+    )
+
+
+def _sql_fs_decisions() -> str:
+    from ..functions.fellegi import fs_decisions_sql
+
+    return fs_decisions_sql(
+        _SQL_FS_PAIRS, mu=FS_MU, lam_err=FS_LAM_ERR
+    )
+
+
 # ---------------------------------------------- near-dup clusters
 
 
@@ -5630,6 +5666,7 @@ DRIVER_EXCLUDE = {
     "fuzzy_join_names",
     "edit_distance_names",  # -> similarity_join
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
+    "fs_decisions",  # local gate + pytest (keeps driver at 50)
     "sorted_neighbors",  # r4 driver row green; SNM family keeps its
     # local-gate + pytest pins — rotated out for fs_em_weights
     "langid_trigram",  # approximate twin of langid (pytest-pinned)
@@ -5836,6 +5873,7 @@ REGISTRY: dict[str, tuple] = {
     "edit_distance_names": (q_edit_distance_names, SQL_EDIT_DISTANCE_NAMES),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),
+    "fs_decisions": (q_fs_decisions, _sql_fs_decisions()),
     "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
     # consolidated driver entries (see DRIVER_EXCLUDE above)
     "text_stats": (q_text_stats, _sql_text_stats()),
