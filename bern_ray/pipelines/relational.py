@@ -3948,6 +3948,50 @@ def _sql_fs_decisions() -> str:
     )
 
 
+def q_fs_tf_weights(sf_dir: str):
+    """Term-frequency-adjusted Fellegi-Sunter agreement weights
+    (functions/fellegi_tf.py — Winkler 1988 / Splink tf_adjustments):
+    the EM-learned field weight log2(m/u) plus a value-rarity
+    correction log2(u/tf) for every distinct value of the two
+    exact-equality fields (nation, segment), so agreement on a rare
+    nation carries more match evidence than on a common one. The
+    corpus value counts are distributed partials (token_freq idiom);
+    EM and the adjustment table are O(model) driver work. The DuckDB
+    oracle replays EM chain + value counts + the same arithmetic, so
+    the ADJUSTED WEIGHTS are value-checked."""
+    from ..functions.fellegi_tf import fs_tf_adjustments
+
+    corpus = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment"],
+    )
+    return fs_tf_adjustments(
+        q_fs_patterns(sf_dir),
+        corpus,
+        fields={"nation": "c_nationkey", "segment": "c_mktsegment"},
+    )
+
+
+def _sql_fs_tf() -> str:
+    from ..functions.fellegi_tf import fs_tf_sql
+
+    return fs_tf_sql(
+        _SQL_FS_PAIRS,
+        {
+            "nation": (
+                "SELECT CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR)"
+                " AS value, COUNT(*) AS n FROM customer GROUP BY 1",
+                2,
+            ),
+            "segment": (
+                "SELECT c_mktsegment AS value, COUNT(*) AS n"
+                " FROM customer GROUP BY 1",
+                3,
+            ),
+        },
+    )
+
+
 # ---------------------------------------------- near-dup clusters
 
 
@@ -4288,6 +4332,25 @@ def q_ceaf_dedup_eval(sf_dir: str):
     )
 
 
+def q_gmd_dedup_eval(sf_dir: str):
+    """GENERALIZED MERGE DISTANCE (Menestrina, Whang & Garcia-Molina,
+    VLDB 2010) of the loose near-dup clustering against the strict
+    one: the minimum merge/split edit cost transforming loose into
+    strict at the paper's pair-cost instantiation (gmd_pairs =
+    pairwise FP + FN, the identity that derives pairwise
+    precision/recall as GMD special cases; pytest-verified minimal
+    by Dijkstra on the partition-edit graph), plus the Slice
+    schedule's unit operation counts (minimal among split-before-
+    merge scripts — see functions/evaluation.py gmd). Since strict
+    refines loose here, merge costs are 0 and the schedule is pure
+    splits. All outputs are exact integers over the shared
+    contingency reduction, so the DuckDB oracle matches
+    bit-for-bit."""
+    from ..functions.evaluation import gmd
+
+    return gmd(_loose_strict_items(sf_dir), "p_cid", "g_cid")
+
+
 def q_nmi_dedup_eval(sf_dir: str):
     """NORMALIZED MUTUAL INFORMATION (arithmetic-mean normalization,
     natural log) of the loose near-dup clustering against the strict
@@ -4399,6 +4462,33 @@ SELECT tot.nn::BIGINT AS n_items,
                 - pp.v * gp.v / (tot.nn * (tot.nn - 1) / 2.0)),
              6) AS ari
 FROM tot, tp, pp, gp
+"""
+)
+
+
+SQL_GMD_DEDUP_EVAL = (
+    _SQL_LOOSE_STRICT_CONT
+    + """,
+tp AS (SELECT sum(n * (n - 1) / 2.0) AS v FROM cont),
+pp AS (SELECT sum(s * (s - 1) / 2.0) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY pred)),
+gp AS (SELECT sum(s * (s - 1) / 2.0) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY gold)),
+card AS (SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS c,
+                count(DISTINCT pred)::BIGINT AS np,
+                count(DISTINCT gold)::BIGINT AS ng
+         FROM cont)
+SELECT card.nn AS n_items,
+       card.c AS n_cells,
+       card.np AS n_pred,
+       card.ng AS n_gold,
+       card.c - card.np AS slice_splits,
+       card.c - card.ng AS slice_merges,
+       (card.c - card.np) + (card.c - card.ng) AS slice_ops,
+       (pp.v - tp.v)::BIGINT AS split_cost_pairs,
+       (gp.v - tp.v)::BIGINT AS merge_cost_pairs,
+       (pp.v - tp.v + gp.v - tp.v)::BIGINT AS gmd_pairs
+FROM card, tp, pp, gp
 """
 )
 
@@ -5667,6 +5757,8 @@ DRIVER_EXCLUDE = {
     "edit_distance_names",  # -> similarity_join
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
     "fs_decisions",  # local gate + pytest (keeps driver at 50)
+    "fs_tf_weights",  # local gate + pytest (fs_em_weights keeps the
+    # FS family's driver row; TF adds arithmetic on the same chain)
     "sorted_neighbors",  # r4 driver row green; SNM family keeps its
     # local-gate + pytest pins — rotated out for fs_em_weights
     "langid_trigram",  # approximate twin of langid (pytest-pinned)
@@ -5699,6 +5791,7 @@ DRIVER_EXCLUDE = {
     "pairwise_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "ari_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "nmi_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "gmd_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "vmeasure_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "pr_curve_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "muc_dedup_eval",  # local gate + pytest (keeps driver at 50)
@@ -5837,6 +5930,7 @@ REGISTRY: dict[str, tuple] = {
     "pairwise_dedup_eval": (q_pairwise_dedup_eval, SQL_PAIRWISE_DEDUP_EVAL),
     "ari_dedup_eval": (q_ari_dedup_eval, SQL_ARI_DEDUP_EVAL),
     "nmi_dedup_eval": (q_nmi_dedup_eval, SQL_NMI_DEDUP_EVAL),
+    "gmd_dedup_eval": (q_gmd_dedup_eval, SQL_GMD_DEDUP_EVAL),
     "vmeasure_dedup_eval": (q_vmeasure_dedup_eval, SQL_VMEASURE_DEDUP_EVAL),
     "pr_curve_dedup_eval": (q_pr_curve_dedup_eval, SQL_PR_CURVE),
     "muc_dedup_eval": (q_muc_dedup_eval, SQL_MUC_DEDUP_EVAL),
@@ -5873,6 +5967,7 @@ REGISTRY: dict[str, tuple] = {
     "edit_distance_names": (q_edit_distance_names, SQL_EDIT_DISTANCE_NAMES),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),
+    "fs_tf_weights": (q_fs_tf_weights, _sql_fs_tf()),
     "fs_decisions": (q_fs_decisions, _sql_fs_decisions()),
     "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
     # consolidated driver entries (see DRIVER_EXCLUDE above)
