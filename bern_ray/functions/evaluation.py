@@ -423,6 +423,55 @@ def nmi(
     )
 
 
+def variation_of_information(
+    items: "ray.data.Dataset", pred_col: str, gold_col: str
+) -> "ray.data.Dataset":
+    """-> one-row Dataset (n_items, h_gold_given_pred,
+    h_pred_given_gold, vi, nvi): VARIATION OF INFORMATION (Meila
+    2007) of a predicted clustering against gold labels — the
+    information-theoretic partition METRIC (a true distance: zero iff
+    identical, symmetric, triangle inequality), complementing NMI's
+    normalized-similarity view over the identical entropy sums:
+
+        VI = H(gold|pred) + H(pred|gold) = 2*H_joint - H_pred - H_gold
+        NVI = VI / ln(N)        (Meila's bound VI <= ln N; 0 at N = 1)
+
+    Conditional entropies are clamped at 0 (float noise can drive
+    H_joint - H_pred a hair negative when pred refines gold exactly).
+    Scale shape: identical to nmi — three independent bucketed sums
+    over the shared contingency reduction, scalars to the driver."""
+    cont = _contingency(items, pred_col, gold_col)
+    n_items = int(cont.sum("n") or 0)
+    if not n_items:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_items": pa.array([0], type=pa.int64()),
+                    "h_gold_given_pred": pa.array([0.0]),
+                    "h_pred_given_gold": pa.array([0.0]),
+                    "vi": pa.array([0.0]),
+                    "nvi": pa.array([0.0]),
+                }
+            )
+        )
+    h_joint, h_pred, h_gold = _entropies(cont, float(n_items))
+    h_g_given_p = max(h_joint - h_pred, 0.0)
+    h_p_given_g = max(h_joint - h_gold, 0.0)
+    vi = h_g_given_p + h_p_given_g
+    nvi = vi / np.log(n_items) if n_items > 1 else 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([n_items], type=pa.int64()),
+                "h_gold_given_pred": pa.array([round(h_g_given_p, 6)]),
+                "h_pred_given_gold": pa.array([round(h_p_given_g, 6)]),
+                "vi": pa.array([round(vi, 6)]),
+                "nvi": pa.array([round(float(nvi), 6)]),
+            }
+        )
+    )
+
+
 def pr_curve(
     pairs: "ray.data.Dataset",
     gold: "ray.data.Dataset",

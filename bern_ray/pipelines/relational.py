@@ -4332,6 +4332,19 @@ def q_ceaf_dedup_eval(sf_dir: str):
     )
 
 
+def q_vi_dedup_eval(sf_dir: str):
+    """VARIATION OF INFORMATION (Meila 2007) of the loose near-dup
+    clustering against the strict one — the true metric-space
+    partition distance over the same entropy sums NMI uses; since
+    strict refines loose, h_pred_given_gold is 0 and VI equals the
+    conditional entropy of the refinement. NVI normalizes by ln(N)."""
+    from ..functions.evaluation import variation_of_information
+
+    return variation_of_information(
+        _loose_strict_items(sf_dir), "p_cid", "g_cid"
+    )
+
+
 def q_gmd_dedup_eval(sf_dir: str):
     """GENERALIZED MERGE DISTANCE (Menestrina, Whang & Garcia-Molina,
     VLDB 2010) of the loose near-dup clustering against the strict
@@ -4462,6 +4475,33 @@ SELECT tot.nn::BIGINT AS n_items,
                 - pp.v * gp.v / (tot.nn * (tot.nn - 1) / 2.0)),
              6) AS ari
 FROM tot, tp, pp, gp
+"""
+)
+
+
+SQL_VI_DEDUP_EVAL = (
+    _SQL_LOOSE_STRICT_CONT
+    + """,
+tot AS (SELECT sum(n) AS nn FROM cont),
+hj AS (SELECT -sum((n / tot.nn) * ln(n / tot.nn)) AS v
+       FROM cont CROSS JOIN tot),
+hp AS (SELECT -sum((s / tot.nn) * ln(s / tot.nn)) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY pred)
+       CROSS JOIN tot),
+hg AS (SELECT -sum((s / tot.nn) * ln(s / tot.nn)) AS v
+       FROM (SELECT sum(n) AS s FROM cont GROUP BY gold)
+       CROSS JOIN tot),
+c AS (SELECT greatest(hj.v - hp.v, 0.0) AS gp,
+             greatest(hj.v - hg.v, 0.0) AS pg
+      FROM hj, hp, hg)
+SELECT tot.nn::BIGINT AS n_items,
+       round(c.gp, 6) AS h_gold_given_pred,
+       round(c.pg, 6) AS h_pred_given_gold,
+       round(c.gp + c.pg, 6) AS vi,
+       round(CASE WHEN tot.nn > 1
+                  THEN (c.gp + c.pg) / ln(tot.nn) ELSE 0.0 END,
+             6) AS nvi
+FROM tot, c
 """
 )
 
@@ -5792,6 +5832,7 @@ DRIVER_EXCLUDE = {
     "ari_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "nmi_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "gmd_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "vi_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "vmeasure_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "pr_curve_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "muc_dedup_eval",  # local gate + pytest (keeps driver at 50)
@@ -5931,6 +5972,7 @@ REGISTRY: dict[str, tuple] = {
     "ari_dedup_eval": (q_ari_dedup_eval, SQL_ARI_DEDUP_EVAL),
     "nmi_dedup_eval": (q_nmi_dedup_eval, SQL_NMI_DEDUP_EVAL),
     "gmd_dedup_eval": (q_gmd_dedup_eval, SQL_GMD_DEDUP_EVAL),
+    "vi_dedup_eval": (q_vi_dedup_eval, SQL_VI_DEDUP_EVAL),
     "vmeasure_dedup_eval": (q_vmeasure_dedup_eval, SQL_VMEASURE_DEDUP_EVAL),
     "pr_curve_dedup_eval": (q_pr_curve_dedup_eval, SQL_PR_CURVE),
     "muc_dedup_eval": (q_muc_dedup_eval, SQL_MUC_DEDUP_EVAL),
