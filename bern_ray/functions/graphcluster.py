@@ -20,6 +20,14 @@ center-based algorithms that cut chains at cluster centers:
   becomes a pivot and claims its unclustered positive neighbors; a
   3-approximation in expectation under a random permutation, here
   pinned to the deterministic id order.
+- COMPLETE_LINK / AVERAGE_LINK: agglomerative clustering over the
+  scored edges (the Dedupe.io clustering step) — merge the
+  highest-linkage cluster pair until the best linkage drops below
+  the threshold. Complete linkage (min cross score, missing pair =
+  -inf) is the strongest chain cutter; average linkage (mean cross
+  score, missing pairs count 0) is UPGMA on the sparse graph. Sparse
+  Lance-Williams: per-pair (min, sum, count) stats fold additively,
+  so memory stays O(edges), never O(nodes^2).
 
 Distribution: these greedies are order-sequential GLOBALLY but
 component-local — an edge never crosses connected components, so the
@@ -162,7 +170,95 @@ def _pivot_rows(
     return out_n, out_c, out_h
 
 
-def _cluster_component(algorithm: str):
+def _hac_rows(
+    a: np.ndarray,
+    b: np.ndarray,
+    s: np.ndarray,
+    threshold: float,
+    linkage: str,
+) -> tuple[list, list, list]:
+    """Agglomerative clustering over one component's scored edges —
+    the Dedupe.io-style alternative to the greedy center family:
+
+    - ``complete`` linkage: two clusters merge only if EVERY cross
+      pair is a scored edge with score >= threshold (a missing pair
+      is similarity -inf), i.e. min-linkage — immune to the chaining
+      that welds entities through one bridge record.
+    - ``average`` linkage: mean cross-pair score with missing pairs
+      counting 0 must reach threshold (UPGMA on the sparse graph).
+
+    Sparse Lance-Williams: per cluster-pair (min, sum, count) stats
+    fold additively on merge, so only pairs sharing at least one edge
+    are ever tracked. Deterministic: each round merges the
+    highest-linkage pair, ties to the smallest (root_a, root_b);
+    roots are min node ids, so labels are min member ids. Exact —
+    output is a pure function of the edge set (pytest-pinned against
+    a dense-matrix reference)."""
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    size = {n: 1 for n in nodes}
+    members = {n: [n] for n in nodes}
+    stats: dict[tuple, list] = {}
+    for x, y, sc in zip(a.tolist(), b.tolist(), s.tolist()):
+        if x == y:
+            continue
+        k = (x, y) if x < y else (y, x)
+        st = stats.get(k)
+        if st is None:
+            stats[k] = [sc, sc, 1]
+        else:  # parallel edges fold conservatively (min / sum)
+            st[0] = min(st[0], sc)
+            st[1] += sc
+            st[2] += 1
+
+    def linkval(k: tuple) -> float:
+        ra, rb = k
+        st = stats[k]
+        if linkage == "complete":
+            if st[2] != size[ra] * size[rb]:
+                return float("-inf")
+            return st[0]
+        return st[1] / (size[ra] * size[rb])
+
+    while stats:
+        best_k = None
+        best_v = None
+        for k in stats:
+            v = linkval(k)
+            if v < threshold:
+                continue
+            if best_v is None or v > best_v or (v == best_v and k < best_k):
+                best_k, best_v = k, v
+        if best_k is None:
+            break
+        ra, rb = best_k  # ra < rb; merged root stays ra (min id)
+        del stats[best_k]
+        touching = [k for k in stats if rb in k]
+        for k in touching:
+            st = stats.pop(k)
+            other = k[0] if k[1] == rb else k[1]
+            kk = (ra, other) if ra < other else (other, ra)
+            ex = stats.get(kk)
+            if ex is None:
+                stats[kk] = st
+            else:
+                ex[0] = min(ex[0], st[0])
+                ex[1] += st[1]
+                ex[2] += st[2]
+        size[ra] += size.pop(rb)
+        members[ra].extend(members.pop(rb))
+
+    out_n: list = []
+    out_c: list = []
+    out_h: list = []
+    for root, mem in members.items():
+        for n in mem:
+            out_n.append(n)
+            out_c.append(root)
+            out_h.append(n == root)
+    return out_n, out_c, out_h
+
+
+def _cluster_component(algorithm: str, threshold: float | None = None):
     """map_groups kernel: one component's edges -> (node_id,
     cluster_id, is_center) under `algorithm`."""
 
@@ -187,6 +283,14 @@ def _cluster_component(algorithm: str):
             n, c, h = _star_rows(a, b)
         elif algorithm == "pivot":
             n, c, h = _pivot_rows(a, b)
+        elif algorithm in ("complete_link", "average_link"):
+            n, c, h = _hac_rows(
+                a,
+                b,
+                g["score"].to_numpy(dtype=np.float64),
+                threshold,
+                algorithm.split("_", 1)[0],
+            )
         else:
             assign, centers = _center_assign(
                 a, b, merge=(algorithm == "merge_center")
@@ -208,16 +312,29 @@ def _cluster_component(algorithm: str):
 
 
 def cluster_edges(
-    edges: "ray.data.Dataset", algorithm: str = "center"
+    edges: "ray.data.Dataset",
+    algorithm: str = "center",
+    threshold: float | None = None,
 ) -> "ray.data.Dataset":
     """(doc_id_a, doc_id_b, score) -> (node_id, cluster_id,
-    is_center) under CENTER / MERGE-CENTER / STAR. Distributed CC
-    attaches a component id to every edge (one bucketed hash join on
-    doc_id_a — both endpoints share the component by construction),
-    then each component runs the exact sequential algorithm
-    independently (module docstring)."""
-    if algorithm not in ("center", "merge_center", "star", "pivot"):
+    is_center) under CENTER / MERGE-CENTER / STAR / PIVOT /
+    COMPLETE_LINK / AVERAGE_LINK. Distributed CC attaches a component
+    id to every edge (one bucketed hash join on doc_id_a — both
+    endpoints share the component by construction), then each
+    component runs the exact sequential algorithm independently
+    (module docstring). The HAC linkages additionally take the merge
+    ``threshold`` (the agglomeration stop score — required)."""
+    if algorithm not in (
+        "center",
+        "merge_center",
+        "star",
+        "pivot",
+        "complete_link",
+        "average_link",
+    ):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm.endswith("_link") and threshold is None:
+        raise ValueError(f"{algorithm} requires threshold=")
     from ..stages.cc import components_labels
     from ..stages.join import bucket_join
 
@@ -244,5 +361,5 @@ def cluster_edges(
         how="inner",
     )
     return tagged.groupby("label").map_groups(
-        _cluster_component(algorithm), batch_format="pandas"
+        _cluster_component(algorithm, threshold), batch_format="pandas"
     )

@@ -327,6 +327,50 @@ def q_graph_clusters(sf_dir: str):
     return out
 
 
+def q_hac_clusters(sf_dir: str):
+    """COMPLETE-LINK and AVERAGE-LINK agglomerative clusterings of
+    the 0.8-jaccard near-dup graph at merge threshold 0.85
+    (functions/graphcluster.py _hac_rows — the Dedupe.io clustering
+    step; sparse Lance-Williams, CC -> per-component map_groups),
+    unioned with a `linkage` column. Complete linkage is the
+    strongest chain-cutter: one bridge edge cannot weld two dense
+    near-dup groups the way connected components does. Rows-only:
+    agglomerative order is not SQL-expressible; the kernel is
+    pytest-pinned against a dense-matrix reference
+    (tests/test_hac.py)."""
+    from bern_ray.functions.graphcluster import cluster_edges
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    edges = (
+        fdedup.minhash_neardup(docs, threshold=0.8)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id_a": t["doc_id_a"],
+                    "doc_id_b": t["doc_id_b"],
+                    "score": t["jaccard"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def tag(lk):
+        return lambda t: t.append_column(
+            "linkage", pa.array([lk] * len(t), type=pa.string())
+        )
+
+    com = cluster_edges(edges, "complete_link", threshold=0.85)
+    avg = cluster_edges(edges, "average_link", threshold=0.85)
+    return com.map_batches(
+        tag("complete"), batch_format="pyarrow"
+    ).union(avg.map_batches(tag("average"), batch_format="pyarrow"))
+
+
 def q_canopy_blocking(sf_dir: str):
     """Canopy clustering (McCallum/Nigam/Ungar 2000) over the full
     documents table: overlapping cheap-Jaccard canopies at
@@ -5825,6 +5869,8 @@ DRIVER_EXCLUDE = {
     # pytest-pinned in tests/test_canopy.py)
     "graph_clusters",  # rows-only center/merge-center/star (planted
     # graphs pytest-pinned in tests/test_graphcluster.py)
+    "hac_clusters",  # rows-only complete/average-link HAC (dense-
+    # reference pytest pin in tests/test_hac.py)
     "consensus_neardup",  # local gate + pytest (keeps driver at 50)
     "duplicated_spans",  # local gate + pytest (keeps driver at 50)
     "clean_corpus",  # local gate + pytest (keeps driver at 50)
@@ -5900,6 +5946,7 @@ REGISTRY: dict[str, tuple] = {
     "topk_matches": (q_topk_matches, SQL_TOPK_MATCHES),
     "canopy_blocking": (q_canopy_blocking, None),
     "graph_clusters": (q_graph_clusters, None),
+    "hac_clusters": (q_hac_clusters, None),
     "cross_corpus_neardup": (
         q_cross_corpus_neardup,
         SQL_CROSS_CORPUS_NEARDUP,
