@@ -116,6 +116,54 @@ FROM documents GROUP BY 1
 """
 
 
+def q_blocking_skew(sf_dir: str):
+    """Skew profile of the blocking_keys size distribution
+    (stages/blocking.py block_size_stats): exact block-count /
+    record-count / max / p50 / p99 sizes, the Gini coefficient of
+    block sizes, the total C(n,2) comparison workload, and the
+    largest block's share of it — the one-row report that decides
+    salting and pair caps BEFORE a 100-TB run pays for its pairs.
+    Distribution collapses to a distinct-size histogram (per-batch
+    value_counts + one groupby), so the driver cost is O(#distinct
+    sizes). Rank-formula Gini is tie-invariant, so the DuckDB
+    row_number() oracle matches bit-for-bit at 6dp."""
+    from ..stages.blocking import block_size_stats
+
+    return block_size_stats(q_blocking_keys(sf_dir), "n_docs")
+
+
+SQL_BLOCKING_SKEW = f"""
+WITH bs AS (
+  SELECT {tmchem_sql('substr(text, 1, 32)')} AS bkey,
+         count(*)::BIGINT AS sz
+  FROM documents GROUP BY 1
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n, sum(sz)::BIGINT AS tot,
+         max(sz)::BIGINT AS mx,
+         quantile_disc(sz, 0.5)::BIGINT AS p50,
+         quantile_disc(sz, 0.99)::BIGINT AS p99,
+         sum(sz * (sz - 1) / 2)::BIGINT AS pairs
+  FROM bs
+),
+r AS (SELECT sz, row_number() OVER (ORDER BY sz) AS i FROM bs),
+g AS (
+  SELECT sum((2.0 * r.i - agg.n - 1) * r.sz) AS num
+  FROM r CROSS JOIN agg
+)
+SELECT agg.n AS n_blocks,
+       agg.tot AS n_records,
+       agg.mx AS max_size,
+       agg.p50 AS p50_size,
+       agg.p99 AS p99_size,
+       round(g.num / (agg.n * agg.tot), 6) AS gini,
+       agg.pairs AS total_pairs,
+       round((agg.mx * (agg.mx - 1) / 2.0) / agg.pairs, 6)
+         AS top_block_pair_share
+FROM agg, g
+"""
+
+
 # --------------------------------------------------------------- dedup
 
 
@@ -5879,6 +5927,8 @@ DRIVER_EXCLUDE = {
     "nmi_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "gmd_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "vi_dedup_eval",  # local gate + pytest (keeps driver at 50)
+    "blocking_skew",  # local gate + pytest (blocking_keys keeps the
+    # key-census driver row; the skew profile derives from it)
     "vmeasure_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "pr_curve_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "muc_dedup_eval",  # local gate + pytest (keeps driver at 50)
@@ -5923,6 +5973,7 @@ DRIVER_EXCLUDE = {
 
 REGISTRY: dict[str, tuple] = {
     "fold_docs": (q_fold_docs, SQL_FOLD_DOCS),
+    "blocking_skew": (q_blocking_skew, SQL_BLOCKING_SKEW),
     "doc_stats": (q_doc_stats, fts.doc_stats_sql()),
     "langid": (q_langid, fts.langid_sql()),
     "langid_trigram": (q_langid_trigram, None),
