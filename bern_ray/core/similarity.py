@@ -214,6 +214,88 @@ def cosine_pairs(E1: np.ndarray, E2: np.ndarray) -> np.ndarray:
     return np.einsum("ij,ij->i", E1, E2)
 
 
+def affine_gap_sim(
+    a_strs,
+    b_strs,
+    *,
+    match: float = 1.0,
+    mismatch: float = -1.0,
+    gap_open: float = 1.0,
+    gap_extend: float = 0.1,
+    max_len: int = MAX_LEN,
+) -> np.ndarray:
+    """Pairwise affine-gap global-alignment similarity (Gotoh 1982) —
+    the string measure the learnable-ER literature (Bilenko & Mooney,
+    KDD 2003) prefers over plain edit distance: a CONTIGUOUS run of
+    inserted/deleted characters costs gap_open + (k-1)*gap_extend
+    instead of k, so truncations and inserted tokens ("Smith" vs
+    "Smith, Dr.") are punished once, not per character.
+
+    Vectorized like `levenshtein` above: the Python loop runs over
+    positions of `a` only; each row is a handful of numpy ops over
+    all pairs x all positions of `b`. The horizontal-gap row
+    E[i][j] = max(H[i][j-1] - go, E[i][j-1] - ge) unrolls to a
+    running max over the same row's NO-HORIZONTAL-GAP candidates
+    D[k] (diagonal or vertical-gap entries): a path re-entering
+    through E[i][k] pays go where staying in the gap pays ge, so
+    with go >= ge (asserted) it never wins — the same
+    cummax-with-slope trick the Levenshtein insertion scan uses,
+    here with v[k] = D[k] + k*ge accumulated by np.maximum.
+
+    Returned similarity = align_score / (match * max(la, lb)),
+    clipped to [0, 1]; identical strings score exactly 1.0. Empty vs
+    empty scores 1.0; empty vs non-empty 0.0 (one all-gap run,
+    clipped). Gap costs are POSITIVE magnitudes."""
+    if gap_open < gap_extend:
+        raise ValueError("affine gaps need gap_open >= gap_extend")
+    A, la = encode_padded(a_strs, max_len)
+    B, lb = encode_padded(b_strs, max_len)
+    n = A.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    A = A[:, : max(int(la.max()), 1)]
+    B = B[:, : max(int(lb.max()), 1)]
+    Lb = B.shape[1]
+    NEG = -1e18
+    j = np.arange(Lb + 1, dtype=np.float64)
+    # global boundary: H[0][0] = 0, H[0][j>=1] = -(go + (j-1)*ge)
+    H_prev = np.empty((n, Lb + 1), dtype=np.float64)
+    H_prev[:, 0] = 0.0
+    H_prev[:, 1:] = -(gap_open + (j[1:] - 1) * gap_extend)
+    F_prev = np.full((n, Lb + 1), NEG, dtype=np.float64)
+    scores = np.zeros(n, dtype=np.float64)
+    rows = np.arange(n)
+    zero = la == 0
+    scores[zero] = H_prev[zero, lb[zero]]
+    max_la = int(la.max())
+    for i in range(1, max_la + 1):
+        # vertical gap (consuming a_i): open from H or extend F
+        F_cur = np.maximum(H_prev - gap_open, F_prev - gap_extend)
+        s = np.where(B == A[:, i - 1 : i], match, mismatch)
+        diag = H_prev[:, :-1] + s
+        D = np.maximum(diag, F_cur[:, 1:])  # no-horizontal-gap, j>=1
+        h0 = -(gap_open + (i - 1) * gap_extend)
+        src = np.empty((n, Lb + 1), dtype=np.float64)
+        src[:, 0] = h0  # k = 0 source is the column-0 boundary
+        src[:, 1:] = D
+        v = src + j * gap_extend
+        np.maximum.accumulate(v, axis=1, out=v)
+        E = v[:, :-1] - gap_open - (j[1:] - 1) * gap_extend
+        H_cur = np.empty((n, Lb + 1), dtype=np.float64)
+        H_cur[:, 0] = h0
+        H_cur[:, 1:] = np.maximum(D, E)
+        sel = la == i
+        if sel.any():
+            scores[sel] = H_cur[rows[sel], lb[sel]]
+        H_prev = H_cur
+        F_prev = F_cur
+    denom = match * np.maximum(np.maximum(la, lb), 1).astype(np.float64)
+    sim = scores / denom
+    both_empty = (la == 0) & (lb == 0)
+    sim[both_empty] = 1.0
+    return np.clip(sim, 0.0, 1.0)
+
+
 # --- slow scalar references, used only by the unit tests ---------------
 
 
@@ -264,3 +346,42 @@ def _levenshtein_scalar(s1: str, s2: str) -> int:
             )
         prev = cur
     return prev[len(b)]
+
+
+def _affine_gap_scalar(
+    s1: str,
+    s2: str,
+    match: float = 1.0,
+    mismatch: float = -1.0,
+    gap_open: float = 1.0,
+    gap_extend: float = 0.1,
+) -> float:
+    """Textbook Gotoh three-matrix DP (H / E horizontal / F vertical),
+    O(len^2) scalar — the independent reference affine_gap_sim is
+    fuzzed against."""
+    a, b = s1.encode("utf-8")[:MAX_LEN], s2.encode("utf-8")[:MAX_LEN]
+    la, lb = len(a), len(b)
+    NEG = -1e18
+    H = [[0.0] * (lb + 1) for _ in range(la + 1)]
+    E = [[NEG] * (lb + 1) for _ in range(la + 1)]
+    F = [[NEG] * (lb + 1) for _ in range(la + 1)]
+    for jj in range(1, lb + 1):
+        H[0][jj] = -(gap_open + (jj - 1) * gap_extend)
+    for ii in range(1, la + 1):
+        H[ii][0] = -(gap_open + (ii - 1) * gap_extend)
+    for ii in range(1, la + 1):
+        for jj in range(1, lb + 1):
+            E[ii][jj] = max(
+                H[ii][jj - 1] - gap_open, E[ii][jj - 1] - gap_extend
+            )
+            F[ii][jj] = max(
+                H[ii - 1][jj] - gap_open, F[ii - 1][jj] - gap_extend
+            )
+            sc = match if a[ii - 1] == b[jj - 1] else mismatch
+            H[ii][jj] = max(
+                H[ii - 1][jj - 1] + sc, E[ii][jj], F[ii][jj]
+            )
+    if la == 0 and lb == 0:
+        return 1.0
+    sim = H[la][lb] / (match * max(la, lb, 1))
+    return min(max(sim, 0.0), 1.0)

@@ -3823,6 +3823,43 @@ WHERE jaro_winkler_similarity(l.l_name, r.r_name) >= 0.96
 """
 
 
+def q_affine_gap_names(sf_dir: str):
+    """Affine-gap alignment similarity (Gotoh 1982; Bilenko-Mooney
+    KDD 2003 — core/similarity.py affine_gap_sim) of each name
+    against a replica with a planted CONTIGUOUS junk run, alongside
+    levenshtein_sim on the same pairs — the measure's point is that
+    one gap open + extends punishes a block insertion less than
+    Levenshtein's per-character count, and indistinguishably-scored
+    scattered typos separate. Rows-only: DuckDB has no affine-gap
+    kernel; the vectorized DP is fuzzed against the textbook scalar
+    Gotoh in tests/test_affinegap.py (500 pairs, 0 tolerance)."""
+    from ..core.similarity import affine_gap_sim, levenshtein_sim
+
+    def score(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        names = t["c_name"].to_pylist()
+        # plant a contiguous run of (key % 5 + 1) 'X' bytes mid-name
+        dirty = [
+            s[: 6 + int(k % 7)]
+            + "X" * (int(k % 5) + 1)
+            + s[6 + int(k % 7) :]
+            for k, s in zip(keys, names)
+        ]
+        aff = affine_gap_sim(names, dirty)
+        lev = levenshtein_sim(names, dirty)
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, type=pa.int64()),
+                "affine_sim": pa.array(np.round(aff, 6)),
+                "lev_sim": pa.array(np.round(lev, 6)),
+            }
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(score, batch_format="pyarrow")
+
+
 def q_edit_distance_names(sf_dir: str):
     """Levenshtein distance of each planted-typo name to its clean
     original — oracle-checks the third similarity kernel (DuckDB
@@ -5929,6 +5966,9 @@ DRIVER_EXCLUDE = {
     "vi_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "blocking_skew",  # local gate + pytest (blocking_keys keeps the
     # key-census driver row; the skew profile derives from it)
+    "affine_gap_names",  # rows-only kernel demo (scalar-Gotoh fuzz
+    # pin in tests/test_affinegap.py; similarity_join keeps the
+    # fuzzy-kernel driver row)
     "vmeasure_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "pr_curve_dedup_eval",  # local gate + pytest (keeps driver at 50)
     "muc_dedup_eval",  # local gate + pytest (keeps driver at 50)
@@ -6105,6 +6145,7 @@ REGISTRY: dict[str, tuple] = {
     "canonical_urls": (q_canonical_urls, _wtx_sql("canonicalize_urls_sql")),
     "fuzzy_join_names": (q_fuzzy_join_names, SQL_FUZZY_JOIN_NAMES),
     "edit_distance_names": (q_edit_distance_names, SQL_EDIT_DISTANCE_NAMES),
+    "affine_gap_names": (q_affine_gap_names, None),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),
     "fs_tf_weights": (q_fs_tf_weights, _sql_fs_tf()),
