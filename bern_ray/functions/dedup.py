@@ -1997,3 +1997,119 @@ def setsim_overlap_join(
         sim="overlap",
         score_col="overlap",
     )
+
+
+# ------------------------------------- weighted (multiset) jaccard
+
+
+def _tf_expanded_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, tok: list<int64>) — each doc's token MULTISET as a
+    sorted-unique element set via positional expansion: the j-th
+    occurrence of token w becomes element splitmix64(h64(w) + j*C).
+
+    The identity this rides on: for integer weights (term counts),
+    weighted Jaccard sum(min(tf_a, tf_b)) / sum(max(tf_a, tf_b)) is
+    EXACTLY the set Jaccard of the expanded (token, occurrence-index)
+    sets — min(ca, cb) occurrence elements are shared, max(ca, cb)
+    appear in the union. So the whole exact prefix-filter machinery
+    (prefix lemma, size-ratio, positional filter, verify joins)
+    applies unchanged to the multiset measure.
+
+    Kernel: one Arrow-buffer tokenize (_explode_tokens), one
+    vectorized 63-bit token hash (_token_h64), one lexsort cumcount
+    for occurrence indices, one splitmix64 combine — no per-row
+    Python. splitmix64 is a bijection, so expansion elements of one
+    doc are distinct whenever (hash + j*C) are; collision regime is
+    the setsim family's documented ~n^2/2^63 (plus _token_h64's
+    32-byte-prefix caveat for extreme words)."""
+    from ..core.minhash import _splitmix64
+    from .textstats import _explode_tokens, _token_h64
+
+    texts = t["text"]
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    parents, toks = _explode_tokens(texts)
+    n_docs = len(doc_ids)
+    if len(parents) == 0:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tok": pa.array(
+                    [[] for _ in range(n_docs)],
+                    type=pa.list_(pa.int64()),
+                ),
+            }
+        )
+    h = _token_h64(toks).astype(np.uint64)
+    # occurrence index j of each (doc, token-hash) pair: lexsort then
+    # cumcount within runs, scattered back to original positions
+    order = np.lexsort((h, parents))
+    ph = parents[order]
+    hh = h[order]
+    new_run = np.empty(len(order), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_starts = np.flatnonzero(new_run)
+    occ_sorted = np.arange(len(order)) - run_starts[run_id]
+    occ = np.empty(len(order), dtype=np.int64)
+    occ[order] = occ_sorted
+    C = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        elems = _splitmix64(h + occ.astype(np.uint64) * C).view(
+            np.int64
+        )
+    # per-doc sorted element lists (expansion elements are unique per
+    # doc up to splitmix-input collisions; np.unique also sorts)
+    counts = np.bincount(parents, minlength=n_docs)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    by_doc = np.lexsort((elems, parents))
+    flat = elems[by_doc]
+    lists = [
+        np.unique(flat[starts[i] : starts[i + 1]]).tolist()
+        for i in range(n_docs)
+    ]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "tok": pa.array(lists, type=pa.list_(pa.int64())),
+        }
+    )
+
+
+def weighted_jaccard_neardup(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    posting_cap: int | None = None,
+    positional: bool = True,
+) -> "ray.data.Dataset":
+    """EXACT weighted-Jaccard near-dup self-join over token term
+    frequencies: sum(min(tf_a, tf_b)) / sum(max(tf_a, tf_b)) >=
+    threshold — the multiset refinement of ngram/set Jaccard that
+    counts REPEATED boilerplate (a doc that repeats a paragraph twice
+    is no longer identical to one containing it once), the measure
+    weighted-minhash schemes (Ioffe 2010 ICWS) approximate. Computed
+    exactly here via positional expansion (_tf_expanded_rows), which
+    reduces it to set Jaccard and reuses the whole SSJoin machinery:
+    prefix emission, size-ratio + positional filters, posting_cap
+    skew guard, and the distributed verify joins — identical scale
+    shape to setsim_neardup. Output (doc_id_a, doc_id_b, wjaccard),
+    a < b, rounded 6dp; DuckDB oracle = tf CTE + least/greatest sums
+    with sum(max) = n_a + n_b - sum(min)."""
+    coef = _SETSIM_MEASURES["jaccard"]["alpha_coef"](threshold)
+    elems = docs.map_batches(
+        _tf_expanded_rows, batch_format="pyarrow"
+    ).materialize()
+    prefix = elems.map_batches(
+        lambda t: _prefix_rows(t, coef, with_pos=positional),
+        batch_format="pyarrow",
+    ).map_batches(
+        _tok_bucket, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
+    )
+    pairs = prefix.groupby("bucket").map_groups(
+        _posting_pairs_bucket(coef, posting_cap, positional),
+        batch_format="pandas",
+    )
+    return verify_setsim_pairs(
+        pairs, elems, threshold, sim="jaccard", score_col="wjaccard"
+    )

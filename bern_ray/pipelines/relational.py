@@ -262,6 +262,43 @@ def q_ngram_jaccard_neardup(sf_dir: str):
 SQL_NGRAM_JACCARD = SQL_MINHASH_NEARDUP.replace("0.9", "0.8")
 
 
+def q_weighted_jaccard_neardup(sf_dir: str):
+    """EXACT weighted (multiset) Jaccard near-dup at 0.8: sum(min tf)
+    / sum(max tf) over word term frequencies — repeated boilerplate
+    counts (functions/dedup.py weighted_jaccard_neardup). Reduced to
+    set Jaccard by positional expansion ((token, j-th occurrence) as
+    element), so the exact SSJoin prefix machinery applies verbatim;
+    the DuckDB oracle is the tf-CTE least/greatest identity with
+    sum(max) = n_a + n_b - sum(min)."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.weighted_jaccard_neardup(docs, threshold=0.8)
+
+
+SQL_WEIGHTED_JACCARD = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[0-9a-zA-Z]+')) AS t
+  FROM documents WHERE doc_id < {MINHASH_MAX_DOC}
+),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+sz AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, sum(least(a.c, b.c)) AS i
+  FROM tf a JOIN tf b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT u AS doc_id_a, v AS doc_id_b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS wjaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.u
+JOIN sz sb ON sb.doc_id = inter.v
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+"""
+
+
 def q_setsim_neardup(sf_dir: str):
     """EXACT prefix-filtered set-similarity self-join (SSJoin /
     All-Pairs) at 0.85 — no LSH anywhere, so the all-pairs oracle
@@ -5936,6 +5973,8 @@ DRIVER_EXCLUDE = {
     "approx_quantiles",  # sketch twin of value_quantiles
     "bloom_new_docs",  # sketch (pytest error bounds)
     "ngram_jaccard_neardup",  # same path as minhash_neardup
+    "weighted_jaccard_neardup",  # multiset twin of the near-dup
+    # family (local gate + pytest; minhash/embedding keep driver rows)
     "setsim_neardup",  # exact twin of the near-dup family (local gate
     # + ≡-minhash pytest; minhash/embedding keep the driver rows)
     "setsim_cosine",  # measure variants of setsim_neardup (local
@@ -6025,6 +6064,10 @@ REGISTRY: dict[str, tuple] = {
     "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
     "ngram_jaccard_neardup": (q_ngram_jaccard_neardup, SQL_NGRAM_JACCARD),
+    "weighted_jaccard_neardup": (
+        q_weighted_jaccard_neardup,
+        SQL_WEIGHTED_JACCARD,
+    ),
     "setsim_neardup": (q_setsim_neardup, SQL_SETSIM_NEARDUP),
     "setsim_cosine": (q_setsim_cosine, SQL_SETSIM_COSINE),
     "setsim_dice": (q_setsim_dice, SQL_SETSIM_DICE),
