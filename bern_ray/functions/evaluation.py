@@ -797,14 +797,35 @@ def muc(
 
 
 def _hungarian_max(score: np.ndarray) -> float:
-    """Maximum-weight one-to-one assignment value of a dense
-    (possibly rectangular) nonnegative score matrix — the exact
-    Kuhn-Munkres solution via the O(n^3) shortest-augmenting-path
-    potentials formulation (Jonker-Volgenant shape; standard public
-    algorithm). Only the optimal VALUE is needed (CEAF uses Φ(g*),
+    """Maximum-weight one-to-one assignment VALUE of a dense
+    (possibly rectangular) nonnegative score matrix (CEAF uses Φ(g*),
     never the matching itself)."""
+    total, _ = _hungarian_solve(score)
+    return total
+
+
+def _hungarian_matching(
+    score: np.ndarray,
+) -> list[tuple[int, int]]:
+    """The optimal matching itself: (row, col) pairs of the
+    maximum-weight assignment, restricted to REAL cells with strictly
+    positive score (a row matched to a zero cell is equivalent to
+    unmatched on a nonnegative matrix, so dropping it never changes
+    the optimal value). Deterministic for a fixed input matrix."""
+    _, pairs = _hungarian_solve(score)
+    return [(r, c) for r, c in pairs if score[r, c] > 0.0]
+
+
+def _hungarian_solve(
+    score: np.ndarray,
+) -> tuple[float, list[tuple[int, int]]]:
+    """Exact Kuhn-Munkres on a dense (possibly rectangular)
+    nonnegative score matrix via the O(n^3) shortest-augmenting-path
+    potentials formulation (Jonker-Volgenant shape; standard public
+    algorithm). Returns (optimal value, matched (row, col) real
+    cells)."""
     if score.size == 0:
-        return 0.0
+        return 0.0, []
     # minimization form on a square padded matrix
     nr, nc = score.shape
     n = max(nr, nc)
@@ -847,10 +868,12 @@ def _hungarian_max(score: np.ndarray) -> float:
             p[j0] = p[j1]
             j0 = j1
     total = 0.0
+    pairs: list[tuple[int, int]] = []
     for j in range(1, n + 1):
         if p[j] >= 1 and p[j] <= nr and j <= nc:
             total += score[p[j] - 1, j - 1]
-    return float(total)
+            pairs.append((int(p[j] - 1), int(j - 1)))
+    return float(total), pairs
 
 
 def ceaf(

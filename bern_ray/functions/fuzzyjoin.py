@@ -825,3 +825,124 @@ def topk_matches(
         .groupby("gb")
         .map_groups(topk_bucket, batch_format="pandas")
     )
+
+
+# ------------------------------------------- optimal 1:1 assignment
+
+OPTIMAL_MATCH_MAX_SIDE = 2000  # dense-matrix guard per component
+
+
+def optimal_matching(
+    pairs: "ray.data.Dataset",
+    *,
+    l_col: str = "l_id",
+    r_col: str = "r_id",
+    score_col: str = "me",
+) -> "ray.data.Dataset":
+    """EXACT maximum-total-weight bipartite 1:1 assignment over
+    scored candidate pairs — the globally optimal counterpart of
+    one_to_one_match's mutual-best greedy (which can forfeit weight:
+    scores {(a,x)=2.0, (a,y)=1.9, (b,x)=1.9} mutual-best keeps only
+    (a,x)=2.0 where the optimum takes (a,y)+(b,x)=3.8). This is the
+    assignment-problem formulation of record linkage (Jaro 1989 used
+    exactly this LP for the Tampa census match).
+
+    Distribution: assignment decomposes over CONNECTED COMPONENTS of
+    the candidate graph (no edge crosses components), so the engine
+    namespaces the bipartite nodes (2l vs 2r+1), labels components
+    with the distributed CC stage, attaches the label with one
+    bucketed hash join, and solves each component exactly with the
+    in-repo O(n^3) Kuhn-Munkres (functions/evaluation.py
+    _hungarian_matching) inside groupby(label).map_groups.
+    Partitioning assumption: one component's candidate matrix fits a
+    worker — components wider than OPTIMAL_MATCH_MAX_SIDE raise
+    rather than silently going quadratic (upstream blocking caps are
+    the fix, same contract as the graph-clustering family).
+
+    Output (l_col, r_col, score_col): a 1:1 subset of the input
+    pairs; rows with score <= 0 are never matched (equivalent to
+    unmatched on a nonnegative matrix). Rows-only correctness
+    surface: optimal assignment is not SQL-expressible — the solver
+    is pytest-pinned against exhaustive permutation search and the
+    improvement-over-greedy property (tests/test_optmatch.py)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.cc import components_labels
+    from .evaluation import _hungarian_matching
+
+    e = pairs.materialize()
+    labels = components_labels(
+        e.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pc.multiply(
+                        pc.cast(t[l_col], pa.int64()), pa.scalar(2)
+                    ),
+                    "dst": pc.add(
+                        pc.multiply(
+                            pc.cast(t[r_col], pa.int64()), pa.scalar(2)
+                        ),
+                        pa.scalar(1),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    src_pairs = e.map_batches(
+        lambda t: t.append_column(
+            "_src",
+            pc.multiply(pc.cast(t[l_col], pa.int64()), pa.scalar(2)),
+        ),
+        batch_format="pyarrow",
+    )
+    tagged = bucket_join(
+        src_pairs,
+        labels,
+        left_on="_src",
+        right_on="node",
+        left_schema={
+            l_col: pa.int64(),
+            r_col: pa.int64(),
+            score_col: pa.float64(),
+            "_src": pa.int64(),
+        },
+        right_schema={"node": pa.int64(), "label": pa.int64()},
+        how="inner",
+    )
+
+    def solve(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([l_col, r_col], kind="mergesort")
+        ls = g[l_col].to_numpy(dtype=np.int64)
+        rs = g[r_col].to_numpy(dtype=np.int64)
+        sc = g[score_col].to_numpy(dtype=np.float64)
+        ul, li = np.unique(ls, return_inverse=True)
+        ur, ri = np.unique(rs, return_inverse=True)
+        if len(ul) > OPTIMAL_MATCH_MAX_SIDE or len(ur) > OPTIMAL_MATCH_MAX_SIDE:
+            raise ValueError(
+                f"optimal_matching component {len(ul)}x{len(ur)} "
+                f"exceeds OPTIMAL_MATCH_MAX_SIDE="
+                f"{OPTIMAL_MATCH_MAX_SIDE}; tighten upstream blocking"
+            )
+        M = np.zeros((len(ul), len(ur)), dtype=np.float64)
+        # parallel duplicates keep the max score (conservative fold)
+        np.maximum.at(M, (li, ri), sc)
+        matched = _hungarian_matching(M)
+        out_l = [int(ul[r]) for r, _c in matched]
+        out_r = [int(ur[c]) for _r, c in matched]
+        out_s = [float(M[r, c]) for r, c in matched]
+        order = np.argsort(out_l, kind="stable")
+        return pa.table(
+            {
+                l_col: pa.array(np.asarray(out_l)[order], pa.int64()),
+                r_col: pa.array(np.asarray(out_r)[order], pa.int64()),
+                score_col: pa.array(
+                    np.round(np.asarray(out_s)[order], 6)
+                ),
+            }
+        )
+
+    return tagged.groupby("label").map_groups(
+        solve, batch_format="pandas"
+    )

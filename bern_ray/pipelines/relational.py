@@ -561,6 +561,22 @@ def q_one_to_one_match(sf_dir: str):
     return one_to_one_match(pairs)
 
 
+def q_optimal_matching(sf_dir: str):
+    """EXACT maximum-total-weight 1:1 assignment over the same loose
+    Monge-Elkan candidates one_to_one_match reduces greedily
+    (functions/fuzzyjoin.optimal_matching): bipartite CC -> one
+    Kuhn-Munkres per component — the assignment-problem linkage Jaro
+    ran for the 1985 Tampa census. Rows-only: optimal assignment is
+    not SQL-expressible; the matching is pytest-pinned against
+    exhaustive permutation search and the strict
+    improvement-over-mutual-best case (tests/test_optmatch.py)."""
+    from ..functions.fuzzyjoin import monge_elkan_join, optimal_matching
+
+    left, right = _me_sides(sf_dir)
+    pairs = monge_elkan_join(left, right, threshold=O2O_THRESHOLD)
+    return optimal_matching(pairs)
+
+
 # shared CTE prefix of the Monge-Elkan oracles: dirty-table
 # derivation, token explosion, token-blocked candidates, ME score
 _SQL_ME_CTES = """
@@ -5983,6 +5999,8 @@ DRIVER_EXCLUDE = {
     "suffix_blocking",  # local gate + pytest (keeps driver at 50)
     "monge_elkan_join",  # local gate + pytest (keeps driver at 50)
     "one_to_one_match",  # local gate + pytest (keeps driver at 50)
+    "optimal_matching",  # rows-only exact assignment (permutation-
+    # search pytest pin in tests/test_optmatch.py)
     "soft_tfidf_join",  # local gate + pytest (keeps driver at 50)
     "topk_matches",  # local gate + pytest (keeps driver at 50)
     "phonetic_blocking",  # soundex key census (local gate + canonical
@@ -6076,6 +6094,7 @@ REGISTRY: dict[str, tuple] = {
     "suffix_blocking": (q_suffix_blocking, SQL_SUFFIX_BLOCKING),
     "monge_elkan_join": (q_monge_elkan_join, SQL_MONGE_ELKAN_JOIN),
     "one_to_one_match": (q_one_to_one_match, SQL_ONE_TO_ONE_MATCH),
+    "optimal_matching": (q_optimal_matching, None),
     "soft_tfidf_join": (q_soft_tfidf_join, SQL_SOFT_TFIDF_JOIN),
     "topk_matches": (q_topk_matches, SQL_TOPK_MATCHES),
     "canopy_blocking": (q_canopy_blocking, None),
