@@ -192,3 +192,85 @@ def jaccard_exact(tokens_a: list[set], tokens_b: list[set]) -> np.ndarray:
         u = len(sa | sb)
         out[i] = (len(sa & sb) / u) if u else 1.0
     return out
+
+
+def icws_signatures(
+    tok_h: np.ndarray,
+    weights: np.ndarray,
+    starts: np.ndarray,
+    num_samples: int = 128,
+    seed: int = 42,
+) -> np.ndarray:
+    """(n_docs, num_samples) uint64 Improved Consistent Weighted
+    Sampling signatures (Ioffe, ICDM 2010): for two weighted sets the
+    per-sample collision probability is EXACTLY their weighted
+    Jaccard sum(min w)/sum(max w) — the weighted generalization of
+    minhash, so the same 32x4 banding detection math applies.
+
+    Per sample k and token i with weight w > 0 (Ioffe's scheme,
+    log-space):
+        r ~ Gamma(2,1) = -ln(u1*u2),  c ~ Gamma(2,1) = -ln(u3*u4),
+        b ~ U(0,1)                    (all hash-derived from (h_i, k),
+                                       so they are CONSISTENT: the
+                                       same token draws the same
+                                       randomness in every doc)
+        t    = floor(ln(w)/r + b)
+        ln y = r*(t - b)
+        ln a = ln c - ln y - r
+    and the sample is (token, t) of the argmin ln a; equal weighted
+    sets produce equal samples, and sample ids hash (h, t) together.
+
+    Vectorized exactly like minhash_signatures: the Python loop runs
+    over the num_samples axis only; each iteration is a handful of
+    numpy passes over the flat (doc, token) array with
+    np.minimum.reduceat per doc. Zero-weight/empty docs emit 0."""
+    n = len(starts) - 1
+    sig = np.zeros((n, num_samples), dtype=np.uint64)
+    total = len(tok_h)
+    if total == 0 or n == 0:
+        return sig
+    tok_h = tok_h.astype(np.uint64)
+    logw = np.log(weights.astype(np.float64))
+    # clip so reduceat stays in-bounds when trailing docs are empty;
+    # their (meaningless) reductions are masked by `nonempty` below
+    idx = np.minimum(starts[:-1], total - 1).astype(np.int64)
+    lens = np.diff(starts).astype(np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    nonempty = lens > 0
+    pos = np.arange(total, dtype=np.int64)
+    BIG = np.int64(total)
+    INF = np.float64(np.inf)
+    rs = np.random.RandomState(seed)
+    salts = rs.randint(0, 1 << 62, size=(num_samples, 5)).astype(
+        np.uint64
+    )
+
+    def unif(salt: np.uint64) -> np.ndarray:
+        v = _splitmix64(tok_h ^ salt)
+        # 53-bit mantissa uniform in (0, 1]; +1 avoids ln(0)
+        return (
+            (v >> np.uint64(11)).astype(np.float64) + 1.0
+        ) / 9007199254740993.0
+
+    with np.errstate(over="ignore"):
+        for k in range(num_samples):
+            u = [unif(salts[k, j]) for j in range(5)]
+            r = -np.log(u[0] * u[1])
+            c = -np.log(u[2] * u[3])
+            b = u[4]
+            t = np.floor(logw / r + b)
+            ln_y = r * (t - b)
+            ln_a = np.log(c) - ln_y - r
+            m = np.minimum.reduceat(ln_a, idx)
+            win_mask = ln_a == m[doc_of]
+            cand = np.where(win_mask, pos, BIG)
+            win = np.minimum.reduceat(cand, idx)
+            win = np.where(nonempty, win, 0).astype(np.int64)
+            t_bits = (
+                t[win].astype(np.int64).astype(np.uint64)
+            )  # t can be negative for w < 1; int64 view is fine
+            sid = _splitmix64(
+                tok_h[win] ^ _splitmix64(t_bits ^ salts[k, 0])
+            )
+            sig[:, k] = np.where(nonempty, sid, np.uint64(0))
+    return sig

@@ -2113,3 +2113,110 @@ def weighted_jaccard_neardup(
     return verify_setsim_pairs(
         pairs, elems, threshold, sim="jaccard", score_col="wjaccard"
     )
+
+
+# ------------------------------------------ ICWS weighted minhash
+
+
+def _doc_tf_arrays(
+    t: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(tok_h uint64 flat, tf float64 flat, starts int64) — each
+    doc's distinct token hashes with their term frequencies, the
+    weighted-set form icws_signatures consumes. Same vectorized
+    tokenize + lexsort run-length kernel as _tf_expanded_rows."""
+    from .textstats import _explode_tokens, _token_h64
+
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    n_docs = len(doc_ids)
+    parents, toks = _explode_tokens(t["text"])
+    if len(parents) == 0:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.float64),
+            np.zeros(n_docs + 1, dtype=np.int64),
+        )
+    h = _token_h64(toks).astype(np.uint64)
+    order = np.lexsort((h, parents))
+    ph = parents[order]
+    hh = h[order]
+    new_run = np.empty(len(order), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_counts = np.diff(np.append(run_starts, len(order)))
+    run_doc = ph[run_starts]
+    docs_counts = np.bincount(run_doc, minlength=n_docs)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(docs_counts, out=starts[1:])
+    return (
+        hh[run_starts],
+        run_counts.astype(np.float64),
+        starts,
+    )
+
+
+def _icws_band_rows(t: pa.Table) -> pa.Table:
+    """(band, doc_id, sig64) rows from ICWS weighted-minhash
+    signatures — the weighted twin of _minhash_band_rows, same band
+    geometry (32 x 4 over 128 samples) and the same order-sensitive
+    sig64 fold so the oversized-band collapse machinery applies
+    unchanged (weighted-identical docs agree on the full signature)."""
+    from ..core.minhash import icws_signatures
+
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(doc_ids)
+    tok_h, tf, starts = _doc_tf_arrays(t)
+    sig = icws_signatures(tok_h, tf, starts, num_samples=MINHASH_PERMS)
+    bands = band_keys(
+        sig, bands=MINHASH_BANDS, rows=MINHASH_ROWS, prefix="W"
+    )
+    acc = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(sig.shape[1]):
+            z = acc ^ sig[:, c].astype(np.uint64)
+            z = (z + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
+                0xBF58476D1CE4E5B9
+            )
+            acc = z ^ (z >> np.uint64(29))
+    rep = np.repeat(np.arange(n), MINHASH_BANDS)
+    return pa.table(
+        {
+            "band": pa.array(bands.ravel().tolist(), type=pa.string()),
+            "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
+            "sig64": pa.array(acc.astype(np.int64)[rep], type=pa.int64()),
+        }
+    )
+
+
+def icws_neardup(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    band_cap: int | None = None,
+) -> "ray.data.Dataset":
+    """ICWS weighted-minhash LSH candidates verified by EXACT
+    weighted Jaccard — the APPROXIMATE/scale twin of
+    weighted_jaccard_neardup, mirroring the minhash_neardup <->
+    setsim_neardup symmetry: Ioffe's sampler collides per sample with
+    probability exactly sum(min tf)/sum(max tf), so the 32x4 banding
+    detection math carries over verbatim (at wj=0.8:
+    1-(1-0.8^4)^32 ≈ 1-5e-8 — the ngram_jaccard oracle regime).
+    Verification reuses the positional-expansion element sets, so
+    accepted pairs carry the exact score; band_cap semantics
+    (default None = all in-band pairs, the oracle regime) are
+    minhash_neardup's."""
+    elems = docs.map_batches(
+        _tf_expanded_rows, batch_format="pyarrow"
+    ).materialize()
+
+    band_rows = docs.map_batches(
+        _icws_band_rows, batch_format="pyarrow"
+    ).map_batches(
+        _band_bucket, batch_format="pyarrow", batch_size=SHUFFLE_PREP_ROWS
+    )
+    pairs = band_rows.groupby("bucket").map_groups(
+        _band_pairs_bucket(band_cap), batch_format="pandas"
+    )
+    return verify_setsim_pairs(
+        pairs, elems, threshold, sim="jaccard", score_col="wjaccard"
+    )

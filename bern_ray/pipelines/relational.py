@@ -299,6 +299,20 @@ WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
 """
 
 
+def q_icws_neardup(sf_dir: str):
+    """ICWS weighted-minhash near-dup at 0.8 (Ioffe ICDM 2010 —
+    functions/dedup.py icws_neardup): per-sample collision probability
+    is EXACTLY weighted Jaccard, so 32x4 banding detects a qualifying
+    pair w.p. 1-5e-8 and exact expansion-set verification makes the
+    output the weighted_jaccard_neardup oracle regime — the
+    approximate/scale twin, sharing its DuckDB oracle."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.icws_neardup(docs, threshold=0.8)
+
+
 def q_setsim_neardup(sf_dir: str):
     """EXACT prefix-filtered set-similarity self-join (SSJoin /
     All-Pairs) at 0.85 — no LSH anywhere, so the all-pairs oracle
@@ -5991,6 +6005,8 @@ DRIVER_EXCLUDE = {
     "ngram_jaccard_neardup",  # same path as minhash_neardup
     "weighted_jaccard_neardup",  # multiset twin of the near-dup
     # family (local gate + pytest; minhash/embedding keep driver rows)
+    "icws_neardup",  # weighted-minhash twin (local gate + estimator
+    # pytest; shares the weighted_jaccard oracle)
     "setsim_neardup",  # exact twin of the near-dup family (local gate
     # + ≡-minhash pytest; minhash/embedding keep the driver rows)
     "setsim_cosine",  # measure variants of setsim_neardup (local
@@ -6086,6 +6102,7 @@ REGISTRY: dict[str, tuple] = {
         q_weighted_jaccard_neardup,
         SQL_WEIGHTED_JACCARD,
     ),
+    "icws_neardup": (q_icws_neardup, SQL_WEIGHTED_JACCARD),
     "setsim_neardup": (q_setsim_neardup, SQL_SETSIM_NEARDUP),
     "setsim_cosine": (q_setsim_cosine, SQL_SETSIM_COSINE),
     "setsim_dice": (q_setsim_dice, SQL_SETSIM_DICE),

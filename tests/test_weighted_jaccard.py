@@ -116,3 +116,87 @@ def test_repetition_separates_multiset_from_set():
     }
     assert ss[(0, 1)] > 0.7  # set view: nearly identical
     assert got[(0, 1)] == pytest.approx(0.5, abs=1e-6)  # multiset: half
+
+
+# ------------------------------------------------ ICWS weighted minhash
+
+
+def test_icws_estimator_accuracy():
+    """Per-sample collision probability == weighted Jaccard (Ioffe's
+    theorem), checked empirically at K = 4096 within 3 standard
+    errors on hand-computable weighted sets."""
+    from bern_ray.core.minhash import icws_signatures
+
+    def sig_of(tf, K=4096):
+        from hashlib import blake2b
+
+        toks = sorted(tf)
+        # stable hash (PYTHONHASHSEED-independent) so the 3-SE bound
+        # is checked on one fixed draw, not re-rolled per process
+        h = np.array(
+            [
+                int.from_bytes(
+                    blake2b(t.encode(), digest_size=8).digest(), "big"
+                )
+                for t in toks
+            ],
+            dtype=np.uint64,
+        )
+        w = np.array([tf[t] for t in toks], dtype=np.float64)
+        starts = np.array([0, len(toks)], dtype=np.int64)
+        return icws_signatures(h, w, starts, num_samples=K)[0]
+
+    cases = [
+        ({"a": 1, "b": 2, "c": 3}, {"a": 1, "b": 2, "c": 3}, 1.0),
+        ({"a": 2, "b": 1}, {"a": 1, "b": 1, "c": 1}, 0.5),
+        ({"a": 5}, {"a": 1}, 0.2),
+        ({"x": 3, "y": 4}, {"x": 3, "y": 4, "z": 1}, 0.875),
+    ]
+    for A, B, true_wj in cases:
+        est = float((sig_of(A) == sig_of(B)).mean())
+        se = np.sqrt(max(true_wj * (1 - true_wj), 1e-9) / 4096)
+        assert abs(est - true_wj) <= max(3 * se, 1e-12), (A, B, est)
+
+
+def test_icws_signature_determinism_and_empty():
+    from bern_ray.core.minhash import icws_signatures
+
+    h = np.array([7, 11, 13], dtype=np.uint64)
+    w = np.array([1.0, 2.0, 3.0])
+    starts = np.array([0, 2, 3, 3], dtype=np.int64)  # last doc empty
+    s1 = icws_signatures(h, w, starts, num_samples=16)
+    s2 = icws_signatures(h, w, starts, num_samples=16)
+    np.testing.assert_array_equal(s1, s2)
+    assert (s1[2] == 0).all()  # empty doc emits 0
+    assert (s1[0] != s1[1]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_icws_matches_exact_path():
+    """LSH + exact verify == the exact prefix-filter path on a corpus
+    whose near-dup pairs sit at wj >= 0.8 (detection 1-5e-8)."""
+    from bern_ray.functions.dedup import icws_neardup
+
+    rng = np.random.default_rng(37)
+    vocab = [f"w{i}" for i in range(30)]
+    base_docs = [
+        " ".join(rng.choice(vocab, size=40)) for _ in range(12)
+    ]
+    texts = list(base_docs)
+    for d in base_docs[:5]:  # plant near-dups: drop the last 3 tokens
+        texts.append(" ".join(d.split()[:-3]))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    exact = _run(texts, threshold=0.8)
+    approx = {
+        (r["doc_id_a"], r["doc_id_b"]): r["wjaccard"]
+        for r in icws_neardup(ds, threshold=0.8).take_all()
+    }
+    assert approx == exact
+    assert len(exact) >= 5  # the planted pairs are in there
