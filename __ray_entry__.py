@@ -96,6 +96,24 @@ def _er_clusters_model(sf_dir: str):
     )
 
 
+def _er_golden(sf_dir: str):
+    """Golden-entity survivorship over the flagship clusters
+    (pipelines/linkage.py golden_entities): one fused record per
+    cluster — majority-vote canonical surface (ties lexicographic),
+    mention support and distinct-page evidence — the MERGE step that
+    completes block -> score -> cluster -> merge. One bucketed
+    shuffle; output O(#clusters). Rows-only: the clustering under
+    fusion is model-scored; the vote rule is pytest-pinned
+    (tests/test_er_golden.py) and the documents-table twin
+    (golden_records) is oracle-checked."""
+    from bern_ray.pipelines.linkage import (
+        golden_entities,
+        linkage_pipeline,
+    )
+
+    return golden_entities(linkage_pipeline(sf_dir))
+
+
 def _er_blocking_quality(sf_dir: str):
     """Standard ER blocking evaluation (SparkER/JedAI-style metrics,
     cf. PAPERS.md): PAIR COMPLETENESS = fraction of ground-truth
@@ -481,6 +499,7 @@ def full_queries() -> dict[str, Callable[[str], Any]]:
             "er_mentions": _er_mentions,
             "er_mention_counts": _er_mention_counts,
             "er_bcubed": _er_bcubed,
+            "er_golden": _er_golden,
             "media_features": _media_features,
             "media_resize": _media_resize,
             "media_frames": _media_frames,

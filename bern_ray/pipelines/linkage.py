@@ -507,3 +507,89 @@ def linkage_pipeline(
         },
     )
     return clusters
+
+
+_GOLDEN_BUCKETS = 256
+
+
+def golden_entities(clusters: "ray.data.Dataset") -> "ray.data.Dataset":
+    """ER survivorship for the flagship pipeline: one fused GOLDEN
+    ENTITY row per cluster — the merge step that completes
+    block -> score -> cluster -> MERGE (the reference's final
+    normalized-ID emission, normalize.py:263-289, generalized to a
+    canonical record). Output per cluster_id:
+
+      - etype             (min — clusters are single-typed upstream)
+      - canonical_surface (most-frequent mention surface; ties to the
+                           lexicographically smallest — the
+                           majority-vote rule golden_records uses)
+      - n_mentions        (cluster support)
+      - n_urls            (distinct source pages — cross-document
+                           evidence, not within-page repetition)
+
+    Scale shape: ONE bucketed shuffle on a 256-way cluster-id hash
+    (clusters are entity-sized, so per-bucket pandas groupbys are
+    thousands of tiny groups handled vectorized: one value_counts for
+    the surface vote, one nunique for urls). No driver hop; output is
+    O(#clusters)."""
+    from ..functions.textstats import _token_h64
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = _token_h64(t["cluster_id"]).astype(np.uint64)
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "etype": t["etype"],
+                "surface": t["surface"],
+                "url": t["url"],
+                "bucket": pa.array(
+                    (h % np.uint64(_GOLDEN_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def fuse(g: pd.DataFrame) -> pa.Table:
+        # majority surface with lexicographic tie-break: sort by
+        # (cluster, surface), count, then stable-sort by -count
+        vc = (
+            g.groupby(["cluster_id", "surface"], sort=True)
+            .size()
+            .reset_index(name="n")
+            .sort_values(
+                ["cluster_id", "n", "surface"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+        )
+        top = vc.drop_duplicates("cluster_id", keep="first")
+        agg = g.groupby("cluster_id", sort=True).agg(
+            etype=("etype", "min"),
+            n_mentions=("surface", "size"),
+            n_urls=("url", "nunique"),
+        )
+        agg = agg.join(
+            top.set_index("cluster_id")["surface"].rename(
+                "canonical_surface"
+            )
+        ).reset_index()
+        return pa.table(
+            {
+                "cluster_id": pa.array(agg["cluster_id"], pa.string()),
+                "etype": pa.array(agg["etype"], pa.string()),
+                "canonical_surface": pa.array(
+                    agg["canonical_surface"], pa.string()
+                ),
+                "n_mentions": pa.array(
+                    agg["n_mentions"].astype("int64"), pa.int64()
+                ),
+                "n_urls": pa.array(
+                    agg["n_urls"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        clusters.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fuse, batch_format="pandas")
+    )
