@@ -81,6 +81,85 @@ def levenshtein(a_strs, b_strs, max_len: int = MAX_LEN) -> np.ndarray:
     return out
 
 
+def damerau_levenshtein(
+    a_strs, b_strs, max_len: int = MAX_LEN, chunk: int = 16384
+) -> np.ndarray:
+    """Pairwise FULL (unrestricted) Damerau-Levenshtein distance —
+    the Lowrance-Wagner 1975 DP with the per-alphabet last-occurrence
+    table, i.e. a transposition may span intervening edits (matches
+    DuckDB's ``damerau_levenshtein``, fuzz-pinned 0/9000 mismatches in
+    tests/test_similarity.py — NOT the restricted OSA variant, which
+    disagrees on e.g. ('CA','ABC'): full=2, OSA=3).
+
+    Vectorized over pairs like `levenshtein`: the Python loop runs over
+    positions of `a` only; each row is ~10 numpy passes over all pairs
+    (match mask, running-last-match-column, (n,256) last-row gather,
+    transposition gather into the kept DP cube, and the same
+    cumulative-minimum insertion trick). Unlike plain Levenshtein the
+    transposition term reaches back to an arbitrary earlier cell
+    d[k-1][l-1], so the full (n, La+2, Lb+2) int32 DP cube is kept;
+    `chunk` bounds it to chunk*(max_len+2)^2*4 bytes (~160 MB at the
+    defaults, transient per chunk)."""
+    a_strs = list(a_strs)
+    b_strs = list(b_strs)
+    parts = [
+        _dl_chunk(a_strs[st : st + chunk], b_strs[st : st + chunk], max_len)
+        for st in range(0, len(a_strs), chunk)
+    ]
+    return (
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.int32)
+    )
+
+
+def _dl_chunk(a_strs, b_strs, max_len: int) -> np.ndarray:
+    A, la = encode_padded(a_strs, max_len)
+    B, lb = encode_padded(b_strs, max_len)
+    n = A.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    La = max(int(la.max()), 1)
+    Lb = max(int(lb.max()), 1)
+    A = A[:, :La]
+    B = B[:, :Lb]
+    INF = np.int32(La + Lb + 1)
+    # Offset matrix (Lowrance-Wagner): DP cell (i, j) lives at
+    # D[:, i+1, j+1]; row 0 / col 0 are the INF border so a
+    # never-seen transposition anchor (k=0 or l=0) prices itself out
+    # without special-casing.
+    D = np.empty((n, La + 2, Lb + 2), dtype=np.int32)
+    D[:, 0, :] = INF
+    D[:, :, 0] = INF
+    D[:, 1, 1:] = np.arange(Lb + 1, dtype=np.int32)
+    D[:, 1:, 1] = np.arange(La + 1, dtype=np.int32)[None, :]
+    da = np.zeros((n, 256), dtype=np.int32)  # last row of each byte in a
+    idx = np.arange(n)
+    jj = np.arange(1, Lb + 1, dtype=np.int32)
+    for i in range(1, La + 1):
+        match = B == A[:, i - 1 : i]  # (n, Lb); col j is 1-based
+        # L[j] = last column j' < j matching a[i-1] (0 if none)
+        run = np.maximum.accumulate(np.where(match, jj, 0), axis=1)
+        L = np.concatenate(
+            [np.zeros((n, 1), np.int32), run[:, :-1]], axis=1
+        )
+        K = da[idx[:, None], B]  # last row < i where b[j-1] appears in a
+        cost = (~match).astype(np.int32)
+        prev = D[:, i, :]
+        sub = prev[:, 1 : Lb + 1] + cost
+        dele = prev[:, 2 : Lb + 2] + 1
+        trans = D[idx[:, None], K, L] + (i - K - 1) + 1 + (jj[None, :] - L - 1)
+        g = np.minimum(np.minimum(sub, dele), trans)
+        # insertion scan: cur[j] = min(g[j], cur[j-1]+1) with cur[0]=i
+        # => cur[j] = j + cummin(g[k]-k), seeded with cur[0]-0 = i
+        tmp = g - jj[None, :]
+        tmp[:, 0] = np.minimum(tmp[:, 0], np.int32(i))
+        np.minimum.accumulate(tmp, axis=1, out=tmp)
+        D[:, i + 1, 0] = INF
+        D[:, i + 1, 1] = i
+        D[:, i + 1, 2:] = tmp + jj[None, :]
+        da[idx, A[:, i - 1]] = i
+    return D[idx, la + 1, lb + 1].astype(np.int32)
+
+
 def levenshtein_sim(a_strs, b_strs, max_len: int = MAX_LEN) -> np.ndarray:
     """1 - dist / max_len_pair, in [0, 1]."""
     A_l = np.array([min(len(s.encode("utf-8")), max_len) for s in a_strs])
@@ -346,6 +425,37 @@ def _levenshtein_scalar(s1: str, s2: str) -> int:
             )
         prev = cur
     return prev[len(b)]
+
+
+def _damerau_levenshtein_scalar(s1: str, s2: str) -> int:
+    """Textbook Lowrance-Wagner full DL (dict last-occurrence table),
+    the independent scalar reference `damerau_levenshtein` is fuzzed
+    against (alongside DuckDB's built-in)."""
+    a, b = s1.encode("utf-8")[:MAX_LEN], s2.encode("utf-8")[:MAX_LEN]
+    la, lb = len(a), len(b)
+    inf = la + lb + 1
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    da: dict[int, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            ll = db
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            if cost == 0:
+                db = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][ll] + (i - k - 1) + 1 + (j - ll - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
 
 
 def _affine_gap_scalar(

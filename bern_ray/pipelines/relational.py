@@ -3969,6 +3969,60 @@ FROM customer WHERE c_custkey % 3 = 0
 """
 
 
+def q_dl_distance_names(sf_dir: str):
+    """FULL Damerau-Levenshtein distance of each name to a replica
+    with a planted adjacent-character TRANSPOSITION (in the varying
+    tail digits) plus one appended digit — alongside plain
+    Levenshtein on the same pairs, so the output itself shows the
+    kernels disagreeing exactly where a swap happened (dl counts it
+    as 1 edit, lev as 2). Oracle: DuckDB damerau_levenshtein() +
+    levenshtein() on the same SQL-planted replica; the kernel is the
+    unrestricted Lowrance-Wagner DP (core/similarity.py
+    damerau_levenshtein), additionally fuzz-pinned against a scalar
+    reference and DuckDB in tests/test_similarity.py."""
+    from ..core.similarity import damerau_levenshtein, levenshtein
+
+    def score(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        names = t["c_name"].to_pylist()
+        dirty = []
+        for k, s in zip(keys, names):
+            p0 = 16 - int(k % 4)  # 0-based; swapped chars are tail digits
+            dirty.append(
+                s[:p0] + s[p0 + 1] + s[p0] + s[p0 + 2 :] + str(int(k % 10))
+            )
+        dl = damerau_levenshtein(names, dirty)
+        lev = levenshtein(names, dirty)
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, type=pa.int64()),
+                "dl": pa.array(dl.astype(np.int64), type=pa.int64()),
+                "lev": pa.array(lev.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(score, batch_format="pyarrow")
+
+
+SQL_DL_DISTANCE_NAMES = """
+WITH dirty AS (
+  SELECT c_custkey, c_name,
+         substr(c_name, 1, 16 - (c_custkey % 4))
+         || substr(c_name, 18 - (c_custkey % 4), 1)
+         || substr(c_name, 17 - (c_custkey % 4), 1)
+         || substr(c_name, 19 - (c_custkey % 4))
+         || CAST(c_custkey % 10 AS VARCHAR) AS d_name
+  FROM customer
+)
+SELECT c_custkey,
+       damerau_levenshtein(c_name, d_name)::BIGINT AS dl,
+       levenshtein(c_name, d_name)::BIGINT AS lev
+FROM dirty
+"""
+
+
 # ------------------------------------- Fellegi-Sunter EM weights
 
 
@@ -5991,6 +6045,7 @@ DRIVER_EXCLUDE = {
     "group_quantiles",  # -> quantiles
     "fuzzy_join_names",
     "edit_distance_names",  # -> similarity_join
+    "dl_distance_names",  # -> similarity_join (kernel twin, local gate)
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
     "fs_decisions",  # local gate + pytest (keeps driver at 50)
     "fs_tf_weights",  # local gate + pytest (fs_em_weights keeps the
@@ -6224,6 +6279,7 @@ REGISTRY: dict[str, tuple] = {
     "canonical_urls": (q_canonical_urls, _wtx_sql("canonicalize_urls_sql")),
     "fuzzy_join_names": (q_fuzzy_join_names, SQL_FUZZY_JOIN_NAMES),
     "edit_distance_names": (q_edit_distance_names, SQL_EDIT_DISTANCE_NAMES),
+    "dl_distance_names": (q_dl_distance_names, SQL_DL_DISTANCE_NAMES),
     "affine_gap_names": (q_affine_gap_names, None),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),

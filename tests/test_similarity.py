@@ -189,3 +189,53 @@ def test_jw_and_levenshtein_match_duckdb():
         ).fetchone()
         assert abs(dj - j) < 1e-12, (x, y, j, dj)
         assert dd == int(d), (x, y, d, dd)
+
+
+def test_damerau_levenshtein_matches_scalar_and_duckdb():
+    """Full (unrestricted) DL: vectorized kernel vs the scalar
+    Lowrance-Wagner reference AND DuckDB's damerau_levenshtein, on a
+    transposition-heavy deterministic fuzz. Includes the canonical
+    full-vs-OSA separator ('CA','ABC') -> 2."""
+    import duckdb
+
+    from bern_ray.core.similarity import (
+        _damerau_levenshtein_scalar,
+        damerau_levenshtein,
+    )
+
+    rng = random.Random(99)
+    pairs = [("CA", "ABC"), ("", ""), ("", "abc"), ("ab", "ba")]
+    for alpha in ("abcde", "xy"):
+        for _ in range(1200):
+            a = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(0, 14))
+            )
+            lst = list(a)
+            for _ in range(rng.randint(0, 3)):
+                if len(lst) >= 2:
+                    i = rng.randrange(0, len(lst) - 1)
+                    lst[i], lst[i + 1] = lst[i + 1], lst[i]
+            if rng.random() < 0.5 and lst:
+                lst.insert(rng.randrange(len(lst)), rng.choice(alpha))
+            pairs.append((a, "".join(lst)))
+        for _ in range(300):
+            pairs.append(
+                (
+                    "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))),
+                    "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))),
+                )
+            )
+    a = [x for x, _ in pairs]
+    b = [y for _, y in pairs]
+    got = damerau_levenshtein(a, b, chunk=997)  # force chunk boundaries
+    assert got[0] == 2  # full DL, not OSA (OSA would say 3)
+    con = duckdb.connect()
+    import pandas as pd
+
+    df = pd.DataFrame({"a": a, "b": b})
+    exp = con.execute(
+        "SELECT damerau_levenshtein(a, b) AS d FROM df"
+    ).fetchnumpy()["d"]
+    assert (got == exp).all()
+    for i in range(0, len(pairs), 17):
+        assert got[i] == _damerau_levenshtein_scalar(a[i], b[i])
