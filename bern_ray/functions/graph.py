@@ -1,0 +1,332 @@
+"""Distributed graph analytics over co-occurrence / near-dup edges.
+
+Triangle counting + local clustering coefficient is the standard
+"is this blocking graph clique-like or chain-like?" diagnostic (a
+near-dup cluster produced by transitive chaining has low coefficient;
+a true duplicate class is a clique — the same distinction
+`cluster_cohesion` draws from edge weights, here purely structural).
+The algorithm is the classic degree-ordered wedge count (Schank &
+Wagner 2005; Cohen's MapReduce formulation 2009; Suri & Vassilvitskii
+WWW 2011 for the shuffle shape): orient every edge from its
+lower-degree endpoint (ties by id), emit wedges only at each node's
+out-neighborhood — Σ outdeg² is O(m·√m) worst case instead of the
+Σ deg² a naive wedge count pays on a skewed graph — then one
+distributed hash join of wedges against the edge set closes them.
+
+Everything is the repo's standard shapes: per-batch partial counts
+into one small groupby (degrees, per-node triangle counts),
+`bucketed_apply` + `segments`/`segment_pairs` for the per-source
+wedge fan-out, `bucket_join` for degree attach and the closure probe.
+Nothing driver-sized: the only `take_all` in the flow is on K bucket
+offsets inside helpers; edges, wedges and triangles stay Datasets.
+
+No reference counterpart (dmis-lab/bern has no graph analytics); this
+extends the near-dup/ER family the way SURVEY.md §2's "beyond the
+reference" mandate describes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.blocking import segment_pairs
+from ..stages.bucketed import bucketed_apply, segments
+from ..stages.join import bucket_join
+
+# item ids must fit 31 bits so a packed (a<<32)|b edge key stays a
+# non-negative int64 (asserted in the kernels)
+_PACK_SHIFT = np.int64(32)
+_MAX_ID = np.int64(1) << np.int64(31)
+
+
+def _pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    assert a.size == 0 or (int(a.max()) < _MAX_ID and int(b.max()) < _MAX_ID)
+    return (a.astype(np.int64) << _PACK_SHIFT) | b.astype(np.int64)
+
+
+def cooccurrence_edges(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    item_col: str,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """DISTINCT undirected item pairs (a < b) sharing a group.
+
+    One shuffle on hash(group) generates within-group pairs (items
+    deduped per group first, so a group contributes each pair once);
+    a second shuffle on the packed edge key makes pairs globally
+    distinct — a key's rows co-locate, so per-bucket distinct is
+    exact. Per-group pair emission is the vectorized
+    `segment_pairs` triu kernel; items sort ascending inside the
+    group, so emitted pairs are canonical a < b by construction.
+    """
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((it, g))
+        g, it = g[order], it[order]
+        # dedupe identical (group, item) rows so a group emits each
+        # unordered item pair exactly once
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (g[1:] != g[:-1]) | (it[1:] != it[:-1])
+        g, it = g[keep], it[keep]
+        starts, sizes = segments(g)
+        ai, bi = segment_pairs(starts, sizes, cap=None)
+        return pa.table(
+            {"a": pa.array(it[ai]), "b": pa.array(it[bi])}
+        )
+
+    pairs = bucketed_apply(
+        ds.select_columns([group_col, item_col]),
+        group_col,
+        pairs_in_bucket,
+        num_buckets=num_buckets,
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return t.append_column("pk", pa.array(_pack(a, b)))
+
+    def distinct_in_bucket(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(pk, return_index=True)
+        return t.take(np.sort(first))
+
+    return bucketed_apply(
+        pairs.map_batches(add_key, batch_format="pyarrow"),
+        "pk",
+        distinct_in_bucket,
+        num_buckets=num_buckets,
+    )
+
+
+def _degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(n, degree) via per-batch partial endpoint counts -> one
+    groupby sum (degree table is node-sized and stays distributed)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        n, c = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "n": pa.array(n.astype(np.int64)),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = edges.map_batches(partial, batch_format="pyarrow").groupby(
+        "n"
+    ).sum("partial")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"n": t["n"], "degree": t["sum(partial)"]}
+        ).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+
+
+def triangle_stats(
+    edges: "ray.data.Dataset",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-node (degree, triangle count, clustering coefficient) for a
+    distinct undirected edge list (columns a, b with a < b).
+
+    Stages: degree table -> two bucket_joins attach (deg_a, deg_b) ->
+    degree-orientation (src = lower-degree endpoint, ties by id) ->
+    per-src wedge fan-out (bucket-and-segment; out-neighbors sort
+    ascending, so wedge (v, w) is canonical) -> closure probe: one
+    bucket_join of wedges against the packed edge-key set -> per-node
+    partial counts of the 3 corners -> groupby sum -> left-join back
+    onto degrees. Nodes with degree < 2 (coefficient undefined) are
+    dropped, matching the SQL oracle.
+    """
+    deg = _degree_table(edges)
+
+    e_schema = {"a": pa.int64(), "b": pa.int64()}
+    with_da = bucket_join(
+        edges,
+        deg.map_batches(
+            lambda t: pa.table({"n": t["n"], "deg_a": t["degree"]}),
+            batch_format="pyarrow",
+        ),
+        left_on="a",
+        right_on="n",
+        left_schema=e_schema,
+        right_schema={"n": pa.int64(), "deg_a": pa.int64()},
+        num_buckets=num_buckets,
+    )
+    with_db = bucket_join(
+        with_da,
+        deg.map_batches(
+            lambda t: pa.table({"n": t["n"], "deg_b": t["degree"]}),
+            batch_format="pyarrow",
+        ),
+        left_on="b",
+        right_on="n",
+        left_schema={**e_schema, "deg_a": pa.int64()},
+        right_schema={"n": pa.int64(), "deg_b": pa.int64()},
+        num_buckets=num_buckets,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        # src = lower (degree, id) endpoint: the wedge owner
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+            }
+        )
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_in_bucket(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts, sizes = segments(src)
+        ai, bi = segment_pairs(starts, sizes, cap=None)
+        v, w = dst[ai], dst[bi]  # ascending within src => v < w
+        return pa.table(
+            {
+                "u": pa.array(src[ai]),
+                "wk": pa.array(_pack(v, w)),
+            }
+        )
+
+    wedges = bucketed_apply(
+        oriented, "src", wedges_in_bucket, num_buckets=num_buckets
+    )
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pa.array(_pack(a, b))})
+
+    closed = bucket_join(
+        wedges,
+        edges.map_batches(edge_keys, batch_format="pyarrow"),
+        left_on="wk",
+        right_on="pk",
+        left_schema={"u": pa.int64(), "wk": pa.int64()},
+        right_schema={"pk": pa.int64()},
+        num_buckets=num_buckets,
+    )
+
+    def corner_partial(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        wk = t["wk"].to_numpy(zero_copy_only=False)
+        v = (wk >> _PACK_SHIFT).astype(np.int64)
+        w = (wk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        n, c = np.unique(np.concatenate([u, v, w]), return_counts=True)
+        return pa.table(
+            {
+                "n": pa.array(n.astype(np.int64)),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    tcnt = (
+        closed.map_batches(corner_partial, batch_format="pyarrow")
+        .groupby("n")
+        .sum("partial")
+        .map_batches(
+            lambda t: pa.table(
+                {"n": t["n"], "triangles": t["sum(partial)"]}
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = bucket_join(
+        deg,
+        tcnt.map_batches(
+            lambda t: pa.table({"m": t["n"], "triangles": t["triangles"]}),
+            batch_format="pyarrow",
+        ),
+        left_on="n",
+        right_on="m",
+        left_schema={"n": pa.int64(), "degree": pa.int64()},
+        right_schema={"m": pa.int64(), "triangles": pa.int64()},
+        how="left",
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy(zero_copy_only=False)
+        tri = t["triangles"].to_numpy(zero_copy_only=False)
+        tri = np.where(np.isnan(tri.astype(np.float64)), 0, tri).astype(
+            np.int64
+        )
+        keep = d >= 2
+        d, tri = d[keep], tri[keep]
+        node = t["n"].to_numpy(zero_copy_only=False)[keep]
+        coef = np.round(2.0 * tri / (d * (d - 1.0)), 6)
+        return pa.table(
+            {
+                "node": pa.array(node.astype(np.int64)),
+                "degree": pa.array(d.astype(np.int64)),
+                "triangles": pa.array(tri),
+                "clustering_coef": pa.array(coef),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def triangle_stats_reference(
+    edge_pairs: list[tuple[int, int]],
+) -> pd.DataFrame:
+    """Brute-force per-node triangle counts + coefficients for tests:
+    adjacency sets, every triple checked once via sorted neighbor
+    intersection."""
+    adj: dict[int, set[int]] = {}
+    for a, b in set(edge_pairs):
+        assert a < b
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in sorted(adj[a]):
+            if b <= a:
+                continue
+            common = adj[a] & adj[b]
+            for c in common:
+                if c > b:
+                    tri[a] += 1
+                    tri[b] += 1
+                    tri[c] += 1
+    rows = []
+    for n in nodes:
+        d = len(adj[n])
+        if d < 2:
+            continue
+        rows.append(
+            {
+                "node": n,
+                "degree": d,
+                "triangles": tri[n],
+                "clustering_coef": round(2.0 * tri[n] / (d * (d - 1)), 6),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("node").reset_index(drop=True)

@@ -6029,6 +6029,67 @@ FROM ({SQL_EDIT_DISTANCE_NAMES})
 """
 
 
+def q_part_triangles(sf_dir: str):
+    """Per-part triangle count + local clustering coefficient over
+    the co-purchase graph (parts linked when they share an order) —
+    distributed degree-ordered wedge counting (functions/graph.py
+    triangle_stats; Suri-Vassilvitskii WWW 2011 shuffle shape) over
+    the distinct-edge builder `cooccurrence_edges`. The structural
+    twin of `cluster_cohesion`: a cliquey neighborhood scores 1.0, a
+    star/chain scores 0. Oracle: exact 3-way edge self-join in DuckDB
+    over the same distinct co-occurrence edges."""
+    from ..functions.graph import cooccurrence_edges, triangle_stats
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = triangle_stats(edges)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["partkey", "degree", "triangles", "clustering_coef"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PART_TRIANGLES = """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+  GROUP BY n
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT n, count(*) AS t
+  FROM (
+    SELECT x AS n FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  )
+  GROUP BY n
+)
+SELECT deg.n AS partkey,
+       deg.d::BIGINT AS degree,
+       COALESCE(tcnt.t, 0)::BIGINT AS triangles,
+       round(2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1.0)), 6)
+         AS clustering_coef
+FROM deg LEFT JOIN tcnt ON deg.n = tcnt.n
+WHERE deg.d >= 2
+"""
+
+
 # registry entries NOT exposed to the driver's 50-slot sample: each is
 # subsumed by a consolidated entry above (or is the approximate twin
 # of an exact oracle-checked query, pinned by pytest error bounds).
@@ -6046,6 +6107,7 @@ DRIVER_EXCLUDE = {
     "fuzzy_join_names",
     "edit_distance_names",  # -> similarity_join
     "dl_distance_names",  # -> similarity_join (kernel twin, local gate)
+    "part_triangles",  # graph-analytics family, local gate
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
     "fs_decisions",  # local gate + pytest (keeps driver at 50)
     "fs_tf_weights",  # local gate + pytest (fs_em_weights keeps the
@@ -6280,6 +6342,7 @@ REGISTRY: dict[str, tuple] = {
     "fuzzy_join_names": (q_fuzzy_join_names, SQL_FUZZY_JOIN_NAMES),
     "edit_distance_names": (q_edit_distance_names, SQL_EDIT_DISTANCE_NAMES),
     "dl_distance_names": (q_dl_distance_names, SQL_DL_DISTANCE_NAMES),
+    "part_triangles": (q_part_triangles, SQL_PART_TRIANGLES),
     "affine_gap_names": (q_affine_gap_names, None),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),

@@ -1,0 +1,82 @@
+"""Distributed triangle counting vs a brute-force reference."""
+
+import random
+
+import pandas as pd
+import pytest
+
+from bern_ray.functions.graph import (
+    cooccurrence_edges,
+    triangle_stats,
+    triangle_stats_reference,
+)
+
+
+def _run(edge_pairs, ray_session, num_buckets=8):
+    import ray.data
+
+    df = pd.DataFrame(sorted(set(edge_pairs)), columns=["a", "b"])
+    ds = ray.data.from_pandas(df).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    out = (
+        triangle_stats(ds, num_buckets=num_buckets)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def test_triangles_planted_shapes(ray_session):
+    # K4 clique (coef 1.0 everywhere), star (coef 0), chain, plus a
+    # triangle sharing one node with the star hub
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (10, 11), (10, 12), (10, 13), (10, 14),          # star at 10
+        (20, 21), (21, 22), (22, 23),                    # chain
+        (10, 30), (10, 31), (30, 31),                    # tri at hub
+    ]
+    got = _run(edges, ray_session)
+    exp = triangle_stats_reference(edges)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    row = got[got.node == 1].iloc[0]
+    assert row.triangles == 3 and row.clustering_coef == 1.0
+    hub = got[got.node == 10].iloc[0]
+    assert hub.triangles == 1 and hub.degree == 6
+
+
+@pytest.mark.parametrize("seed,n,m", [(5, 40, 160), (6, 25, 80)])
+def test_triangles_random_vs_reference(ray_session, seed, n, m):
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    got = _run(sorted(edges), ray_session)
+    exp = triangle_stats_reference(sorted(edges))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_cooccurrence_edges_distinct_and_canonical(ray_session):
+    import ray.data
+
+    rows = []
+    # group 1: items 3,1,2 (+ dup item 1) -> pairs (1,2),(1,3),(2,3)
+    for it in (3, 1, 2, 1):
+        rows.append({"g": 1, "i": it})
+    # group 2: items 2,1 -> pair (1,2) again (must stay distinct)
+    rows += [{"g": 2, "i": 2}, {"g": 2, "i": 1}]
+    # group 3: singleton -> nothing
+    rows.append({"g": 3, "i": 9})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    out = (
+        cooccurrence_edges(ds, "g", "i", num_buckets=4)
+        .to_pandas()[["a", "b"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[1, 2], [1, 3], [2, 3]]
