@@ -1050,3 +1050,291 @@ SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
 FROM w JOIN cnt ON w.tok = cnt.tok CROSS JOIN n
 GROUP BY w.doc_id
 """
+
+
+# ------------------------------------------------------- PMI collocations
+
+
+def _attach_hb(t: pa.Table) -> pa.Table:
+    """Post-filter the df_a hash-join on string equality, then key the
+    second attach by the b token's hash."""
+    t = t.filter(pc.equal(t["a"], t["ra"]))
+    return t.append_column("hb", pa.array(_token_h64(t["b"])))
+
+
+def pmi_collocations(
+    docs: "ray.data.Dataset",
+    min_df_frac: float = 0.05,
+    min_pair_frac: float = 0.02,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Pointwise mutual information of token pairs over document
+    co-occurrence (Church & Hanks 1990) — the collocation/phrase-
+    detection primitive of corpus pipelines (word2vec's phrase pass,
+    Gensim Phrases): pmi(a,b) = ln(c_ab * N / (df_a * df_b)) where
+    df counts documents CONTAINING the token and c_ab documents
+    containing both.
+
+    Fully distributed, no broadcast side: per-batch per-doc DISTINCT
+    (doc, token) rows (dictionary-encode + one packed np.unique; a
+    doc never spans a batch, so in-batch distinct is global) -> df
+    via partial value_counts into one token groupby -> eligibility
+    attach back onto the (doc, token) stream via the 63-bit-hash
+    bucket_join with string post-filter (the tfidf joined-path idiom
+    — the df table is vocabulary-sized and co-locates by hash, never
+    ships to the driver) -> per-doc pair fan-out (bucket-and-segment
+    on doc_id; tokens rank-encoded per bucket so emitted pairs are
+    canonical a < b LEXICOGRAPHICALLY, matching the SQL e1.tok <
+    e2.tok) with in-bucket packed-pair partial counts -> one pair
+    groupby -> two hash-joins attach df_a / df_b -> pmi, rounded to 6
+    decimals on both sides of the oracle (shared double expression
+    order: (c_ab * N) / (df_a * df_b)).
+
+    Thresholds are FRACTIONS of the corpus size (df >= min_df_frac*N,
+    c_ab >= min_pair_frac*N) so the output is scale-stable; both
+    comparisons are the same float64 expressions the oracle runs. The
+    df Dataset is materialized once (vocabulary-sized) because three
+    joins consume it — a lazy Dataset would re-run the df shuffle per
+    consumer.
+    """
+    from ..stages.bucketed import bucketed_apply, segments
+    from ..stages.blocking import segment_pairs
+    from ..stages.join import bucket_join
+
+    n_docs = docs.count()
+    min_df = min_df_frac * n_docs
+    min_pair = min_pair_frac * n_docs
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        parent, toks = _explode_tokens(t["text"])
+        if len(parent) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "tok": pa.array([], type=pa.string()),
+                }
+            )
+        codes = (
+            pc.dictionary_encode(toks)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        packed = (parent << np.int64(32)) | codes
+        _, first = np.unique(packed, return_index=True)
+        first.sort()
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[parent[first]]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids.astype(np.int64)),
+                "tok": toks.take(pa.array(first)),
+            }
+        )
+
+    def dt_stream():
+        return docs.map_batches(
+            distinct_rows, batch_format="pyarrow"
+        )
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["tok"])
+        return pa.table(
+            {
+                "r_token": vc.field("values"),
+                "partial": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def df_finish(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"r_token": t["r_token"], "df": t["sum(partial)"]}
+        ).filter(pc.greater_equal(t["sum(partial)"], min_df))
+        return t.append_column("rh", pa.array(_token_h64(t["r_token"])))
+
+    df_tbl = (
+        dt_stream()
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("r_token")
+        .sum("partial")
+        .map_batches(df_finish, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def add_h(t: pa.Table) -> pa.Table:
+        return t.append_column("h", pa.array(_token_h64(t["tok"])))
+
+    eligible = bucket_join(
+        dt_stream().map_batches(add_h, batch_format="pyarrow"),
+        df_tbl,
+        left_on="h",
+        right_on="rh",
+        left_schema={
+            "h": pa.int64(),
+            "doc_id": pa.int64(),
+            "tok": pa.string(),
+        },
+        right_schema={
+            "rh": pa.int64(),
+            "r_token": pa.string(),
+            "df": pa.int64(),
+        },
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["tok"], t["r_token"])).select(
+            ["doc_id", "tok"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pair": pa.array([], type=pa.string()),
+                "partial": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks_np = np.asarray(t["tok"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(toks_np, return_inverse=True)
+        order = np.lexsort((inv, d))
+        d_s, inv_s = d[order], inv[order]
+        starts, sizes = segments(d_s)
+        ai, bi = segment_pairs(starts, sizes, cap=None)
+        if len(ai) == 0:
+            return empty
+        pk = (inv_s[ai] << np.int64(32)) | inv_s[bi]
+        u, c = np.unique(pk, return_counts=True)
+        a = uniq[(u >> np.int64(32)).astype(np.int64)]
+        b = uniq[(u & np.int64(0xFFFFFFFF)).astype(np.int64)]
+        pair = pc.binary_join_element_wise(
+            pa.array(list(a), type=pa.string()),
+            pa.array(list(b), type=pa.string()),
+            "\x01",
+        )
+        return pa.table(
+            {"pair": pair, "partial": pa.array(c.astype(np.int64))}
+        )
+
+    pairs = (
+        bucketed_apply(eligible, "doc_id", pair_kernel, num_buckets)
+        .groupby("pair")
+        .sum("partial")
+        .map_batches(
+            lambda t: pa.table(
+                {"pair": t["pair"], "c_ab": t["sum(partial)"]}
+            )
+            .replace_schema_metadata(None)
+            .filter(pc.greater_equal(t["sum(partial)"], min_pair)),
+            batch_format="pyarrow",
+        )
+    )
+
+    def split_pair(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["pair"], "\x01")
+        a = pc.list_element(parts, 0)
+        b = pc.list_element(parts, 1)
+        return pa.table(
+            {
+                "a": a,
+                "b": b,
+                "c_ab": t["c_ab"],
+                "ha": pa.array(_token_h64(a)),
+            }
+        )
+
+    with_a = bucket_join(
+        pairs.map_batches(split_pair, batch_format="pyarrow"),
+        df_tbl.map_batches(
+            lambda t: t.rename_columns(["ra", "df_a", "rha"]),
+            batch_format="pyarrow",
+        ),
+        left_on="ha",
+        right_on="rha",
+        left_schema={
+            "ha": pa.int64(),
+            "a": pa.string(),
+            "b": pa.string(),
+            "c_ab": pa.int64(),
+        },
+        right_schema={
+            "rha": pa.int64(),
+            "ra": pa.string(),
+            "df_a": pa.int64(),
+        },
+        num_buckets=num_buckets,
+    ).map_batches(_attach_hb, batch_format="pyarrow")
+
+    with_b = bucket_join(
+        with_a,
+        df_tbl.map_batches(
+            lambda t: t.rename_columns(["rb", "df_b", "rhb"]),
+            batch_format="pyarrow",
+        ),
+        left_on="hb",
+        right_on="rhb",
+        left_schema={
+            "hb": pa.int64(),
+            "ha": pa.int64(),
+            "a": pa.string(),
+            "ra": pa.string(),
+            "b": pa.string(),
+            "c_ab": pa.int64(),
+            "df_a": pa.int64(),
+        },
+        right_schema={
+            "rhb": pa.int64(),
+            "rb": pa.string(),
+            "df_b": pa.int64(),
+        },
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["b"], t["rb"]))
+        c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_a = t["df_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_b = t["df_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pmi = np.round(np.log((c_ab * n_docs) / (df_a * df_b)), 6)
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "c_ab": pa.array(c_ab),
+                "pmi": pa.array(pmi),
+            }
+        )
+
+    return with_b.map_batches(finish, batch_format="pyarrow")
+
+
+def pmi_collocations_sql(
+    min_df_frac: float = 0.05, min_pair_frac: float = 0.02
+) -> str:
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+    FROM documents)
+),
+n AS (SELECT count(*) AS nd FROM documents),
+df AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+el AS (
+  SELECT dt.doc_id, dt.tok
+  FROM dt JOIN df USING (tok), n
+  WHERE df.df >= {min_df_frac} * n.nd
+),
+pairs AS (
+  SELECT e1.tok AS a, e2.tok AS b, count(*) AS c_ab
+  FROM el e1 JOIN el e2
+    ON e1.doc_id = e2.doc_id AND e1.tok < e2.tok
+  GROUP BY 1, 2
+  HAVING count(*) >= (SELECT {min_pair_frac} * nd FROM n)
+)
+SELECT p.a, p.b, p.c_ab::BIGINT AS c_ab,
+       round(ln((p.c_ab * n.nd) / (fa.df * fb.df)), 6) AS pmi
+FROM pairs p, n
+JOIN df fa ON fa.tok = p.a
+JOIN df fb ON fb.tok = p.b
+"""

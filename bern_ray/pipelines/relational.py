@@ -6029,6 +6029,24 @@ FROM ({SQL_EDIT_DISTANCE_NAMES})
 """
 
 
+def q_token_pmi(sf_dir: str):
+    """PMI collocations over the documents table — see
+    functions/textstats.py pmi_collocations (Church-Hanks doc-level
+    PMI, fully joined path, round-6 float identity with the oracle)."""
+    from ..functions.textstats import pmi_collocations
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pmi_collocations(docs)
+
+
+def _sql_token_pmi() -> str:
+    from ..functions.textstats import pmi_collocations_sql
+
+    return pmi_collocations_sql()
+
+
 def q_part_triangles(sf_dir: str):
     """Per-part triangle count + local clustering coefficient over
     the co-purchase graph (parts linked when they share an order) —
@@ -6108,6 +6126,7 @@ DRIVER_EXCLUDE = {
     "edit_distance_names",  # -> similarity_join
     "dl_distance_names",  # -> similarity_join (kernel twin, local gate)
     "part_triangles",  # graph-analytics family, local gate
+    "token_pmi",  # collocation family, local gate
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
     "fs_decisions",  # local gate + pytest (keeps driver at 50)
     "fs_tf_weights",  # local gate + pytest (fs_em_weights keeps the
@@ -6343,6 +6362,7 @@ REGISTRY: dict[str, tuple] = {
     "edit_distance_names": (q_edit_distance_names, SQL_EDIT_DISTANCE_NAMES),
     "dl_distance_names": (q_dl_distance_names, SQL_DL_DISTANCE_NAMES),
     "part_triangles": (q_part_triangles, SQL_PART_TRIANGLES),
+    "token_pmi": (q_token_pmi, _sql_token_pmi()),
     "affine_gap_names": (q_affine_gap_names, None),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),
