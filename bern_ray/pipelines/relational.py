@@ -6029,6 +6029,75 @@ FROM ({SQL_EDIT_DISTANCE_NAMES})
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_event_funnel(sf_dir: str):
+    """Per-user funnel depth for the ordered step sequence
+    view -> click -> purchase with STRICTLY-AFTER semantics: step k
+    counts only if an event of its type occurs strictly after the
+    earliest valid completion of step k-1. The greedy-earliest
+    choice (first view, first click after it, first purchase after
+    that) reaches maximal depth by the standard exchange argument, so
+    it equals 'exists an increasing subsequence' — which is what the
+    nested min-ts SQL oracle computes. One shuffle on hash(user_id);
+    the per-bucket kernel is three masked pandas groupby-mins plus a
+    merge — no per-user Python."""
+    from ..stages.bucketed import bucketed_apply
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = t.select(["user_id", "ts", "event_type"]).to_pandas()
+        users = df["user_id"].drop_duplicates().sort_values()
+        prev = None  # Series: user -> ts of previous step completion
+        depth = pd.Series(0, index=users.values, dtype=np.int64)
+        for k, step in enumerate(FUNNEL_STEPS, start=1):
+            sub = df[df["event_type"] == step]
+            if prev is not None:
+                lim = sub["user_id"].map(prev)
+                sub = sub[sub["ts"] > lim]  # NaT limit -> False: gated
+            cur = sub.groupby("user_id")["ts"].min()
+            depth.loc[cur.index] = k
+            prev = cur
+        return pa.table(
+            {
+                "user_id": pa.array(depth.index.values.astype(np.int64)),
+                "depth": pa.array(depth.values),
+            }
+        )
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return bucketed_apply(ev, "user_id", kernel, num_buckets=32)
+
+
+SQL_EVENT_FUNNEL = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+)
+SELECT u.user_id,
+       (CASE WHEN p.user_id IS NOT NULL THEN 3
+             WHEN c.user_id IS NOT NULL THEN 2
+             WHEN v.user_id IS NOT NULL THEN 1
+             ELSE 0 END)::BIGINT AS depth
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
 def q_token_pmi(sf_dir: str):
     """PMI collocations over the documents table — see
     functions/textstats.py pmi_collocations (Church-Hanks doc-level
@@ -6127,6 +6196,7 @@ DRIVER_EXCLUDE = {
     "dl_distance_names",  # -> similarity_join (kernel twin, local gate)
     "part_triangles",  # graph-analytics family, local gate
     "token_pmi",  # collocation family, local gate
+    "event_funnel",  # temporal family twin (asof/windows cover driver)
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
     "fs_decisions",  # local gate + pytest (keeps driver at 50)
     "fs_tf_weights",  # local gate + pytest (fs_em_weights keeps the
@@ -6363,6 +6433,7 @@ REGISTRY: dict[str, tuple] = {
     "dl_distance_names": (q_dl_distance_names, SQL_DL_DISTANCE_NAMES),
     "part_triangles": (q_part_triangles, SQL_PART_TRIANGLES),
     "token_pmi": (q_token_pmi, _sql_token_pmi()),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "affine_gap_names": (q_affine_gap_names, None),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),
