@@ -6029,6 +6029,55 @@ FROM ({SQL_EDIT_DISTANCE_NAMES})
 """
 
 
+def q_profile_orders(sf_dir: str):
+    """Per-column data-quality profile of the orders table (nulls,
+    exact distinct, min/max; timestamps as epoch micros) — see
+    functions/profile.py. Oracle: one UNION ALL branch per column."""
+    from ..functions.profile import profile_table
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet")
+    return profile_table(
+        orders,
+        num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+        ts_cols=["o_orderdate"],
+    )
+
+
+def _profile_sql_branch(col: str, kind: str) -> str:
+    if kind == "num":
+        expr = col
+    elif kind == "ts":
+        expr = f"epoch_us({col})"
+    if kind in ("num", "ts"):
+        return f"""
+SELECT '{col}' AS col, count(*)::BIGINT AS n_rows,
+       (count(*) - count({col}))::BIGINT AS n_null,
+       count(DISTINCT {col})::BIGINT AS n_distinct,
+       min({expr})::DOUBLE AS min_num, max({expr})::DOUBLE AS max_num,
+       '' AS min_str, '' AS max_str
+FROM orders"""
+    return f"""
+SELECT '{col}' AS col, count(*)::BIGINT AS n_rows,
+       (count(*) - count({col}))::BIGINT AS n_null,
+       count(DISTINCT {col})::BIGINT AS n_distinct,
+       0.0 AS min_num, 0.0 AS max_num,
+       min({col}) AS min_str, max({col}) AS max_str
+FROM orders"""
+
+
+SQL_PROFILE_ORDERS = " UNION ALL ".join(
+    [
+        _profile_sql_branch("o_orderkey", "num"),
+        _profile_sql_branch("o_custkey", "num"),
+        _profile_sql_branch("o_totalprice", "num"),
+        _profile_sql_branch("o_orderdate", "ts"),
+        _profile_sql_branch("o_orderstatus", "str"),
+        _profile_sql_branch("o_orderpriority", "str"),
+    ]
+)
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -6197,6 +6246,7 @@ DRIVER_EXCLUDE = {
     "part_triangles",  # graph-analytics family, local gate
     "token_pmi",  # collocation family, local gate
     "event_funnel",  # temporal family twin (asof/windows cover driver)
+    "profile_orders",  # data-quality census, local gate
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
     "fs_decisions",  # local gate + pytest (keeps driver at 50)
     "fs_tf_weights",  # local gate + pytest (fs_em_weights keeps the
@@ -6434,6 +6484,7 @@ REGISTRY: dict[str, tuple] = {
     "part_triangles": (q_part_triangles, SQL_PART_TRIANGLES),
     "token_pmi": (q_token_pmi, _sql_token_pmi()),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
     "affine_gap_names": (q_affine_gap_names, None),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),
