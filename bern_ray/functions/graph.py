@@ -293,6 +293,161 @@ def triangle_stats(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def pagerank(
+    edges: "ray.data.Dataset",
+    damping: float = 0.85,
+    iters: int = 10,
+    round_dp: int = 12,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Fixed-iteration PageRank over an undirected edge list (a, b)
+    — each edge walks both ways; every node has degree >= 1, so there
+    are no dangling nodes to redistribute.
+
+    Iterative driver loop, distributed data: per iteration one
+    bucket_join ships the node-sized rank table onto the edge
+    partitions (never the reverse), per-batch partial sums of
+    r/deg by destination fold into one node groupby, and a left
+    bucket_join back onto the node set applies
+    r' = (1-d)/N + d * contrib. Ranks are MATERIALIZED per iteration
+    (node-sized) — a lazy chain would re-execute every prior
+    iteration per consumer.
+
+    Float determinism: both this and the recursive-CTE oracle round
+    every iteration's rank to `round_dp` decimals, so partial-sum
+    ORDER (nondeterministic on both sides) cannot accumulate drift —
+    per-sum error is ~1e-15 and the shared 1e-12 grid absorbs it;
+    the query output rounds to 6 for the value hash.
+    """
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([a, b]).astype(np.int64)),
+                "t": pa.array(np.concatenate([b, a]).astype(np.int64)),
+            }
+        )
+
+    dirs = edges.map_batches(both_dirs, batch_format="pyarrow")
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        n, c = np.unique(
+            t["s"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "n": pa.array(n.astype(np.int64)),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    deg = (
+        dirs.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("n")
+        .sum("partial")
+        .map_batches(
+            lambda t: pa.table(
+                {"dn": t["n"], "d": t["sum(partial)"]}
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_nodes = deg.count()
+    base = round((1.0 - damping) / n_nodes, 20)
+
+    dir_deg = bucket_join(
+        dirs,
+        deg,
+        left_on="s",
+        right_on="dn",
+        left_schema={"s": pa.int64(), "t": pa.int64()},
+        right_schema={"dn": pa.int64(), "d": pa.int64()},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    r0 = round(1.0 / n_nodes, round_dp)
+    ranks = deg.map_batches(
+        lambda t: pa.table(
+            {
+                "rn": t["dn"],
+                "r": pa.array(
+                    np.full(t.num_rows, r0, dtype=np.float64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        withr = bucket_join(
+            dir_deg,
+            ranks,
+            left_on="s",
+            right_on="rn",
+            left_schema={"s": pa.int64(), "t": pa.int64(), "d": pa.int64()},
+            right_schema={"rn": pa.int64(), "r": pa.float64()},
+            num_buckets=num_buckets,
+        )
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            dst = t["t"].to_numpy(zero_copy_only=False)
+            w = t["r"].to_numpy(zero_copy_only=False) / t["d"].to_numpy(
+                zero_copy_only=False
+            )
+            u, inv = np.unique(dst, return_inverse=True)
+            s = np.zeros(len(u), dtype=np.float64)
+            np.add.at(s, inv, w)
+            return pa.table(
+                {
+                    "cn": pa.array(u.astype(np.int64)),
+                    "partial": pa.array(s),
+                }
+            )
+
+        contrib = (
+            withr.map_batches(contrib_partial, batch_format="pyarrow")
+            .groupby("cn")
+            .sum("partial")
+            .map_batches(
+                lambda t: pa.table(
+                    {"cn": t["cn"], "c": t["sum(partial)"]}
+                ).replace_schema_metadata(None),
+                batch_format="pyarrow",
+            )
+        )
+
+        stepped = bucket_join(
+            deg.map_batches(
+                lambda t: pa.table({"rn": t["dn"]}), batch_format="pyarrow"
+            ),
+            contrib,
+            left_on="rn",
+            right_on="cn",
+            left_schema={"rn": pa.int64()},
+            right_schema={"cn": pa.int64(), "c": pa.float64()},
+            how="left",
+            num_buckets=num_buckets,
+        )
+
+        def apply_step(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c = np.where(np.isnan(c), 0.0, c)
+            r = np.round(base + damping * c, round_dp)
+            return pa.table({"rn": t["rn"], "r": pa.array(r)})
+
+        ranks = stepped.map_batches(
+            apply_step, batch_format="pyarrow"
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["rn"], "rank": t["r"]}),
+        batch_format="pyarrow",
+    )
+
+
 def triangle_stats_reference(
     edge_pairs: list[tuple[int, int]],
 ) -> pd.DataFrame:

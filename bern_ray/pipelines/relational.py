@@ -6147,6 +6147,64 @@ LEFT JOIN p USING (user_id)
 """
 
 
+def q_part_pagerank(sf_dir: str):
+    """10-iteration PageRank over the part co-purchase graph
+    (functions/graph.py pagerank — iterative driver loop, per-round
+    rank-onto-edges bucket_join + one destination groupby; ranks
+    round to 1e-12 each iteration on BOTH sides so partial-sum order
+    can't drift the value hash). Oracle: DuckDB recursive CTE with
+    the identical per-iteration rounding."""
+    from ..functions.graph import cooccurrence_edges, pagerank
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    pr = pagerank(edges, damping=0.85, iters=10, round_dp=12)
+    return pr.map_batches(
+        lambda t: pa.table(
+            {
+                "partkey": t["node"],
+                "rank": pc.round(t["rank"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PART_PAGERANK = """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+dir AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s AS n, count(*) AS d FROM dir GROUP BY s),
+pr AS (
+  SELECT 0 AS iter, n,
+         round(1.0 / (SELECT count(*) FROM deg), 12) AS r
+  FROM deg
+  UNION ALL
+  SELECT c.iter + 1, dg.n,
+         round((1.0 - 0.85) / (SELECT count(*) FROM deg)
+               + 0.85 * COALESCE(c2.s, 0.0), 12)
+  FROM deg dg
+  LEFT JOIN (
+    SELECT p.iter, dd.t AS n, sum(p.r / pd.d) AS s
+    FROM pr p
+    JOIN dir dd ON dd.s = p.n
+    JOIN deg pd ON pd.n = p.n
+    WHERE p.iter < 10
+    GROUP BY p.iter, dd.t
+  ) c2 ON c2.n = dg.n
+  CROSS JOIN (SELECT DISTINCT iter FROM pr WHERE iter < 10) c
+)
+SELECT n AS partkey, round(r, 6) AS rank FROM pr WHERE iter = 10
+"""
+
+
 def q_token_pmi(sf_dir: str):
     """PMI collocations over the documents table — see
     functions/textstats.py pmi_collocations (Church-Hanks doc-level
@@ -6247,6 +6305,7 @@ DRIVER_EXCLUDE = {
     "token_pmi",  # collocation family, local gate
     "event_funnel",  # temporal family twin (asof/windows cover driver)
     "profile_orders",  # data-quality census, local gate
+    "part_pagerank",  # graph-analytics family, local gate
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
     "fs_decisions",  # local gate + pytest (keeps driver at 50)
     "fs_tf_weights",  # local gate + pytest (fs_em_weights keeps the
@@ -6485,6 +6544,7 @@ REGISTRY: dict[str, tuple] = {
     "token_pmi": (q_token_pmi, _sql_token_pmi()),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
+    "part_pagerank": (q_part_pagerank, SQL_PART_PAGERANK),
     "affine_gap_names": (q_affine_gap_names, None),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),

@@ -80,3 +80,69 @@ def test_cooccurrence_edges_distinct_and_canonical(ray_session):
         .reset_index(drop=True)
     )
     assert out.values.tolist() == [[1, 2], [1, 3], [2, 3]]
+
+
+def _pagerank_reference(edge_pairs, damping=0.85, iters=10, dp=12):
+    import numpy as np
+
+    nodes = sorted({x for e in edge_pairs for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    adj = []
+    deg = np.zeros(N)
+    for a, b in edge_pairs:
+        adj += [(idx[a], idx[b]), (idx[b], idx[a])]
+    for s, _t in adj:
+        deg[s] += 1
+    r = np.full(N, round(1.0 / N, dp))
+    for _ in range(iters):
+        c = np.zeros(N)
+        for s, t in adj:
+            c[t] += r[s] / deg[s]
+        r = np.round((1.0 - damping) / N + damping * c, dp)
+    return {n: r[idx[n]] for n in nodes}
+
+
+def test_pagerank_vs_reference(ray_session):
+    import random
+
+    rng = random.Random(31)
+    edges = {(0, 1)}
+    while len(edges) < 60:
+        a, b = rng.randrange(30), rng.randrange(30)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    import ray.data
+    from bern_ray.functions.graph import pagerank
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["a", "b"])
+    ).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    got = (
+        pagerank(ds, num_buckets=4)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+    exp = _pagerank_reference(edges)
+    assert set(got) == set(exp)
+    for n in exp:
+        assert got[n] == exp[n], (n, got[n], exp[n])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # stochastic, no dangling
+    # hub of a star subgraph must outrank its leaves
+    star = [(100, 101), (100, 102), (100, 103), (100, 104)]
+    ds2 = ray.data.from_pandas(
+        pd.DataFrame(star, columns=["a", "b"])
+    ).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    got2 = (
+        pagerank(ds2, num_buckets=2)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+    assert got2[100] > got2[101] == got2[104]
