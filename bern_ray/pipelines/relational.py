@@ -6147,6 +6147,111 @@ LEFT JOIN p USING (user_id)
 """
 
 
+TREND_CX = 19700.0  # days-since-epoch center (fixed, shared with SQL)
+TREND_CY = 250000.0  # totalprice center
+
+
+def q_segment_trend(sf_dir: str):
+    """Per-segment least-squares revenue trend: slope of o_totalprice
+    over order date (days), computed from five mergeable per-batch
+    partial sums (n, Σx, Σy, Σxy, Σx²) — the map-side-combine shape
+    of every distributed regression. Both sides center x and y by
+    FIXED constants before summing (slope is shift-invariant): the
+    raw regr_slope moment formula cancels two ~1e16 products and a
+    nondeterministic summation order would poke through round-6;
+    centered, the residual order-drift is ~1e-11 of the slope."""
+    import pyarrow.parquet as pq
+
+    from ..stages.broadcast import get_broadcast, put_broadcast
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_series = pd.Series(
+        cust["c_mktsegment"].to_pylist(),
+        index=cust["c_custkey"].to_numpy(zero_copy_only=False),
+    )
+    ref = put_broadcast(seg_series)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = get_broadcast(ref)
+        seg = pd.Series(
+            t["o_custkey"].to_numpy(zero_copy_only=False)
+        ).map(m)
+        x = (
+            pc.cast(
+                pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+            ).to_numpy()
+            / 86400000000.0
+            - TREND_CX
+        )
+        y = t["o_totalprice"].to_numpy() - TREND_CY
+        df = pd.DataFrame(
+            {"seg": seg, "x": x, "y": y, "xy": x * y, "xx": x * x}
+        )
+        g = df.groupby("seg", as_index=False).agg(
+            n=("x", "size"),
+            sx=("x", "sum"),
+            sy=("y", "sum"),
+            sxy=("xy", "sum"),
+            sxx=("xx", "sum"),
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("seg")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        slope = np.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        return pa.table(
+            {
+                "c_mktsegment": t["seg"],
+                "n_orders": pc.cast(t["n"], pa.int64()),
+                "slope": pa.array(slope),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SEGMENT_TREND = f"""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg,
+         epoch_us(o.o_orderdate) / 86400000000.0 - {TREND_CX} AS x,
+         o.o_totalprice - {TREND_CY} AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+a AS (
+  SELECT seg, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM j GROUP BY seg
+)
+SELECT seg AS c_mktsegment, n::BIGINT AS n_orders,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+FROM a
+"""
+
+
 def q_part_pagerank(sf_dir: str):
     """10-iteration PageRank over the part co-purchase graph
     (functions/graph.py pagerank — iterative driver loop, per-round
@@ -6306,6 +6411,7 @@ DRIVER_EXCLUDE = {
     "event_funnel",  # temporal family twin (asof/windows cover driver)
     "profile_orders",  # data-quality census, local gate
     "part_pagerank",  # graph-analytics family, local gate
+    "segment_trend",  # distributed regression, local gate
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
     "fs_decisions",  # local gate + pytest (keeps driver at 50)
     "fs_tf_weights",  # local gate + pytest (fs_em_weights keeps the
@@ -6545,6 +6651,7 @@ REGISTRY: dict[str, tuple] = {
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
     "part_pagerank": (q_part_pagerank, SQL_PART_PAGERANK),
+    "segment_trend": (q_segment_trend, SQL_SEGMENT_TREND),
     "affine_gap_names": (q_affine_gap_names, None),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),
