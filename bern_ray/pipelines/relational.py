@@ -6147,6 +6147,49 @@ LEFT JOIN p USING (user_id)
 """
 
 
+def q_part_kcore(sf_dir: str):
+    """3-core of the part co-purchase graph by 8-round synchronous
+    peeling (functions/graph.py kcore); the round count is shared
+    verbatim with the recursive-CTE oracle so both sides agree by
+    construction. Surviving nodes report their within-core degree."""
+    from ..functions.graph import cooccurrence_edges, kcore
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = kcore(edges, k=3, rounds=8)
+    return out.map_batches(
+        lambda t: t.rename_columns(["partkey", "core_degree"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PART_KCORE = """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+dir AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+surv AS (
+  SELECT 0 AS iter, s, t FROM dir
+  UNION ALL
+  SELECT p.iter + 1, p.s, p.t
+  FROM surv p
+  JOIN (SELECT s AS n, count(*) AS d FROM surv WHERE iter < 8 GROUP BY s) ds
+    ON ds.n = p.s AND ds.d >= 3
+  JOIN (SELECT s AS n, count(*) AS d FROM surv WHERE iter < 8 GROUP BY s) dt
+    ON dt.n = p.t AND dt.d >= 3
+  WHERE p.iter < 8
+)
+SELECT s AS partkey, count(*)::BIGINT AS core_degree
+FROM surv WHERE iter = 8 GROUP BY s
+"""
+
+
 TREND_CX = 19700.0  # days-since-epoch center (fixed, shared with SQL)
 TREND_CY = 250000.0  # totalprice center
 
@@ -6412,6 +6455,7 @@ DRIVER_EXCLUDE = {
     "profile_orders",  # data-quality census, local gate
     "part_pagerank",  # graph-analytics family, local gate
     "segment_trend",  # distributed regression, local gate
+    "part_kcore",  # graph-analytics family, local gate
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
     "fs_decisions",  # local gate + pytest (keeps driver at 50)
     "fs_tf_weights",  # local gate + pytest (fs_em_weights keeps the
@@ -6652,6 +6696,7 @@ REGISTRY: dict[str, tuple] = {
     "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
     "part_pagerank": (q_part_pagerank, SQL_PART_PAGERANK),
     "segment_trend": (q_segment_trend, SQL_SEGMENT_TREND),
+    "part_kcore": (q_part_kcore, SQL_PART_KCORE),
     "affine_gap_names": (q_affine_gap_names, None),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),

@@ -146,3 +146,60 @@ def test_pagerank_vs_reference(ray_session):
         .to_dict()
     )
     assert got2[100] > got2[101] == got2[104]
+
+
+def test_kcore_peels_tails(ray_session):
+    import ray.data
+    from bern_ray.functions.graph import kcore, kcore_reference
+
+    # triangle (2-core) + pendant chain + a 4-clique (3-core) bridged
+    # to the triangle by one edge; plus a long chain that needs
+    # multiple peel rounds
+    edges = [
+        (1, 2), (2, 3), (1, 3),
+        (3, 4), (4, 5), (5, 6), (6, 7),
+        (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+        (3, 10),
+    ]
+    for k in (2, 3):
+        ds = ray.data.from_pandas(
+            pd.DataFrame(sorted(edges), columns=["a", "b"])
+        ).map_batches(
+            lambda t: t.replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+        got = (
+            kcore(ds, k=k, rounds=8, num_buckets=4)
+            .to_pandas()
+            .set_index("node")["core_degree"]
+            .to_dict()
+        )
+        assert got == kcore_reference(edges, k=k, rounds=8)
+    # k=3 keeps exactly the 4-clique
+    assert set(kcore_reference(edges, k=3)) == {10, 11, 12, 13}
+
+
+def test_kcore_random_vs_reference(ray_session):
+    import random
+
+    import ray.data
+    from bern_ray.functions.graph import kcore, kcore_reference
+
+    rng = random.Random(12)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    ds = ray.data.from_pandas(
+        pd.DataFrame(sorted(edges), columns=["a", "b"])
+    ).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    got = (
+        kcore(ds, k=4, rounds=8, num_buckets=4)
+        .to_pandas()
+        .set_index("node")["core_degree"]
+        .to_dict()
+    )
+    assert got == kcore_reference(sorted(edges), k=4, rounds=8)
