@@ -23,6 +23,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from ray.data.aggregate import Sum
 
 
 def _mat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -315,3 +316,122 @@ def centroids_by_label(embs: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("label")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- fixed-iteration k-means
+
+
+def kmeans_fixed(
+    ds: "ray.data.Dataset",
+    k: int = 4,
+    iters: int = 5,
+    dist_dp: int = 9,
+    cent_dp: int = 12,
+) -> "ray.data.Dataset":
+    """Lloyd's k-means with a FIXED iteration count and deterministic
+    seeding (the k lowest-vec_id vectors), returning the final
+    (vec_id, cluster) assignment.
+
+    The iterate-on-driver pattern: centroids are MODEL PARAMETERS
+    (k x dim doubles), so each round they come back to the driver and
+    re-broadcast via ray.put — the data-side work per round is one
+    map_batches (vectorized distance + argmin + per-cluster partial
+    sums, k*dim rows per batch) and one packed-key groupby. The
+    corpus never leaves the object store.
+
+    Oracle determinism contract (shared with the recursive-CTE SQL of
+    SQL_KMEANS_CLUSTERS):
+    squared distances round to `dist_dp` decimals before argmin (ties
+    -> lowest centroid id), per-dim centroid means round to `cent_dp`
+    — so nondeterministic summation order on either side cannot flip
+    an assignment or drift a mean. Clusters that lose all members
+    die (both sides aggregate over assigned members only). Seeding by
+    k-smallest ids uses a per-batch partial top-k, never a global
+    sort.
+    """
+    import pyarrow.compute as pc
+
+    # --- deterministic seed: k lowest vec_id embeddings
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) > k:
+            keep = np.argpartition(ids, k)[:k]
+            t = t.take(pa.array(np.sort(keep)))
+        return t.select(["vec_id", "embedding"])
+
+    seed_rows = ds.map_batches(
+        seed_partial, batch_format="pyarrow"
+    ).take_all()
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    C = np.array(
+        [r["embedding"] for r in seed_rows[:k]], dtype=np.float32
+    ).astype(np.float64)
+    cids = np.arange(C.shape[0], dtype=np.int64)
+
+    def assign(E: np.ndarray, C_: np.ndarray, cids_: np.ndarray):
+        d2 = np.round(
+            ((E[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2), dist_dp
+        )
+        return cids_[np.argmin(d2, axis=1)]  # first index wins ties;
+        # cids_ ascending => lowest cid, matching the SQL min(cid)
+
+    for _ in range(iters):
+        ref = ray.put((C, cids))
+
+        def sums_partial(t: pa.Table, ref=ref) -> pa.Table:
+            C_, cids_ = ray.get(ref)
+            ids, E = _mat(t)
+            asg = assign(E, C_, cids_)
+            u = np.unique(asg)
+            rows_c, rows_d, rows_s, rows_n = [], [], [], []
+            for c in u:
+                sel = E[asg == c]
+                rows_c.append(np.full(E.shape[1], c, dtype=np.int64))
+                rows_d.append(np.arange(E.shape[1], dtype=np.int64))
+                rows_s.append(sel.sum(axis=0))
+                rows_n.append(
+                    np.full(E.shape[1], sel.shape[0], dtype=np.int64)
+                )
+            cid_col = np.concatenate(rows_c)
+            dim_col = np.concatenate(rows_d)
+            return pa.table(
+                {
+                    "key": pa.array(cid_col * 100000 + dim_col),
+                    "s": pa.array(np.concatenate(rows_s)),
+                    "n": pa.array(np.concatenate(rows_n)),
+                }
+            )
+
+        agg = (
+            ds.map_batches(sums_partial, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()  # k*dim rows: model parameters, driver-sized
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in agg:
+            cid, dim = divmod(int(r["key"]), 100000)
+            by_cid.setdefault(cid, {})[dim] = round(
+                r["s"] / r["n"], cent_dp
+            )
+        cids = np.array(sorted(by_cid), dtype=np.int64)
+        dim = C.shape[1]
+        C = np.array(
+            [[by_cid[c][d] for d in range(dim)] for c in cids],
+            dtype=np.float64,
+        )
+
+    ref = ray.put((C, cids))
+
+    def final_assign(t: pa.Table, ref=ref) -> pa.Table:
+        C_, cids_ = ray.get(ref)
+        ids, E = _mat(t)
+        asg = assign(E, C_, cids_)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "cluster": pa.array(asg.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")

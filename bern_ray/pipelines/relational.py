@@ -6147,6 +6147,76 @@ LEFT JOIN p USING (user_id)
 """
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 5
+KMEANS_DIM = 64
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """5-iteration Lloyd k-means over the embeddings table
+    (functions/ann.py kmeans_fixed): deterministic lowest-vec_id
+    seeding, round-9 distances before argmin (ties -> lowest
+    centroid), round-12 per-dim means — the contract the recursive-
+    CTE oracle shares, so the final assignment value-hashes
+    identically. The iterative twin of the single-pass
+    label_centroids."""
+    from ..functions.ann import kmeans_fixed
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_fixed(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH RECURSIVE
+dims AS (SELECT unnest(range(1, {KMEANS_DIM} + 1)) AS dim),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+),
+cent AS (
+  SELECT 0 AS iter, cid, dim, CAST(embedding[dim] AS DOUBLE) AS val
+  FROM init, dims
+  UNION ALL
+  SELECT nc.iter, nc.cid, nc.dim, nc.val FROM (
+    WITH a AS (
+      SELECT c.iter, e.vec_id, c.cid,
+             round(sum((CAST(e.embedding[c.dim] AS DOUBLE) - c.val)
+                       * (CAST(e.embedding[c.dim] AS DOUBLE) - c.val)),
+                   9) AS d2
+      FROM embeddings e JOIN cent c ON c.iter < {KMEANS_ITERS}
+      GROUP BY c.iter, e.vec_id, c.cid
+    ),
+    m AS (
+      SELECT iter, vec_id, min(d2) AS md FROM a GROUP BY iter, vec_id
+    ),
+    asg AS (
+      SELECT a.iter, a.vec_id, min(a.cid) AS cid
+      FROM a JOIN m
+        ON m.iter = a.iter AND m.vec_id = a.vec_id AND a.d2 = m.md
+      GROUP BY a.iter, a.vec_id
+    )
+    SELECT asg.iter + 1 AS iter, asg.cid, dims.dim,
+           round(avg(CAST(e.embedding[dims.dim] AS DOUBLE)), 12) AS val
+    FROM asg JOIN embeddings e ON e.vec_id = asg.vec_id, dims
+    GROUP BY asg.iter, asg.cid, dims.dim
+  ) nc
+),
+fa AS (
+  SELECT e.vec_id, c.cid,
+         round(sum((CAST(e.embedding[c.dim] AS DOUBLE) - c.val)
+                   * (CAST(e.embedding[c.dim] AS DOUBLE) - c.val)), 9) AS d2
+  FROM embeddings e JOIN cent c ON c.iter = {KMEANS_ITERS}
+  GROUP BY e.vec_id, c.cid
+),
+fm AS (SELECT vec_id, min(d2) AS md FROM fa GROUP BY vec_id)
+SELECT fa.vec_id, min(fa.cid)::BIGINT AS cluster
+FROM fa JOIN fm ON fm.vec_id = fa.vec_id AND fa.d2 = fm.md
+GROUP BY fa.vec_id
+"""
+
+
 def q_part_kcore(sf_dir: str):
     """3-core of the part co-purchase graph by 8-round synchronous
     peeling (functions/graph.py kcore); the round count is shared
@@ -6456,6 +6526,7 @@ DRIVER_EXCLUDE = {
     "part_pagerank",  # graph-analytics family, local gate
     "segment_trend",  # distributed regression, local gate
     "part_kcore",  # graph-analytics family, local gate
+    "kmeans_clusters",  # iterative ML family, local gate
     "fs_patterns",  # subsumed by fs_em_weights (EM runs ON the counts)
     "fs_decisions",  # local gate + pytest (keeps driver at 50)
     "fs_tf_weights",  # local gate + pytest (fs_em_weights keeps the
@@ -6697,6 +6768,7 @@ REGISTRY: dict[str, tuple] = {
     "part_pagerank": (q_part_pagerank, SQL_PART_PAGERANK),
     "segment_trend": (q_segment_trend, SQL_SEGMENT_TREND),
     "part_kcore": (q_part_kcore, SQL_PART_KCORE),
+    "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "affine_gap_names": (q_affine_gap_names, None),
     "fs_patterns": (q_fs_patterns, SQL_FS_PATTERNS),
     "fs_em_weights": (q_fs_em_weights, _sql_fs_em()),
