@@ -1323,6 +1323,108 @@ FROM l FULL OUTER JOIN r ON l.k = r.k
 """
 
 
+def _snapshot_sides(sf_dir: str):
+    """Two deterministic keyed snapshots of orders for the CDC family:
+    'old' drops keys ≡3 (mod 10); 'new' drops keys ≡2 (mod 7) and
+    bumps o_custkey by 1 where key ≡5 (mod 13) — so a diff exercises
+    inserts, deletes AND updates."""
+
+    def side(mod: int, rem: int, keycol: str, valcol: str, update: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            keep = k % mod != rem
+            k = k[keep]
+            v = t["o_custkey"].to_numpy(zero_copy_only=False)[keep]
+            if update:
+                v = np.where(k % 13 == 5, v + 1, v)
+            return pa.table(
+                {
+                    keycol: pa.array(k, type=pa.int64()),
+                    valcol: pa.array(v, type=pa.int64()),
+                }
+            )
+
+        return fn
+
+    def orders():
+        return read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+
+    old = orders().map_batches(
+        side(10, 3, "o_orderkey", "old_custkey", False),
+        batch_format="pyarrow",
+    )
+    new = orders().map_batches(
+        side(7, 2, "o_orderkey__new", "new_custkey", True),
+        batch_format="pyarrow",
+    )
+    return old, new
+
+
+def q_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff (functions/cdc.py snapshot_diff): one
+    full-outer bucketed shuffle over the two order snapshots;
+    unchanged keys are dropped inside each bucket so the emission is
+    churn-sized, never table-sized. Compared columns ride the shuffle
+    directly (exact — no digest-collision caveat); a wide-row 100-TB
+    run would pre-reduce them to a map-side content digest."""
+    from ..functions.cdc import snapshot_diff
+
+    old, new = _snapshot_sides(sf_dir)
+    return snapshot_diff(old, new, key="o_orderkey", compare=["custkey"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_custkey AS v
+  FROM orders WHERE o_orderkey % 10 != 3
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 13 = 5 THEN o_custkey + 1
+              ELSE o_custkey END AS v
+  FROM orders WHERE o_orderkey % 7 != 2
+)
+SELECT COALESCE(old.k, new.k) AS o_orderkey,
+       CASE WHEN old.k IS NULL THEN 'insert'
+            WHEN new.k IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       old.v AS old_custkey, new.v AS new_custkey
+FROM old FULL OUTER JOIN new ON old.k = new.k
+WHERE old.k IS NULL OR new.k IS NULL OR old.v != new.v
+"""
+
+
+def q_snapshot_apply(sf_dir: str):
+    """Delta application (functions/cdc.py apply_delta): replay the
+    snapshot_diff output onto the old snapshot — deletes drop,
+    updates replace, inserts add, untouched keys pass through. The
+    oracle IS the new-snapshot definition, so diff→apply round-trip
+    correctness is value-hash-checked end-to-end (two chained
+    bucketed shuffles, both churn- or table-sized, never both)."""
+    from ..functions.cdc import apply_delta, snapshot_diff
+
+    old, new = _snapshot_sides(sf_dir)
+    delta = snapshot_diff(old, new, key="o_orderkey", compare=["custkey"])
+    old2, _ = _snapshot_sides(sf_dir)
+    snapshot = old2.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "custkey"]),
+        batch_format="pyarrow",
+    )
+    return apply_delta(
+        snapshot, delta, key="o_orderkey", values=["custkey"]
+    )
+
+
+SQL_SNAPSHOT_APPLY = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 13 = 5 THEN o_custkey + 1
+            ELSE o_custkey END AS custkey
+FROM orders WHERE o_orderkey % 7 != 2
+"""
+
+
 def q_segment_revenue(sf_dir: str):
     """orders x customer broadcast hash join -> revenue per market
     segment. customer is the small side: `ray.put` once, vectorized
@@ -6617,6 +6719,8 @@ DRIVER_EXCLUDE = {
     # the md5-fold key stays driver-checked through b3_dedup_eval)
     "quality_filter",  # subsumed by corpus_quality_gate (same
     # heuristic CTE + the LM-quantile cut in one driver row)
+    "snapshot_diff",  # CDC family, local gate + tests/test_cdc.py
+    "snapshot_apply",  # diff→apply round-trip, local gate + pytest
 }
 
 
@@ -6667,6 +6771,8 @@ REGISTRY: dict[str, tuple] = {
     "running_count": (q_running_count, SQL_RUNNING_COUNT),
     "running_sum": (q_running_sum, SQL_RUNNING_SUM),
     "outer_join_balances": (q_outer_join_balances, SQL_OUTER_JOIN_BALANCES),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "snapshot_apply": (q_snapshot_apply, SQL_SNAPSHOT_APPLY),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),
