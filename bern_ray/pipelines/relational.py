@@ -81,6 +81,94 @@ def q_token_freq(sf_dir: str):
     return fts.token_freq(_docs(sf_dir), min_count=50)
 
 
+INVIDX_MIN_DF = 5
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: token → sorted doc_id posting list + df
+    (the IR core every sharded search/dedup index needs). Map side
+    emits DISTINCT (token, doc_id) pairs per batch via the zero-copy
+    byte tokenizer — exact, since a document lives in exactly one
+    batch; one shuffle on hash(token) co-locates a term's postings and
+    the bucket kernel packs each segment into a ListArray with one
+    offsets array (no per-term Python). Posting lists are per-TERM
+    sized — a 100-TB corpus shards the hot tail by (token, doc-range)
+    before any term outgrows a block; df >= INVIDX_MIN_DF keeps hapax
+    noise out of both sides."""
+    from ..functions.textstats import _explode_tokens
+    from ..stages.bucketed import bucketed_apply, segments
+
+    def pairs(t: pa.Table) -> pa.Table:
+        parent, toks = _explode_tokens(t["text"])
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        df = pd.DataFrame(
+            {"token": toks.to_numpy(zero_copy_only=False), "doc_id": doc}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "token": pa.array(df["token"], type=pa.string()),
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
+    def pack(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "df": pa.array([], type=pa.int64()),
+                    "postings": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        codes, toks = pd.factorize(
+            t["token"].to_numpy(zero_copy_only=False)
+        )
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, codes))
+        c_s, d_s = codes[order], doc[order]
+        starts, sizes = segments(c_s)
+        keep = sizes >= INVIDX_MIN_DF
+        starts, sizes = starts[keep], sizes[keep]
+        # gather kept segments' doc ids contiguously, then one
+        # ListArray over the packed values
+        idx = np.repeat(starts, sizes) + (
+            np.arange(sizes.sum()) - np.repeat(np.cumsum(sizes) - sizes, sizes)
+        )
+        offs = np.concatenate(([0], np.cumsum(sizes))).astype(np.int32)
+        return pa.table(
+            {
+                "token": pa.array(
+                    np.asarray(toks, dtype=object)[c_s[starts]],
+                    type=pa.string(),
+                ),
+                "df": pa.array(sizes, type=pa.int64()),
+                "postings": pa.ListArray.from_arrays(
+                    offs, pa.array(d_s[idx], type=pa.int64())
+                ),
+            }
+        )
+
+    pair_ds = _docs(sf_dir).map_batches(pairs, batch_format="pyarrow")
+    return bucketed_apply(pair_ds, "token", pack)
+
+
+SQL_INVERTED_INDEX = f"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{fts.TOKEN_RE}'))
+           AS token
+  FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, token FROM occ)
+SELECT token, count(*)::BIGINT AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM tok GROUP BY token HAVING count(*) >= {INVIDX_MIN_DF}
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -2058,6 +2146,104 @@ SELECT user_id, session_id::BIGINT AS session_id,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value
 FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_state_intervals(sf_dir: str):
+    """Gaps-and-islands / SCD2 compaction: per user, collapse
+    consecutive runs of the same event_type into validity intervals
+    (state, valid_from, valid_to, n_events) — the slowly-changing-
+    dimension history build. Bucket-and-segment shape (one shuffle on
+    hash(user), vectorized run-length islands inside the bucket);
+    valid_to is the NEXT island's start within the user (null on the
+    open tail), computed by one np.roll — no per-user Python. All
+    timestamps ride as exact epoch microseconds so the kernel and the
+    LAG/LEAD oracle share one total order (ts, event_id)."""
+    from ..stages.bucketed import bucketed_apply, segments
+
+    def islands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "island": pa.array([], type=pa.int64()),
+                    "state": pa.array([], type=pa.string()),
+                    "valid_from": pa.array([], type=pa.int64()),
+                    "valid_to": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        tus = _epoch_us(t["ts"])
+        codes, states = pd.factorize(
+            t["event_type"].to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, tus, uid))
+        uid_s, t_s, c_s = uid[order], tus[order], codes[order]
+        u_starts, u_sizes = segments(uid_s)
+        brk = np.zeros(n, dtype=bool)
+        brk[u_starts] = True
+        brk[1:] |= c_s[1:] != c_s[:-1]
+        gid = np.cumsum(brk)  # global island run id
+        island = gid - np.repeat(gid[u_starts], u_sizes) + 1  # 1-based
+        i_starts = np.flatnonzero(brk)
+        i_sizes = np.diff(np.append(i_starts, n))
+        vf = t_s[i_starts]
+        u_i = uid_s[i_starts]
+        nxt_vf = np.roll(vf, -1)
+        open_tail = np.roll(u_i, -1) != u_i
+        if len(u_i):
+            open_tail[-1] = True
+        return pa.table(
+            {
+                "user_id": pa.array(u_i, type=pa.int64()),
+                "island": pa.array(island[i_starts], type=pa.int64()),
+                "state": pa.array(
+                    np.asarray(states, dtype=object)[c_s[i_starts]],
+                    type=pa.string(),
+                ),
+                "valid_from": pa.array(vf, type=pa.int64()),
+                "valid_to": pa.array(
+                    nxt_vf, type=pa.int64(), mask=open_tail
+                ),
+                "n_events": pa.array(i_sizes, type=pa.int64()),
+            }
+        )
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return bucketed_apply(ev, "user_id", islands)
+
+
+SQL_STATE_INTERVALS = """
+WITH x AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_state
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type, t,
+         sum(CASE WHEN prev_state IS NULL
+                    OR event_type != prev_state THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM x
+),
+g AS (
+  SELECT user_id, island, min(event_type) AS state,
+         min(t) AS valid_from, count(*) AS n_events
+  FROM s GROUP BY user_id, island
+)
+SELECT user_id, island::BIGINT AS island, state,
+       valid_from::BIGINT AS valid_from,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY island
+       )::BIGINT AS valid_to,
+       n_events::BIGINT AS n_events
+FROM g
 """
 
 
@@ -6467,6 +6653,105 @@ FROM a
 """
 
 
+# z-score anomaly flags: centering constant + cut shared verbatim
+# with the oracle (the raw E[y^2]-E[y]^2 form cancels ~1e10 products;
+# centered near the data's scale the residual drift is ~1e-16 rel).
+OUTLIER_C = 150000.0
+# near-uniform synthetic prices bound |z| at sqrt(3)≈1.73 — cut at
+# 1.5 so the flagged tail is non-empty at every sf (a Gaussian-tailed
+# production column would use the usual 2.5-3)
+OUTLIER_Z = 1.5
+
+
+def q_price_outliers(sf_dir: str):
+    """Per-group z-score outlier flags over orders (group =
+    o_orderpriority): pass 1 reduces the table to five mergeable
+    moment rows (n, Σ(y-c), Σ(y-c)²) via map-side partials + one tiny
+    groupby; the O(#groups) stats table broadcasts back and pass 2
+    flags |z| > OUTLIER_Z rows in one vectorized map_batches — the
+    standard two-pass anomaly detector; nothing driver-sized but the
+    O(#groups) stats."""
+    from ..stages.broadcast import get_broadcast, put_broadcast
+
+    def moments(t: pa.Table) -> pa.Table:
+        y = t["o_totalprice"].to_numpy() - OUTLIER_C
+        df = pd.DataFrame(
+            {"grp": t["o_orderpriority"].to_numpy(zero_copy_only=False),
+             "y": y, "yy": y * y}
+        )
+        g = df.groupby("grp", as_index=False).agg(
+            n=("y", "size"), s1=("y", "sum"), s2=("yy", "sum")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def orders():
+        return read_parquet_clean(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        )
+
+    stats = (
+        orders()
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("grp")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()
+    )
+    mu = (stats.s1 / stats.n).to_numpy()
+    sd = np.sqrt(stats.s2 / stats.n - (stats.s1 / stats.n) ** 2)
+    lut = {
+        g: (m, s) for g, m, s in zip(stats.grp, mu, sd.to_numpy())
+    }
+    ref = put_broadcast(lut)
+
+    def flag(t: pa.Table) -> pa.Table:
+        m = get_broadcast(ref)
+        grp = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        mus = np.array([m[g][0] for g in pd.unique(grp)])
+        sds = np.array([m[g][1] for g in pd.unique(grp)])
+        codes = pd.Categorical(grp, categories=pd.unique(grp)).codes
+        y = t["o_totalprice"].to_numpy() - OUTLIER_C
+        z = (y - mus[codes]) / sds[codes]
+        keep = np.abs(z) > OUTLIER_Z
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": sub["o_orderkey"],
+                "o_orderpriority": sub["o_orderpriority"],
+                "o_totalprice": pc.round(sub["o_totalprice"], ndigits=2),
+                "z": pa.array(np.round(z[keep], 6)),
+            }
+        )
+
+    return orders().map_batches(flag, batch_format="pyarrow")
+
+
+SQL_PRICE_OUTLIERS = f"""
+WITH a AS (
+  SELECT o_orderpriority AS grp, count(*) AS n,
+         sum(o_totalprice - {OUTLIER_C}) AS s1,
+         sum((o_totalprice - {OUTLIER_C}) * (o_totalprice - {OUTLIER_C}))
+           AS s2
+  FROM orders GROUP BY grp
+),
+z AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+         (o.o_totalprice - {OUTLIER_C} - a.s1 / a.n)
+           / sqrt(a.s2 / a.n - (a.s1 / a.n) * (a.s1 / a.n)) AS zv
+  FROM orders o JOIN a ON a.grp = o.o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, 2) AS o_totalprice, round(zv, 6) AS z
+FROM z WHERE abs(zv) > {OUTLIER_Z}
+"""
+
+
 def q_part_pagerank(sf_dir: str):
     """10-iteration PageRank over the part co-purchase graph
     (functions/graph.py pagerank — iterative driver loop, per-round
@@ -6721,6 +7006,9 @@ DRIVER_EXCLUDE = {
     # heuristic CTE + the LM-quantile cut in one driver row)
     "snapshot_diff",  # CDC family, local gate + tests/test_cdc.py
     "snapshot_apply",  # diff→apply round-trip, local gate + pytest
+    "state_intervals",  # SCD2 islands, local gate + tests/test_scd.py
+    "inverted_index",  # IR posting lists, local gate + pytest
+    "price_outliers",  # z-score anomaly flags, local gate + pytest
 }
 
 
@@ -6773,6 +7061,9 @@ REGISTRY: dict[str, tuple] = {
     "outer_join_balances": (q_outer_join_balances, SQL_OUTER_JOIN_BALANCES),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "snapshot_apply": (q_snapshot_apply, SQL_SNAPSHOT_APPLY),
+    "state_intervals": (q_state_intervals, SQL_STATE_INTERVALS),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),
