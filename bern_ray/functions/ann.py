@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -349,7 +350,43 @@ def kmeans_fixed(
     k-smallest ids uses a per-batch partial top-k, never a global
     sort.
     """
-    import pyarrow.compute as pc
+    C, cids = _kmeans_params(ds, k, iters, dist_dp, cent_dp)
+    ref = ray.put((C, cids))
+
+    def final_assign(t: pa.Table, ref=ref) -> pa.Table:
+        C_, cids_ = ray.get(ref)
+        ids, E = _mat(t)
+        asg = _kmeans_assign(E, C_, cids_, dist_dp)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "cluster": pa.array(asg.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def _kmeans_assign(
+    E: np.ndarray, C_: np.ndarray, cids_: np.ndarray, dist_dp: int
+) -> np.ndarray:
+    d2 = np.round(
+        ((E[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2), dist_dp
+    )
+    return cids_[np.argmin(d2, axis=1)]  # first index wins ties;
+    # cids_ ascending => lowest cid, matching the SQL min(cid)
+
+
+def _kmeans_params(
+    ds: "ray.data.Dataset",
+    k: int,
+    iters: int,
+    dist_dp: int,
+    cent_dp: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The Lloyd loop of kmeans_fixed, returning the final model
+    parameters (C: live-centroid matrix, cids: their ids) so callers
+    (final assignment, silhouette) can run their own last pass."""
 
     # --- deterministic seed: k lowest vec_id embeddings
     def seed_partial(t: pa.Table) -> pa.Table:
@@ -368,20 +405,13 @@ def kmeans_fixed(
     ).astype(np.float64)
     cids = np.arange(C.shape[0], dtype=np.int64)
 
-    def assign(E: np.ndarray, C_: np.ndarray, cids_: np.ndarray):
-        d2 = np.round(
-            ((E[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2), dist_dp
-        )
-        return cids_[np.argmin(d2, axis=1)]  # first index wins ties;
-        # cids_ ascending => lowest cid, matching the SQL min(cid)
-
     for _ in range(iters):
         ref = ray.put((C, cids))
 
         def sums_partial(t: pa.Table, ref=ref) -> pa.Table:
             C_, cids_ = ray.get(ref)
             ids, E = _mat(t)
-            asg = assign(E, C_, cids_)
+            asg = _kmeans_assign(E, C_, cids_, dist_dp)
             u = np.unique(asg)
             rows_c, rows_d, rows_s, rows_n = [], [], [], []
             for c in u:
@@ -421,17 +451,69 @@ def kmeans_fixed(
             dtype=np.float64,
         )
 
+    return C, cids
+
+
+def kmeans_silhouette(
+    ds: "ray.data.Dataset",
+    k: int = 4,
+    iters: int = 5,
+    dist_dp: int = 9,
+    cent_dp: int = 12,
+    sil_dp: int = 9,
+    out_dp: int = 6,
+) -> "ray.data.Dataset":
+    """Simplified (centroid-based) silhouette per k-means cluster:
+    a = point→own-centroid distance, b = nearest OTHER centroid,
+    s = (b−a)/max(a,b); reported as the per-cluster mean — the O(n·k)
+    cluster-quality score that replaces the O(n²) classic silhouette
+    at corpus scale. Shares the full Lloyd determinism contract with
+    kmeans_fixed (d² rounded to dist_dp before argmin, lowest-cid
+    ties) plus per-point s rounded to sil_dp so the cluster mean
+    cannot drift under partial-sum reordering; one extra map_batches
+    + one k-row groupby after the shared parameter loop."""
+    C, cids = _kmeans_params(ds, k, iters, dist_dp, cent_dp)
     ref = ray.put((C, cids))
 
-    def final_assign(t: pa.Table, ref=ref) -> pa.Table:
+    def sil_partial(t: pa.Table, ref=ref) -> pa.Table:
         C_, cids_ = ray.get(ref)
         ids, E = _mat(t)
-        asg = assign(E, C_, cids_)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids.astype(np.int64)),
-                "cluster": pa.array(asg.astype(np.int64)),
-            }
+        d2 = np.round(
+            ((E[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2), dist_dp
         )
+        pos = np.argmin(d2, axis=1)
+        rows = np.arange(len(pos))
+        a = np.sqrt(d2[rows, pos])
+        masked = d2.copy()
+        masked[rows, pos] = np.inf
+        b = np.sqrt(masked.min(axis=1))
+        s = np.round((b - a) / np.maximum(a, b), sil_dp)
+        df = pd.DataFrame({"cluster": cids_[pos], "s": s})
+        g = df.groupby("cluster", as_index=False).agg(
+            n=("s", "size"), ssum=("s", "sum")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
 
-    return ds.map_batches(final_assign, batch_format="pyarrow")
+    agg = (
+        ds.map_batches(sil_partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("ssum", alias_name="ssum"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "cluster": pc.cast(t["cluster"], pa.int64()),
+                "n_points": pc.cast(t["n"], pa.int64()),
+                "silhouette": pa.array(
+                    np.round(
+                        t["ssum"].to_numpy()
+                        / t["n"].to_numpy(zero_copy_only=False),
+                        out_dp,
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

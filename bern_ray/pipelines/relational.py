@@ -6505,6 +6505,50 @@ GROUP BY fa.vec_id
 """
 
 
+def q_kmeans_silhouette(sf_dir: str):
+    """Per-cluster simplified silhouette (functions/ann.py
+    kmeans_silhouette): the O(n·k) centroid-based quality score over
+    the same 5-iteration Lloyd fit as kmeans_clusters — one extra
+    vectorized map_batches + a k-row groupby after the shared
+    parameter loop. The oracle re-derives the centroids through the
+    identical recursive CTE, then computes a/b/s per point with the
+    shared rounding ladder (d² round-9 → s round-9 → mean round-6)."""
+    from ..functions.ann import kmeans_silhouette
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_silhouette(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+# shares the recursive centroid CTE with SQL_KMEANS_CLUSTERS verbatim
+# up to `fa`, then pivots per-point a/b out of the distance table
+SQL_KMEANS_SILHOUETTE = (
+    SQL_KMEANS_CLUSTERS.split("fm AS")[0]
+    + """
+fm AS (SELECT vec_id, min(d2) AS md FROM fa GROUP BY vec_id),
+asg AS (
+  SELECT fa.vec_id, min(fa.cid) AS cid
+  FROM fa JOIN fm ON fm.vec_id = fa.vec_id AND fa.d2 = fm.md
+  GROUP BY fa.vec_id
+),
+ab AS (
+  SELECT a2.vec_id, a2.cid,
+         sqrt(max(CASE WHEN fa.cid = a2.cid THEN fa.d2 END)) AS a,
+         sqrt(min(CASE WHEN fa.cid != a2.cid THEN fa.d2 END)) AS b
+  FROM asg a2 JOIN fa ON fa.vec_id = a2.vec_id
+  GROUP BY a2.vec_id, a2.cid
+),
+s AS (
+  SELECT cid, round((b - a) / greatest(a, b), 9) AS s FROM ab
+)
+SELECT cid::BIGINT AS cluster, count(*)::BIGINT AS n_points,
+       round(avg(s), 6) AS silhouette
+FROM s GROUP BY cid
+"""
+)
+
+
 def q_part_kcore(sf_dir: str):
     """3-core of the part co-purchase graph by 8-round synchronous
     peeling (functions/graph.py kcore); the round count is shared
@@ -6749,6 +6793,144 @@ z AS (
 SELECT o_orderkey, o_orderpriority,
        round(o_totalprice, 2) AS o_totalprice, round(zv, 6) AS z
 FROM z WHERE abs(zv) > {OUTLIER_Z}
+"""
+
+
+# candidate FDs audited over orders: (name, lhs column, rhs column).
+# orderkey→custkey genuinely holds (violation_rows = 0); the custkey
+# FDs genuinely fail — the census shape is Huhtala/TANE's g3 repair
+# metric (min rows to delete to make the FD hold), distributed.
+FD_CANDIDATES = [
+    ("custkey->priority", "o_custkey", "o_orderpriority"),
+    ("custkey->status", "o_custkey", "o_orderstatus"),
+    ("orderkey->custkey", "o_orderkey", "o_custkey"),
+]
+
+
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency violation census: for each candidate FD
+    lhs→rhs, the number of lhs groups, how many host >1 distinct rhs,
+    and the g3 repair cost Σ(n_lhs − majority_rhs_count). One tagged
+    pass emits per-batch (fd, lhs, rhs, partial-count) rows for all
+    FDs at once; shuffle 1 sums exact pair counts, shuffle 2 reduces
+    per-lhs (sum, max), and an O(#FD) groupby finishes — counts only,
+    never a row inventory, so skewed lhs keys cost one combiner row
+    per batch."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        frames = []
+        for name, lhs, rhs in FD_CANDIDATES:
+            df = pd.DataFrame(
+                {
+                    "lhs": np.asarray(
+                        t[lhs].to_numpy(zero_copy_only=False), dtype=object
+                    ).astype(str),
+                    "rhs": np.asarray(
+                        t[rhs].to_numpy(zero_copy_only=False), dtype=object
+                    ).astype(str),
+                }
+            )
+            g = df.groupby(["lhs", "rhs"], as_index=False).size()
+            g.insert(0, "fd", name)
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True).rename(
+            columns={"size": "c"}
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    cols = sorted({c for _n, l, r in FD_CANDIDATES for c in (l, r)})
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=cols
+    )
+    cnt = (
+        orders.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["fd", "lhs", "rhs"])
+        .sum("c")
+    )
+
+    def per_lhs_partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "fd": t["fd"],
+                "lhs": t["lhs"],
+                "c": t["sum(c)"],
+            }
+        ).to_pandas()
+        g = df.groupby(["fd", "lhs"], as_index=False).agg(
+            n=("c", "sum"), mx=("c", "max")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    per_lhs = (
+        cnt.map_batches(per_lhs_partial, batch_format="pyarrow")
+        .groupby(["fd", "lhs"])
+        .aggregate(Sum("n", alias_name="n"), Max("mx", alias_name="mx"))
+    )
+
+    def fd_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "fd": t["fd"].to_numpy(zero_copy_only=False),
+                "g": np.ones(len(n), dtype=np.int64),
+                "v": (mx < n).astype(np.int64),
+                "r": n - mx,
+            }
+        )
+        g = df.groupby("fd", as_index=False).sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = (
+        per_lhs.map_batches(fd_partial, batch_format="pyarrow")
+        .groupby("fd")
+        .aggregate(
+            Sum("g", alias_name="g"),
+            Sum("v", alias_name="v"),
+            Sum("r", alias_name="r"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "fd": t["fd"],
+                "n_groups": pc.cast(t["g"], pa.int64()),
+                "violating_groups": pc.cast(t["v"], pa.int64()),
+                "violation_rows": pc.cast(t["r"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FD_VIOLATIONS = """
+WITH pairs AS (
+  SELECT 'custkey->priority' AS fd, o_custkey::VARCHAR AS lhs,
+         o_orderpriority::VARCHAR AS rhs FROM orders
+  UNION ALL
+  SELECT 'custkey->status', o_custkey::VARCHAR,
+         o_orderstatus::VARCHAR FROM orders
+  UNION ALL
+  SELECT 'orderkey->custkey', o_orderkey::VARCHAR,
+         o_custkey::VARCHAR FROM orders
+),
+cnt AS (
+  SELECT fd, lhs, rhs, count(*) AS c FROM pairs GROUP BY fd, lhs, rhs
+),
+per_lhs AS (
+  SELECT fd, lhs, sum(c) AS n, max(c) AS mx FROM cnt GROUP BY fd, lhs
+)
+SELECT fd, count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN mx < n THEN 1 ELSE 0 END)::BIGINT
+         AS violating_groups,
+       sum(n - mx)::BIGINT AS violation_rows
+FROM per_lhs GROUP BY fd
 """
 
 
@@ -7009,6 +7191,8 @@ DRIVER_EXCLUDE = {
     "state_intervals",  # SCD2 islands, local gate + tests/test_scd.py
     "inverted_index",  # IR posting lists, local gate + pytest
     "price_outliers",  # z-score anomaly flags, local gate + pytest
+    "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
+    "kmeans_silhouette",  # cluster-quality score, local gate + pytest
 }
 
 
@@ -7064,6 +7248,8 @@ REGISTRY: dict[str, tuple] = {
     "state_intervals": (q_state_intervals, SQL_STATE_INTERVALS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
+    "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
+    "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),
