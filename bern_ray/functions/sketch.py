@@ -532,6 +532,26 @@ def cm_estimate(
     return ests.min(axis=0)
 
 
+def cm_join_size(
+    ds_a: "ray.data.Dataset",
+    key_a: str,
+    ds_b: "ray.data.Dataset",
+    key_b: str,
+    width: int = 1 << 14,
+) -> int:
+    """Join-cardinality estimate |A ⋈ B| from two Count-Min sketches
+    (Cormode & Muthukrishnan 2005 §4.2): the true size is the inner
+    product of the two key-frequency vectors, and min over depth of
+    the per-row sketch dot products overestimates it by at most
+    e/width * N_a * N_b with prob 1-(1/2)^depth (one-sided, like the
+    point estimate). Each side ships only its depth×width matrix —
+    the planner-statistics primitive that sizes a shuffle join
+    WITHOUT running it."""
+    A = cm_build(ds_a, key_a, width=width)
+    B = cm_build(ds_b, key_b, width=width)
+    return int(min(int((A[d] * B[d]).sum()) for d in range(CM_DEPTH)))
+
+
 def cm_topk_estimates(
     ds: "ray.data.Dataset",
     key: str,

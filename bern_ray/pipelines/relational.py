@@ -6098,6 +6098,160 @@ def q_heavy_hitters_cm(sf_dir: str):
     return cm_topk_estimates(ev, "event_type", sorted(cands))
 
 
+def q_join_size_cm(sf_dir: str):
+    """Join-cardinality estimation without the join (functions/
+    sketch.py cm_join_size): orders ⋈ lineitem on orderkey sized from
+    two Count-Min matrices — each side reduces to depth×width counts,
+    the estimate is the min-over-depth inner product. Rows-only
+    (one-sided overestimate, bound pytest-pinned in tests/
+    test_sketch.py); the exact size rides along for reference."""
+    import ray.data as _rd
+
+    from ..functions.sketch import cm_join_size
+
+    def keyed(path, col):
+        return read_parquet_clean(
+            f"{sf_dir}/{path}.parquet", columns=[col]
+        ).map_batches(
+            lambda t, c=col: pa.table(
+                {"k": pc.cast(t[c], pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    est = cm_join_size(
+        keyed("orders", "o_orderkey"), "k",
+        keyed("lineitem", "l_orderkey"), "k",
+    )
+    exact = int(
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+        ).count()
+    )  # orders.o_orderkey is unique, so |join| = |lineitem|
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "est_join_size": pa.array([est], type=pa.int64()),
+                "exact_join_size": pa.array([exact], type=pa.int64()),
+            }
+        )
+    )
+
+
+# time-decay aggregate: fixed reference day + rate shared verbatim
+# with the oracle (decay to a CONSTANT horizon keeps the partial sums
+# associative — the streaming-feature form of a windowed aggregate)
+DECAY_TREF_DAYS = 20089.0  # 2025-01-01
+DECAY_LAMBDA = 0.01  # per day
+
+
+def q_decayed_user_value(sf_dir: str):
+    """Exponentially time-decayed per-user value: Σ value·exp(−λ·age)
+    with age measured against a FIXED horizon, so each batch's partial
+    sums merge associatively through one groupby — the standard
+    recency-weighted engagement feature. Vectorized exp per batch;
+    round-4 output absorbs cross-engine summation-order drift."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tdays = _epoch_us(t["ts"]) / 86400000000.0
+        w = np.exp(-DECAY_LAMBDA * (DECAY_TREF_DAYS - tdays))
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "dv": t["value"].to_numpy() * w,
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            n=("dv", "size"), dv=("dv", "sum")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    ev = _events(sf_dir, ["ts", "user_id", "value"])
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("dv", alias_name="dv"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": pc.cast(t["n"], pa.int64()),
+                "decayed_value": pa.array(
+                    np.round(t["dv"].to_numpy(), 4)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DECAYED_USER_VALUE = f"""
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value * exp(-{DECAY_LAMBDA}
+             * ({DECAY_TREF_DAYS} - epoch_us(ts) / 86400000000.0))), 4)
+         AS decayed_value
+FROM events GROUP BY user_id
+"""
+
+
+HIST_WIDTH = 50000.0
+
+
+def q_price_histogram(sf_dir: str):
+    """Equi-width histogram of o_totalprice (the profiling family's
+    distribution census): bin = floor(price/width) via identical
+    double arithmetic on both sides, per-batch partial (n, min, max)
+    rows, one tiny groupby — the table never leaves the workers."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy()
+        df = pd.DataFrame(
+            {"bin": np.floor(p / HIST_WIDTH).astype(np.int64), "p": p}
+        )
+        g = df.groupby("bin", as_index=False).agg(
+            n=("p", "size"), lo=("p", "min"), hi=("p", "max")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "bin": pc.cast(t["bin"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+                "lo": pc.round(t["lo"], ndigits=2),
+                "hi": pc.round(t["hi"], ndigits=2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PRICE_HISTOGRAM = f"""
+SELECT floor(o_totalprice / {HIST_WIDTH})::BIGINT AS bin,
+       count(*)::BIGINT AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY bin
+"""
+
+
 # ------------------------------------------------------------ registry
 
 # name -> (ray_fn, oracle_sql | None)
@@ -7193,6 +7347,9 @@ DRIVER_EXCLUDE = {
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
+    "decayed_user_value",  # decay aggregate, local gate + pytest
+    "price_histogram",  # profiling census, local gate
+    "join_size_cm",  # rows-only sketch estimate (bound pytest)
 }
 
 
@@ -7250,6 +7407,9 @@ REGISTRY: dict[str, tuple] = {
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
+    "decayed_user_value": (q_decayed_user_value, SQL_DECAYED_USER_VALUE),
+    "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
+    "join_size_cm": (q_join_size_cm, None),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),

@@ -319,3 +319,31 @@ def test_count_min_bounds_and_merge(ray_session):
     for s, e in zip(probe, est):
         assert e >= true[s]  # never under-counts
         assert e <= true[s] + len(keys) * 2.718 / (1 << 14) + 1
+
+
+def test_cm_join_size_bound(ray_session):
+    """Inner-product join-size estimate: never under the true size,
+    over by at most e/width * Na * Nb (probabilistic, wide margin)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.sketch import cm_join_size
+
+    rng = np.random.default_rng(11)
+    # A: each key once (dimension side); B: skewed multiplicities
+    a_keys = [f"k{i}" for i in range(2000)]
+    b_draw = rng.zipf(1.3, size=30_000)
+    b_keys = [f"k{int(i)}" for i in b_draw if i < 2000]
+    true = len(b_keys)  # every B key hits exactly one A row
+    ta = pa.table({"k": pa.array(a_keys, type=pa.string())})
+    tb = pa.table({"k": pa.array(b_keys, type=pa.string())})
+    w = 1 << 14
+    est = cm_join_size(
+        ray.data.from_arrow(ta).repartition(3), "k",
+        ray.data.from_arrow(tb).repartition(5), "k",
+        width=w,
+    )
+    assert est >= true
+    assert est <= true + int(2.718 / w * len(a_keys) * len(b_keys)) + 1
