@@ -454,6 +454,63 @@ def _kmeans_params(
     return C, cids
 
 
+def kmeans_medoids(
+    ds: "ray.data.Dataset",
+    k: int = 4,
+    iters: int = 5,
+    dist_dp: int = 9,
+    cent_dp: int = 12,
+) -> "ray.data.Dataset":
+    """Exact Euclidean medoid per k-means cluster: the member
+    minimizing Σ_j d(i,j) — the 'golden vector' a canonicalization
+    step keeps when an actual corpus row (not a synthetic mean) must
+    represent the cluster. One tagged map_batches re-assigns points
+    with the shared Lloyd contract, one groupby(cluster) co-locates
+    members, and the in-group kernel is a single vectorized m×m
+    distance matrix. SCALE CAVEAT (by design): exact medoid is O(m²)
+    per cluster — right for bounded clusters (dedup/ER components);
+    web-scale clusters should switch to nearest-to-centroid (identical
+    under squared distance by the bias-variance identity) or a
+    sampled medoid. Rounding ladder shared with the oracle: d² →9,
+    per-pair dist →9, per-point sum →6, ties to lowest vec_id."""
+    C, cids = _kmeans_params(ds, k, iters, dist_dp, cent_dp)
+    ref = ray.put((C, cids))
+
+    def tag(t: pa.Table, ref=ref) -> pa.Table:
+        C_, cids_ = ray.get(ref)
+        ids, E = _mat(t)
+        asg = _kmeans_assign(E, C_, cids_, dist_dp)
+        return t.select(["vec_id", "embedding"]).append_column(
+            "cluster", pa.array(asg.astype(np.int64))
+        )
+
+    def medoid(g: pa.Table) -> pa.Table:
+        ids, E = _mat(g)
+        d2 = np.round(
+            ((E[:, None, :] - E[None, :, :]) ** 2).sum(axis=2), dist_dp
+        )
+        D = np.round(np.sqrt(d2), 9)
+        s = np.round(D.sum(axis=1), 6)
+        i = np.lexsort((ids, s))[0]
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    [int(g["cluster"][0].as_py())], type=pa.int64()
+                ),
+                "medoid_vec_id": pa.array(
+                    [int(ids[i])], type=pa.int64()
+                ),
+                "sum_dist": pa.array([float(s[i])], type=pa.float64()),
+                "n_members": pa.array([len(ids)], type=pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("cluster").map_groups(
+        medoid, batch_format="pyarrow"
+    )
+
+
 def kmeans_silhouette(
     ds: "ray.data.Dataset",
     k: int = 4,

@@ -2247,6 +2247,91 @@ FROM g
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and row-normalized probabilities of
+    (prev_type → next_type) — the sequence-model building block
+    (n-gram over events). Bucket-and-segment on user (consecutive
+    pairs come from one shifted compare, no per-user Python), partial
+    counts per bucket, one tiny (#types²-row) groupby, and the
+    probability normalization runs per prev_type group on the
+    O(#types²) aggregate — nothing row-scale past the first shuffle."""
+    from ..stages.bucketed import bucketed_apply
+
+    def pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], type=pa.string()),
+                    "next_type": pa.array([], type=pa.string()),
+                    "partial": pa.array([], type=pa.int64()),
+                }
+            )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        tus = _epoch_us(t["ts"])
+        codes, types = pd.factorize(
+            t["event_type"].to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, tus, uid))
+        uid_s, c_s = uid[order], codes[order]
+        same = uid_s[1:] == uid_s[:-1]
+        tarr = np.asarray(types, dtype=object)
+        df = pd.DataFrame(
+            {
+                "prev_type": tarr[c_s[:-1][same]],
+                "next_type": tarr[c_s[1:][same]],
+            }
+        )
+        g = df.groupby(
+            ["prev_type", "next_type"], as_index=False
+        ).size().rename(columns={"size": "partial"})
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    agg = (
+        bucketed_apply(ev, "user_id", pairs)
+        .groupby(["prev_type", "next_type"])
+        .sum("partial")
+    )
+
+    def prob(g: pa.Table) -> pa.Table:
+        n = g["sum(partial)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "prev_type": g["prev_type"],
+                "next_type": g["next_type"],
+                "n": pa.array(n, type=pa.int64()),
+                "p": pa.array(np.round(n / n.sum(), 6)),
+            }
+        )
+
+    return agg.groupby("prev_type").map_groups(
+        prob, batch_format="pyarrow"
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH x AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev
+  FROM events
+),
+c AS (
+  SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
+  FROM x WHERE prev IS NOT NULL GROUP BY prev, event_type
+)
+SELECT prev_type, next_type, n::BIGINT AS n,
+       round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c
+"""
+
+
 # Sampling (reference utils.py:40 random choice / service_checker.py:55
 # random pmid draws). The oracle-checked variant is a DETERMINISTIC
 # hash sample — the reproducible form a 100-TB pipeline wants (same
@@ -6703,6 +6788,55 @@ FROM s GROUP BY cid
 )
 
 
+def q_kmeans_medoids(sf_dir: str):
+    """Golden representative per k-means cluster (functions/ann.py
+    kmeans_medoids): the exact Euclidean medoid, chosen by the shared
+    rounding ladder so the recursive-CTE oracle (same centroid CTE,
+    then an in-cluster pairwise join) lands on the identical member.
+    The embedding-space twin of er_golden's survivorship rules."""
+    from ..functions.ann import kmeans_medoids
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_medoids(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+SQL_KMEANS_MEDOIDS = (
+    SQL_KMEANS_CLUSTERS.split("fm AS")[0]
+    + """
+fm AS (SELECT vec_id, min(d2) AS md FROM fa GROUP BY vec_id),
+asg AS (
+  SELECT fa.vec_id, min(fa.cid) AS cid
+  FROM fa JOIN fm ON fm.vec_id = fa.vec_id AND fa.d2 = fm.md
+  GROUP BY fa.vec_id
+),
+pd AS (
+  SELECT a1.cid, a1.vec_id AS i, a2.vec_id AS j,
+         round(sqrt(round(sum(
+           (CAST(e1.embedding[d.dim] AS DOUBLE)
+            - CAST(e2.embedding[d.dim] AS DOUBLE))
+           * (CAST(e1.embedding[d.dim] AS DOUBLE)
+              - CAST(e2.embedding[d.dim] AS DOUBLE))), 9)), 9) AS dist
+  FROM asg a1
+  JOIN asg a2 ON a1.cid = a2.cid
+  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = a2.vec_id, dims d
+  GROUP BY a1.cid, a1.vec_id, a2.vec_id
+),
+sd AS (
+  SELECT cid, i, round(sum(dist), 6) AS s, count(*) AS m
+  FROM pd GROUP BY cid, i
+),
+mn AS (SELECT cid, min(s) AS ms FROM sd GROUP BY cid)
+SELECT sd.cid::BIGINT AS cluster, min(sd.i)::BIGINT AS medoid_vec_id,
+       min(sd.s) AS sum_dist, min(sd.m)::BIGINT AS n_members
+FROM sd JOIN mn ON mn.cid = sd.cid AND sd.s = mn.ms
+GROUP BY sd.cid
+"""
+)
+
+
 def q_part_kcore(sf_dir: str):
     """3-core of the part co-purchase graph by 8-round synchronous
     peeling (functions/graph.py kcore); the round count is shared
@@ -7350,6 +7484,8 @@ DRIVER_EXCLUDE = {
     "decayed_user_value",  # decay aggregate, local gate + pytest
     "price_histogram",  # profiling census, local gate
     "join_size_cm",  # rows-only sketch estimate (bound pytest)
+    "event_transitions",  # Markov matrix, local gate + pytest
+    "kmeans_medoids",  # golden-vector medoid, local gate + pytest
 }
 
 
@@ -7410,6 +7546,8 @@ REGISTRY: dict[str, tuple] = {
     "decayed_user_value": (q_decayed_user_value, SQL_DECAYED_USER_VALUE),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "join_size_cm": (q_join_size_cm, None),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "kmeans_medoids": (q_kmeans_medoids, SQL_KMEANS_MEDOIDS),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),

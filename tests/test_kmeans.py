@@ -57,3 +57,41 @@ def test_kmeans_fixed_vs_reference(ray_session):
     ]
     assert not (sets[0] & sets[1]) and not (sets[1] & sets[2])
     assert not (sets[0] & sets[2])
+
+
+def test_kmeans_medoids_planted(ray_session):
+    import ray.data
+
+    from bern_ray.functions.ann import kmeans_medoids
+
+    rng = np.random.default_rng(23)
+    centers = np.array([[0.0] * 6, [50.0] * 6])
+    pts = np.vstack(
+        [c + rng.normal(0, 1.0, size=(25, 6)) for c in centers]
+    ).astype(np.float32)
+    vid = np.arange(len(pts))
+    df = pd.DataFrame(
+        {"vec_id": vid, "embedding": [row.tolist() for row in pts]}
+    )
+    ds = ray.data.from_pandas(df).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    out = kmeans_medoids(ds, k=2, iters=5).to_pandas()
+    assert out.n_members.sum() == len(pts)
+    # brute-force medoid per reported cluster over the same fit
+    from bern_ray.functions.ann import _kmeans_assign, _kmeans_params
+
+    C, cids = _kmeans_params(ds, 2, 5, 9, 12)
+    E = pts.astype(np.float64)
+    asg = _kmeans_assign(E, C, cids, 9)
+    for r in out.itertuples():
+        mem = np.flatnonzero(asg == r.cluster)
+        sub = E[mem]
+        d2 = np.round(
+            ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(axis=2), 9
+        )
+        s = np.round(np.round(np.sqrt(d2), 9).sum(axis=1), 6)
+        best = mem[np.lexsort((vid[mem], s))[0]]
+        assert r.medoid_vec_id == vid[best]
+        assert abs(r.sum_dist - s.min()) < 1e-9
+        assert r.n_members == len(mem)

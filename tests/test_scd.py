@@ -116,3 +116,32 @@ def test_price_outliers_two_pass(ray_session, tmp_path):
     assert set(df.o_orderkey[:5]) <= expect  # planted ones flagged
     zmap = dict(zip(df.o_orderkey, np.round(z, 6)))
     assert all(abs(zmap[k] - v) < 1e-9 for k, v in zip(out.o_orderkey, out.z))
+
+
+def test_event_transitions_planted(ray_session, tmp_path):
+    from bern_ray.pipelines.relational import q_event_transitions
+
+    rows = [
+        # u1: A -> B -> A   (pairs: A->B, B->A)
+        (1, "2024-01-01 01:00", "A"),
+        (1, "2024-01-01 02:00", "B"),
+        (1, "2024-01-01 03:00", "A"),
+        # u2: A -> B        (pair: A->B) — cross-user pair must NOT
+        # be emitted between u1's last and u2's first event
+        (2, "2024-01-01 01:00", "A"),
+        (2, "2024-01-01 02:00", "B"),
+        # u3: single event -> no pairs
+        (3, "2024-01-01 01:00", "C"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["event_id"] = range(len(df))
+    df["value"] = 1.0
+    df["props"] = "{}"
+    df = df[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_event_transitions(str(tmp_path)).to_pandas()
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.p) for r in out.itertuples()
+    }
+    assert got == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
