@@ -35,6 +35,97 @@ from ..stages.bucketed import bucketed_apply
 from ..stages.join import bucket_join
 
 
+def column_overlap(
+    ds_a: "ray.data.Dataset",
+    col_a: str,
+    ds_b: "ray.data.Dataset",
+    col_b: str,
+    label: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distinct-value overlap between two int64 columns (possibly of
+    different tables): |A|, |B|, |A∩B| and the Jaccard — the
+    schema-matching / join-key-discovery primitive (a high overlap
+    says "these columns join"; Deequ/Metanome's inclusion-dependency
+    census shape).
+
+    One shuffle, no join: each side emits its in-batch-distinct
+    values tagged 1 (left) or 2 (right); a groupby(value) reduces to
+    (min_tag, max_tag) per GLOBALLY distinct value — present-in-both
+    iff min=1 and max=2 — and per-batch membership counts fold into
+    an O(1)-row result. Ships one row per distinct (value, side) per
+    batch, never a pair inventory."""
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            col = col_a if side == 1 else col_b
+            v = np.unique(t[col].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "v": pa.array(v, type=pa.int64()),
+                    "m": pa.array(
+                        np.full(len(v), side, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = ds_a.map_batches(tag(1), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(2), batch_format="pyarrow")
+    )
+    per_value = tagged.groupby("v").aggregate(
+        Min("m", alias_name="mn"), Max("m", alias_name="mx")
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        mn = t["mn"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        both = int(((mn == 1) & (mx == 2)).sum())
+        a_only = int((mx == 1).sum())
+        b_only = int((mn == 2).sum())
+        return pa.table(
+            {
+                "pair": pa.array([label], type=pa.string()),
+                "pa_": pa.array([a_only + both], type=pa.int64()),
+                "pb_": pa.array([b_only + both], type=pa.int64()),
+                "pboth": pa.array([both], type=pa.int64()),
+                "pu": pa.array(
+                    [a_only + b_only + both], type=pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        per_value.map_batches(counts, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(
+            Sum("pa_", alias_name="pa_"),
+            Sum("pb_", alias_name="pb_"),
+            Sum("pboth", alias_name="pboth"),
+            Sum("pu", alias_name="pu"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "pair": t["pair"],
+                "n_a": pc.cast(t["pa_"], pa.int64()),
+                "n_b": pc.cast(t["pb_"], pa.int64()),
+                "n_both": pc.cast(t["pboth"], pa.int64()),
+                "jaccard": pa.array(
+                    np.round(
+                        t["pboth"].to_numpy(zero_copy_only=False)
+                        / t["pu"].to_numpy(zero_copy_only=False),
+                        6,
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def profile_table(
     ds: "ray.data.Dataset",
     num_cols: list[str],

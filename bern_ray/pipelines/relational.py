@@ -6337,6 +6337,138 @@ FROM orders GROUP BY bin
 """
 
 
+# join-key discovery census: (table_a, col_a, table_b, col_b) pairs
+# whose distinct-value overlap is profiled — the true FK pairs score
+# jaccard ~1, the planted non-pair (user_id vs custkey) scores low
+OVERLAP_PAIRS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def q_column_overlap(sf_dir: str):
+    """Schema matching / join-key discovery (functions/profile.py
+    column_overlap): distinct-value Jaccard between candidate column
+    pairs across tables — one tagged groupby per pair (min/max side
+    tag per globally-distinct value), no join, no pair inventory."""
+    from ..functions.profile import column_overlap
+
+    parts = []
+    for ta, ca, tb, cb in OVERLAP_PAIRS:
+        a = read_parquet_clean(f"{sf_dir}/{ta}.parquet", columns=[ca])
+        b = read_parquet_clean(f"{sf_dir}/{tb}.parquet", columns=[cb])
+        parts.append(
+            column_overlap(a, ca, b, cb, f"{ta}.{ca}~{tb}.{cb}")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _overlap_branch(ta: str, ca: str, tb: str, cb: str) -> str:
+    label = f"{ta}.{ca}~{tb}.{cb}"
+    return f"""
+SELECT '{label}' AS pair,
+       count(a.v)::BIGINT AS n_a,
+       count(b.v)::BIGINT AS n_b,
+       count(CASE WHEN a.v IS NOT NULL AND b.v IS NOT NULL
+                  THEN 1 END)::BIGINT AS n_both,
+       round(count(CASE WHEN a.v IS NOT NULL AND b.v IS NOT NULL
+                        THEN 1 END)::DOUBLE / count(*), 6) AS jaccard
+FROM (SELECT DISTINCT {ca} AS v FROM {ta}) a
+FULL OUTER JOIN (SELECT DISTINCT {cb} AS v FROM {tb}) b ON a.v = b.v
+"""
+
+
+SQL_COLUMN_OVERLAP = " UNION ALL ".join(
+    _overlap_branch(*p) for p in OVERLAP_PAIRS
+)
+
+
+def q_price_deciles(sf_dir: str):
+    """Global equi-frequency binning (deciles of o_totalprice): the
+    discretization step feature pipelines run before bucketized
+    models. Rides stages/order.py global_rank (sampled range
+    partition + O(#buckets) offsets — exact global order, one
+    shuffle); ties broken by orderkey via a packed
+    (price_cents, orderkey) int64 so both sides share a total order;
+    decile = (rank-1)*10 // n, reported as per-decile counts and
+    price bounds."""
+    from ..stages.order import global_rank
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    n_total = orders.count()
+
+    def pack(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy()
+        cents = np.rint(price * 100).astype(np.int64)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "okey": pa.array(cents * (1 << 33) + okey),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    ranked = global_rank(
+        orders.map_batches(pack, batch_format="pyarrow"), "okey"
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        dec = (r - 1) * 10 // n_total
+        p = t["o_totalprice"].to_numpy()
+        df = pd.DataFrame({"decile": dec, "p": p})
+        g = df.groupby("decile", as_index=False).agg(
+            n=("p", "size"), lo=("p", "min"), hi=("p", "max")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = (
+        ranked.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "decile": pc.cast(t["decile"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+                "lo": pc.round(t["lo"], ndigits=2),
+                "hi": pc.round(t["hi"], ndigits=2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PRICE_DECILES = """
+WITH r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT ((rn - 1) * 10 // n)::BIGINT AS decile,
+       count(*)::BIGINT AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM r GROUP BY decile
+"""
+
+
 # ------------------------------------------------------------ registry
 
 # name -> (ray_fn, oracle_sql | None)
@@ -7486,6 +7618,8 @@ DRIVER_EXCLUDE = {
     "join_size_cm",  # rows-only sketch estimate (bound pytest)
     "event_transitions",  # Markov matrix, local gate + pytest
     "kmeans_medoids",  # golden-vector medoid, local gate + pytest
+    "column_overlap",  # join-key discovery census, local gate
+    "price_deciles",  # global equi-frequency binning, local gate
 }
 
 
@@ -7548,6 +7682,8 @@ REGISTRY: dict[str, tuple] = {
     "join_size_cm": (q_join_size_cm, None),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "kmeans_medoids": (q_kmeans_medoids, SQL_KMEANS_MEDOIDS),
+    "column_overlap": (q_column_overlap, SQL_COLUMN_OVERLAP),
+    "price_deciles": (q_price_deciles, SQL_PRICE_DECILES),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),

@@ -45,3 +45,68 @@ def test_profile_nulls_distinct_minmax(ray_session):
     # t: 50 distinct hourly stamps as epoch micros
     assert out.loc["t", "n_distinct"] == 50
     assert out.loc["t", "max_num"] - out.loc["t", "min_num"] == 49 * 3600e6
+
+
+def test_column_overlap_planted(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.profile import column_overlap
+
+    a = pa.table({"x": pa.array([1, 2, 3, 4, 2, 3], type=pa.int64())})
+    b = pa.table({"y": pa.array([3, 4, 5, 5, 6], type=pa.int64())})
+    out = column_overlap(
+        ray.data.from_arrow(a).repartition(3),
+        "x",
+        ray.data.from_arrow(b).repartition(2),
+        "y",
+        "a.x~b.y",
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # distinct A={1,2,3,4} B={3,4,5,6}, both={3,4}, union=6
+    assert (r.n_a, r.n_b, r.n_both) == (4, 4, 2)
+    assert abs(r.jaccard - round(2 / 6, 6)) < 1e-9
+
+
+def test_price_deciles_exact(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from bern_ray.pipelines.relational import q_price_deciles
+
+    rng = np.random.default_rng(9)
+    n = 503  # deliberately not divisible by 10
+    price = rng.uniform(10, 1000, n).round(2)
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n + 1, dtype=np.int64),
+            "o_custkey": np.int64(1),
+            "o_orderstatus": "O",
+            "o_totalprice": price,
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": "1-URGENT",
+        }
+    )
+    df.to_parquet(tmp_path / "orders.parquet", index=False)
+    out = (
+        q_price_deciles(str(tmp_path))
+        .to_pandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["o_totalprice", "o_orderkey"]).reset_index(
+        drop=True
+    )
+    dec = (np.arange(n) * 10) // n
+    exp = (
+        pd.DataFrame({"decile": dec, "p": s.o_totalprice})
+        .groupby("decile")
+        .agg(n=("p", "size"), lo=("p", "min"), hi=("p", "max"))
+        .reset_index()
+    )
+    assert (out.decile.to_numpy() == exp.decile.to_numpy()).all()
+    assert (out.n.to_numpy() == exp.n.to_numpy()).all()
+    assert np.allclose(out.lo, exp.lo) and np.allclose(out.hi, exp.hi)
+    assert out.n.sum() == n
