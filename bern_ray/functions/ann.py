@@ -454,6 +454,68 @@ def _kmeans_params(
     return C, cids
 
 
+def pq_codes(
+    ds: "ray.data.Dataset",
+    dim: int,
+    subspaces: int = 4,
+    k: int = 4,
+    iters: int = 3,
+    dist_dp: int = 9,
+    cent_dp: int = 12,
+) -> "ray.data.Dataset":
+    """Product quantization (Jégou et al. 2011): split the embedding
+    into ``subspaces`` contiguous blocks, train an independent Lloyd
+    codebook per block (the shared `_kmeans_params` loop on a sliced
+    view of the SAME dataset), and emit each vector's code word per
+    subspace — the memory-scale path for ANN (k^m effective centroids
+    from m·k·(dim/m) floats; at 100 TB the codes column is what ships
+    to the index, 4 bytes/vector here vs 256 floats).
+
+    Training runs the m iterate-on-driver loops sequentially (model
+    parameters are driver-sized); the final assignment is ONE
+    map_batches computing all m argmins per batch. Shares the full
+    kmeans determinism contract per subspace, so the oracle is m
+    suffixed copies of the recursive centroid CTE joined on vec_id."""
+    if dim % subspaces:
+        raise ValueError("dim must divide evenly into subspaces")
+    d = dim // subspaces
+
+    def slicer(s: int):
+        lo = s * d
+
+        def fn(t: pa.Table) -> pa.Table:
+            ids, E = _mat(t)
+            sub = np.ascontiguousarray(E[:, lo : lo + d])
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids.astype(np.int64)),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sub.ravel(), type=pa.float64()), d
+                    ),
+                }
+            )
+
+        return fn
+
+    books = []
+    for s in range(subspaces):
+        sub_ds = ds.map_batches(slicer(s), batch_format="pyarrow")
+        books.append(_kmeans_params(sub_ds, k, iters, dist_dp, cent_dp))
+    ref = ray.put(books)
+
+    def encode(t: pa.Table, ref=ref) -> pa.Table:
+        books_ = ray.get(ref)
+        ids, E = _mat(t)
+        cols: dict = {"vec_id": pa.array(ids.astype(np.int64))}
+        for s, (C_, cids_) in enumerate(books_):
+            sub = E[:, s * d : (s + 1) * d]
+            asg = _kmeans_assign(sub, C_, cids_, dist_dp)
+            cols[f"code{s}"] = pa.array(asg.astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
 def kmeans_medoids(
     ds: "ray.data.Dataset",
     k: int = 4,

@@ -169,6 +169,74 @@ FROM tok GROUP BY token HAVING count(*) >= {INVIDX_MIN_DF}
 """
 
 
+BIGRAM_MIN = 20
+
+
+def q_token_bigrams(sf_dir: str):
+    """Corpus bigram counts — the n-gram LM building block (and the
+    text twin of event_transitions): adjacent token pairs WITHIN a
+    document, map-side partial counts per batch (one shifted compare
+    over the exploded token stream, parent-id breaks stop cross-doc
+    pairs), one groupby, support threshold shared with the oracle."""
+    from ..functions.textstats import _explode_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        parent, toks = _explode_tokens(t["text"])
+        if len(parent) < 2:
+            return pa.table(
+                {
+                    "prev_tok": pa.array([], type=pa.string()),
+                    "next_tok": pa.array([], type=pa.string()),
+                    "partial": pa.array([], type=pa.int64()),
+                }
+            )
+        tk = toks.to_numpy(zero_copy_only=False)
+        same = parent[1:] == parent[:-1]
+        df = pd.DataFrame(
+            {"prev_tok": tk[:-1][same], "next_tok": tk[1:][same]}
+        )
+        g = df.groupby(
+            ["prev_tok", "next_tok"], as_index=False
+        ).size().rename(columns={"size": "partial"})
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["prev_tok", "next_tok"])
+        .sum("partial")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "prev_tok": t["prev_tok"],
+                "next_tok": t["next_tok"],
+                "n": pc.cast(t["sum(partial)"], pa.int64()),
+            }
+        ).filter(
+            pc.greater_equal(t["sum(partial)"], BIGRAM_MIN)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOKEN_BIGRAMS = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{fts.TOKEN_RE}') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t
+)
+SELECT toks[i] AS prev_tok, toks[i + 1] AS next_tok,
+       count(*)::BIGINT AS n
+FROM idx GROUP BY prev_tok, next_tok HAVING count(*) >= {BIGRAM_MIN}
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -6920,6 +6988,101 @@ FROM s GROUP BY cid
 )
 
 
+PQ_SUB = 4
+PQ_K = 4
+PQ_ITERS = 3
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encoding (functions/ann.py pq_codes):
+    4 subspaces × 4-word codebooks over the 64-dim embeddings, each
+    trained by the shared deterministic Lloyd loop on a sliced view
+    — the codes-not-vectors representation an ANN index ships at
+    100 TB. Oracle: four suffixed copies of the kmeans recursive
+    centroid CTE (one per subspace, dims s·16+1..s·16+16) joined on
+    vec_id."""
+    from ..functions.ann import pq_codes
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_codes(
+        emb, dim=KMEANS_DIM, subspaces=PQ_SUB, k=PQ_K, iters=PQ_ITERS
+    )
+
+
+def _pq_sub_cte(s: int, lo: int, hi: int, k: int, iters: int) -> str:
+    return f"""
+dims{s} AS (SELECT unnest(range({lo}, {hi} + 1)) AS dim),
+init{s} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+cent{s} AS (
+  SELECT 0 AS iter, cid, dim, CAST(embedding[dim] AS DOUBLE) AS val
+  FROM init{s}, dims{s}
+  UNION ALL
+  SELECT nc.iter, nc.cid, nc.dim, nc.val FROM (
+    WITH a AS (
+      SELECT c.iter, e.vec_id, c.cid,
+             round(sum((CAST(e.embedding[c.dim] AS DOUBLE) - c.val)
+                       * (CAST(e.embedding[c.dim] AS DOUBLE) - c.val)),
+                   9) AS d2
+      FROM embeddings e JOIN cent{s} c ON c.iter < {iters}
+      GROUP BY c.iter, e.vec_id, c.cid
+    ),
+    m AS (
+      SELECT iter, vec_id, min(d2) AS md FROM a GROUP BY iter, vec_id
+    ),
+    asg AS (
+      SELECT a.iter, a.vec_id, min(a.cid) AS cid
+      FROM a JOIN m
+        ON m.iter = a.iter AND m.vec_id = a.vec_id AND a.d2 = m.md
+      GROUP BY a.iter, a.vec_id
+    )
+    SELECT asg.iter + 1 AS iter, asg.cid, dims{s}.dim,
+           round(avg(CAST(e.embedding[dims{s}.dim] AS DOUBLE)), 12)
+             AS val
+    FROM asg JOIN embeddings e ON e.vec_id = asg.vec_id, dims{s}
+    GROUP BY asg.iter, asg.cid, dims{s}.dim
+  ) nc
+),
+fa{s} AS (
+  SELECT e.vec_id, c.cid,
+         round(sum((CAST(e.embedding[c.dim] AS DOUBLE) - c.val)
+                   * (CAST(e.embedding[c.dim] AS DOUBLE) - c.val)), 9)
+           AS d2
+  FROM embeddings e JOIN cent{s} c ON c.iter = {iters}
+  GROUP BY e.vec_id, c.cid
+),
+fm{s} AS (SELECT vec_id, min(d2) AS md FROM fa{s} GROUP BY vec_id),
+code{s} AS (
+  SELECT fa{s}.vec_id, min(fa{s}.cid) AS c
+  FROM fa{s} JOIN fm{s}
+    ON fm{s}.vec_id = fa{s}.vec_id AND fa{s}.d2 = fm{s}.md
+  GROUP BY fa{s}.vec_id
+)"""
+
+
+_PQ_D = KMEANS_DIM // PQ_SUB
+SQL_PQ_CODES = (
+    "WITH RECURSIVE "
+    + ",".join(
+        _pq_sub_cte(s, s * _PQ_D + 1, (s + 1) * _PQ_D, PQ_K, PQ_ITERS)
+        for s in range(PQ_SUB)
+    )
+    + """
+SELECT code0.vec_id,
+       code0.c::BIGINT AS code0, code1.c::BIGINT AS code1,
+       code2.c::BIGINT AS code2, code3.c::BIGINT AS code3
+FROM code0
+JOIN code1 USING (vec_id)
+JOIN code2 USING (vec_id)
+JOIN code3 USING (vec_id)
+"""
+)
+
+
 def q_kmeans_medoids(sf_dir: str):
     """Golden representative per k-means cluster (functions/ann.py
     kmeans_medoids): the exact Euclidean medoid, chosen by the shared
@@ -7620,6 +7783,8 @@ DRIVER_EXCLUDE = {
     "kmeans_medoids",  # golden-vector medoid, local gate + pytest
     "column_overlap",  # join-key discovery census, local gate
     "price_deciles",  # global equi-frequency binning, local gate
+    "token_bigrams",  # n-gram LM counts, local gate + pytest
+    "pq_codes",  # product-quantization encoding, local gate + pytest
 }
 
 
@@ -7684,6 +7849,8 @@ REGISTRY: dict[str, tuple] = {
     "kmeans_medoids": (q_kmeans_medoids, SQL_KMEANS_MEDOIDS),
     "column_overlap": (q_column_overlap, SQL_COLUMN_OVERLAP),
     "price_deciles": (q_price_deciles, SQL_PRICE_DECILES),
+    "token_bigrams": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
+    "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "species_taxid": (q_species_taxid, SQL_SPECIES_TAXID),

@@ -95,3 +95,44 @@ def test_kmeans_medoids_planted(ray_session):
         assert r.medoid_vec_id == vid[best]
         assert abs(r.sum_dist - s.min()) < 1e-9
         assert r.n_members == len(mem)
+
+
+def test_pq_codes_equal_per_subspace_kmeans(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from bern_ray.functions.ann import (
+        _kmeans_assign,
+        _kmeans_params,
+        pq_codes,
+    )
+
+    rng = np.random.default_rng(31)
+    pts = rng.normal(0, 5, size=(60, 8)).astype(np.float32)
+    vid = np.arange(len(pts))
+    df = pd.DataFrame(
+        {"vec_id": vid, "embedding": [row.tolist() for row in pts]}
+    )
+    ds = ray.data.from_pandas(df).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    out = (
+        pq_codes(ds, dim=8, subspaces=2, k=3, iters=4)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    E = pts.astype(np.float64)
+    for s in range(2):
+        sub = np.ascontiguousarray(E[:, s * 4 : (s + 1) * 4])
+        sdf = pd.DataFrame(
+            {"vec_id": vid, "embedding": [r.tolist() for r in sub]}
+        )
+        sds = ray.data.from_pandas(sdf).map_batches(
+            lambda t: t.replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+        C, cids = _kmeans_params(sds, 3, 4, 9, 12)
+        exp = _kmeans_assign(sub, C, cids, 9)
+        assert (out[f"code{s}"].to_numpy() == exp).all()

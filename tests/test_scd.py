@@ -145,3 +145,30 @@ def test_event_transitions_planted(ray_session, tmp_path):
         (r.prev_type, r.next_type): (r.n, r.p) for r in out.itertuples()
     }
     assert got == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+def test_token_bigrams_planted(ray_session, tmp_path):
+    from bern_ray.pipelines.relational import (
+        BIGRAM_MIN,
+        q_token_bigrams,
+    )
+
+    # "a b" appears BIGRAM_MIN times across docs; "b c" only once;
+    # doc boundary between docs 1/2 must not fuse "x" + "y"
+    docs = ["a b " * BIGRAM_MIN, "x", "y c b"]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1, len(docs) + 1, dtype=np.int64),
+            "text": docs,
+            "lang": "en",
+            "source": "s",
+            "n_chars": 10,
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = q_token_bigrams(str(tmp_path)).to_pandas()
+    got = {(r.prev_tok, r.next_tok): r.n for r in out.itertuples()}
+    # "a b"xN and the N-1 "b a" wraps survive only if >= threshold
+    assert got[("a", "b")] == BIGRAM_MIN
+    assert ("x", "y") not in got and ("b", "c") not in got
+    assert all(n >= BIGRAM_MIN for n in got.values())
