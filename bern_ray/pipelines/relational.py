@@ -9,6 +9,8 @@ and column names match the oracle SQL exactly.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -234,6 +236,172 @@ idx AS (
 SELECT toks[i] AS prev_tok, toks[i + 1] AS next_tok,
        count(*)::BIGINT AS n
 FROM idx GROUP BY prev_tok, next_tok HAVING count(*) >= {BIGRAM_MIN}
+"""
+
+
+BM25_QUERY = ("hash", "join", "stream", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-k retrieval (Robertson-Sparck Jones / Lucene idf
+    variant: ln(1 + (N-df+0.5)/(df+0.5))) for a fixed conjunctive-OR
+    query over the documents table — the ranked-search twin of
+    inverted_index. Two streaming passes, no corpus-sized shuffle:
+
+    (1) global-stats pass: per batch, one partial row per query term
+        (df partial) plus one corpus row (n_docs, dl_sum) — the
+        take_all is O(#batches x (|query|+1)), driver-sized at any
+        corpus scale; combine gives N, avgdl and each term's df.
+    (2) scoring pass with the broadcast (idf, avgdl) table: a doc's
+        query-term tfs and its length both come from the SAME
+        _explode_tokens call inside the batch (a doc lives in one
+        batch), so the full BM25 sum is computed in-batch with no
+        shuffle; each batch emits only its local top-k rows and the
+        driver merges O(#batches x k).
+
+    At 100 TB the shipped state is |query| floats broadcast once and
+    k rows per batch back — the canonical scatter-gather search shape.
+    Scores round to 6 (shared rule) and tie-break on doc_id, so the
+    DuckDB oracle hash-matches."""
+    from ..functions.textstats import _explode_tokens
+
+    qterms = np.array(sorted(BM25_QUERY))
+
+    qset = pa.array(list(qterms), type=pa.string())
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        parent, toks = _explode_tokens(t["text"])
+        hit = pc.is_in(toks, value_set=qset).to_numpy(
+            zero_copy_only=False
+        )
+        tk = toks.to_numpy(zero_copy_only=False)
+        # df partial: distinct (doc, term) among hits
+        df = (
+            pd.DataFrame({"term": tk[hit], "d": parent[hit]})
+            .drop_duplicates()
+            .groupby("term", as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "term": pa.array(
+                    list(df["term"]) + [""], type=pa.string()
+                ),
+                "df_partial": pa.array(
+                    list(df["size"]) + [0], type=pa.int64()
+                ),
+                "n_partial": pa.array(
+                    [0] * len(df) + [t.num_rows], type=pa.int64()
+                ),
+                "dl_partial": pa.array(
+                    [0] * len(df) + [len(parent)], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir)
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_docs = float(parts["n_partial"].sum())
+    avgdl = float(parts["dl_partial"].sum()) / max(n_docs, 1.0)
+    dfs = (
+        parts[parts["term"] != ""]
+        .groupby("term")["df_partial"]
+        .sum()
+        .to_dict()
+    )
+    idf = {
+        term: math.log(
+            1.0 + (n_docs - df + 0.5) / (df + 0.5)
+        )
+        for term, df in dfs.items()
+    }
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        parent, toks = _explode_tokens(t["text"])
+        dl = np.bincount(parent, minlength=t.num_rows).astype(np.float64)
+        score = np.zeros(t.num_rows, dtype=np.float64)
+        denom_dl = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        for term in qterms:  # |query| vectorized passes, sorted order
+            w = idf.get(str(term))
+            if w is None:
+                continue
+            eq = pc.equal(toks, str(term)).to_numpy(
+                zero_copy_only=False
+            )
+            tf = np.bincount(
+                parent[eq], minlength=t.num_rows
+            ).astype(np.float64)
+            score += w * tf * (BM25_K1 + 1.0) / (tf + denom_dl)
+        keep = np.flatnonzero(score > 0.0)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        sc = np.round(score[keep], 6)
+        order = np.lexsort((doc, -sc))[:BM25_TOPK]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[order], type=pa.int64()),
+                "bm25": pa.array(sc[order], type=pa.float64()),
+            }
+        )
+
+    cand = (
+        _docs(sf_dir)
+        .map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = cand.sort_values(
+        ["bm25", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(BM25_TOPK)
+    return pa.Table.from_pandas(
+        top, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+SQL_BM25_TOPK = f"""
+WITH dl AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{fts.TOKEN_RE}'))::DOUBLE
+           AS dl
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{fts.TOKEN_RE}'))
+             AS term
+    FROM documents
+  )
+  WHERE term IN ({", ".join("'" + q + "'" for q in sorted(BM25_QUERY))})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1}
+              * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT {BM25_TOPK}
 """
 
 
@@ -7773,6 +7941,7 @@ DRIVER_EXCLUDE = {
     "snapshot_apply",  # diff→apply round-trip, local gate + pytest
     "state_intervals",  # SCD2 islands, local gate + tests/test_scd.py
     "inverted_index",  # IR posting lists, local gate + pytest
+    "bm25_topk",  # IR ranked retrieval, local gate (keeps driver at 50)
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -7839,6 +8008,7 @@ REGISTRY: dict[str, tuple] = {
     "snapshot_apply": (q_snapshot_apply, SQL_SNAPSHOT_APPLY),
     "state_intervals": (q_state_intervals, SQL_STATE_INTERVALS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
