@@ -405,6 +405,174 @@ LIMIT {BM25_TOPK}
 """
 
 
+CHI2_MIN_CT = 50
+CHI2_TOPN = 10
+
+
+def q_chi2_keywords(sf_dir: str):
+    """Per-source distinctive keywords by chi-squared association
+    (the classic corpus-linguistics keyword statistic over the 2x2
+    token-occurrence contingency) — which terms over-index in each
+    source vs the rest of the corpus. The webtext use: domain/feed
+    fingerprinting without any model.
+
+    Shape: map-side (source, token) partial counts per batch -> ONE
+    hash(token) shuffle; inside a token's bucket the term total ct is
+    just the in-bucket sum, and the tiny per-source totals (cs, N)
+    ride in broadcast, so chi2 = N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) is
+    computed where the counts already live — no second shuffle, no
+    vocabulary on the driver. Positive-association filter
+    (a*N > ct*cs) keeps over-represented terms only; per-source top-n
+    via per-batch partials + an O(#batches x #sources x n) driver
+    merge. The chi2 expression mirrors the oracle token-for-token so
+    IEEE doubles round identically at 6 digits."""
+    from ..functions.textstats import _explode_tokens
+    from ..stages.bucketed import bucketed_apply
+
+    def st_partial(t: pa.Table) -> pa.Table:
+        parent, toks = _explode_tokens(t["text"])
+        src = t["source"].to_numpy(zero_copy_only=False)[parent]
+        g = (
+            pd.DataFrame(
+                {"token": toks.to_numpy(zero_copy_only=False), "source": src}
+            )
+            .groupby(["token", "source"], as_index=False)
+            .size()
+            .rename(columns={"size": "partial"})
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    partials = (
+        _docs(sf_dir)
+        .map_batches(st_partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # per-source totals + grand total: #sources rows, driver-sized
+    stot = partials.groupby("source").sum("partial").to_pandas()
+    cs_map = dict(
+        zip(stot["source"], stot["sum(partial)"].astype(float))
+    )
+    n_total = float(sum(cs_map.values()))
+
+    def chi2_bucket(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["token", "source"], as_index=False)["partial"]
+            .sum()
+        )
+        if not len(df):
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "token": pa.array([], type=pa.string()),
+                    "chi2": pa.array([], type=pa.float64()),
+                }
+            )
+        a = df["partial"].astype(float).to_numpy()
+        ct = df.groupby("token")["partial"].transform("sum").astype(
+            float
+        ).to_numpy()
+        cs = df["source"].map(cs_map).astype(float).to_numpy()
+        n = n_total
+        keep = (ct >= CHI2_MIN_CT) & (a * n > ct * cs)
+        a, ct, cs = a[keep], ct[keep], cs[keep]
+        b = ct - a
+        c = cs - a
+        d = n - ct - cs + a
+        chi2 = np.round(
+            n * (a * d - b * c) * (a * d - b * c)
+            / ((a + b) * (c + d) * (a + c) * (b + d)),
+            6,
+        )
+        return pa.table(
+            {
+                "source": pa.array(
+                    df["source"].to_numpy()[keep], type=pa.string()
+                ),
+                "token": pa.array(
+                    df["token"].to_numpy()[keep], type=pa.string()
+                ),
+                "chi2": pa.array(chi2, type=pa.float64()),
+            }
+        )
+
+    scored = bucketed_apply(partials, "token", chi2_bucket)
+
+    def topn_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["source", "chi2", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).head(CHI2_TOPN),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    cand = (
+        scored.map_batches(topn_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(
+            ["source", "chi2", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+    )
+    top = cand.groupby("source", as_index=False).head(CHI2_TOPN).copy()
+    top["rk"] = top.groupby("source").cumcount() + 1
+    return pa.Table.from_pandas(
+        top.reset_index(drop=True), preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+SQL_CHI2_KEYWORDS = f"""
+WITH occ AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '{fts.TOKEN_RE}'))
+           AS token
+  FROM documents
+),
+st AS (
+  SELECT source, token, count(*)::DOUBLE AS a
+  FROM occ GROUP BY source, token
+),
+tt AS (SELECT token, sum(a) AS ct FROM st GROUP BY token),
+ss AS (SELECT source, sum(a) AS cs FROM st GROUP BY source),
+tot AS (SELECT sum(a) AS n FROM st),
+chi AS (
+  SELECT st.source, st.token,
+         round(
+           tot.n
+           * (st.a * (tot.n - tt.ct - ss.cs + st.a)
+              - (tt.ct - st.a) * (ss.cs - st.a))
+           * (st.a * (tot.n - tt.ct - ss.cs + st.a)
+              - (tt.ct - st.a) * (ss.cs - st.a))
+           / ((st.a + (tt.ct - st.a))
+              * ((ss.cs - st.a) + (tot.n - tt.ct - ss.cs + st.a))
+              * (st.a + (ss.cs - st.a))
+              * ((tt.ct - st.a) + (tot.n - tt.ct - ss.cs + st.a))),
+           6
+         ) AS chi2
+  FROM st
+  JOIN tt USING (token)
+  JOIN ss USING (source)
+  CROSS JOIN tot
+  WHERE tt.ct >= {CHI2_MIN_CT} AND st.a * tot.n > tt.ct * ss.cs
+)
+SELECT source, token, chi2, rk FROM (
+  SELECT source, token, chi2,
+         row_number() OVER (
+           PARTITION BY source ORDER BY chi2 DESC, token
+         )::BIGINT AS rk
+  FROM chi
+)
+WHERE rk <= {CHI2_TOPN}
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -7942,6 +8110,7 @@ DRIVER_EXCLUDE = {
     "state_intervals",  # SCD2 islands, local gate + tests/test_scd.py
     "inverted_index",  # IR posting lists, local gate + pytest
     "bm25_topk",  # IR ranked retrieval, local gate (keeps driver at 50)
+    "chi2_keywords",  # keyword-association census, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -8009,6 +8178,7 @@ REGISTRY: dict[str, tuple] = {
     "state_intervals": (q_state_intervals, SQL_STATE_INTERVALS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "chi2_keywords": (q_chi2_keywords, SQL_CHI2_KEYWORDS),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
