@@ -573,6 +573,149 @@ WHERE rk <= {CHI2_TOPN}
 """
 
 
+def q_jsd_sources(sf_dir: str):
+    """Per-source Jensen-Shannon divergence between the source's token
+    distribution and the rest of the corpus — the distribution-drift
+    score a webtext pipeline uses to flag feeds whose language shifted
+    (JSD is KL's bounded symmetrization; Lin 1991). Same shuffle shape
+    as chi2_keywords: map-side (source, token) partials, ONE
+    hash(token) shuffle; inside a token's bucket the term's count per
+    source and its corpus total are both local, the tiny per-source
+    totals ride in broadcast, and each bucket emits one partial JSD
+    sum per source — the final groupby is #sources rows. Absent
+    (source, token) cells still contribute to the rest-side KL term,
+    so the bucket kernel expands each token over the full broadcast
+    source list (vocab x #sources rows, inside the bucket only).
+
+    The contribution formula mirrors the oracle token-for-token
+    (p*ln(p/m) with m the mixture mean) so both sides round alike; the
+    per-source sum is O(vocab) float additions whose associativity
+    error sits ~9 orders below the shared round-6 rule."""
+    from ..functions.textstats import _explode_tokens
+    from ..stages.bucketed import bucketed_apply
+
+    def st_partial(t: pa.Table) -> pa.Table:
+        parent, toks = _explode_tokens(t["text"])
+        src = t["source"].to_numpy(zero_copy_only=False)[parent]
+        g = (
+            pd.DataFrame(
+                {"token": toks.to_numpy(zero_copy_only=False), "source": src}
+            )
+            .groupby(["token", "source"], as_index=False)
+            .size()
+            .rename(columns={"size": "partial"})
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    partials = (
+        _docs(sf_dir)
+        .map_batches(st_partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    stot = partials.groupby("source").sum("partial").to_pandas()
+    sources = sorted(stot["source"])
+    cs_map = dict(
+        zip(stot["source"], stot["sum(partial)"].astype(float))
+    )
+    n_total = float(sum(cs_map.values()))
+    cs_vec = np.array([cs_map[s] for s in sources])
+
+    def jsd_bucket(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["token", "source"], as_index=False)["partial"]
+            .sum()
+        )
+        if not len(df):
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "jsd_partial": pa.array([], type=pa.float64()),
+                }
+            )
+        piv = (
+            df.pivot(index="token", columns="source", values="partial")
+            .reindex(columns=sources)
+            .fillna(0.0)
+            .to_numpy()
+            .astype(float)
+        )  # (vocab_bucket, #sources)
+        ct = piv.sum(axis=1, keepdims=True)
+        a = piv
+        p = a / cs_vec
+        q = (ct - a) / (n_total - cs_vec)
+        m = (p + q) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lp = np.where(p > 0.0, 0.5 * p * np.log(p / m), 0.0)
+            lq = np.where(q > 0.0, 0.5 * q * np.log(q / m), 0.0)
+        contrib = (lp + lq).sum(axis=0)
+        return pa.table(
+            {
+                "source": pa.array(sources, type=pa.string()),
+                "jsd_partial": pa.array(contrib, type=pa.float64()),
+            }
+        )
+
+    agg = (
+        bucketed_apply(partials, "token", jsd_bucket)
+        .groupby("source")
+        .sum("jsd_partial")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "jsd": pc.round(t["sum(jsd_partial)"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JSD_SOURCES = f"""
+WITH occ AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '{fts.TOKEN_RE}'))
+           AS token
+  FROM documents
+),
+st AS (
+  SELECT source, token, count(*)::DOUBLE AS a
+  FROM occ GROUP BY source, token
+),
+tt AS (SELECT token, sum(a) AS ct FROM st GROUP BY token),
+ss AS (SELECT source, sum(a) AS cs FROM st GROUP BY source),
+tot AS (SELECT sum(a) AS n FROM st),
+grid AS (
+  SELECT s.source, t.token, coalesce(x.a, 0) AS a,
+         t.ct, s.cs, tot.n
+  FROM ss s
+  CROSS JOIN tt t
+  LEFT JOIN st x ON x.source = s.source AND x.token = t.token
+  CROSS JOIN tot
+),
+contrib AS (
+  SELECT source,
+         CASE WHEN a > 0 THEN
+           0.5 * (a / cs)
+           * ln((a / cs)
+                / (((a / cs) + ((ct - a) / (n - cs))) / 2))
+         ELSE 0 END
+         + CASE WHEN ct - a > 0 THEN
+           0.5 * ((ct - a) / (n - cs))
+           * ln(((ct - a) / (n - cs))
+                / (((a / cs) + ((ct - a) / (n - cs))) / 2))
+         ELSE 0 END AS c
+  FROM grid
+)
+SELECT source, round(sum(c), 6) AS jsd
+FROM contrib GROUP BY source
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -8111,6 +8254,7 @@ DRIVER_EXCLUDE = {
     "inverted_index",  # IR posting lists, local gate + pytest
     "bm25_topk",  # IR ranked retrieval, local gate (keeps driver at 50)
     "chi2_keywords",  # keyword-association census, local gate
+    "jsd_sources",  # distribution-drift score, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -8179,6 +8323,7 @@ REGISTRY: dict[str, tuple] = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "chi2_keywords": (q_chi2_keywords, SQL_CHI2_KEYWORDS),
+    "jsd_sources": (q_jsd_sources, SQL_JSD_SOURCES),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
