@@ -716,6 +716,140 @@ FROM contrib GROUP BY source
 """
 
 
+ZORDER_BITS = 16
+ZORDER_TILES = 64
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton-curve) file layout for two-column data
+    skipping: interleave the low 16 bits of (l_partkey, l_suppkey),
+    range-partition the curve into equal-count tiles, and report each
+    tile's row count and per-column min/max envelope — the layout
+    planner a lakehouse runs so that BOTH columns' zone maps prune
+    (a single-column sort gives one tight envelope; the Z-curve
+    bounds both). Output is O(#tiles).
+
+    Execution: zval is a vectorized numpy bit-interleave per batch;
+    the total order (zval, l_orderkey, l_linenumber) is packed into
+    one int64 (32+28+3 bits — exact to sf ~40) and ranked by
+    stages/order.py global_rank (sampled range partition, one
+    shuffle, O(#buckets) driver offsets); tile = the NTILE closed
+    form from the 0-based rank, so Ray and the oracle's
+    ntile() OVER (ORDER BY ...) agree row-for-row; envelopes are
+    per-batch partial min/max folded by one tiny groupby."""
+    from ..stages.order import global_rank
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+        ],
+    )
+    n_total = li.count()
+    q, m = divmod(n_total, ZORDER_TILES)
+    mask = (1 << ZORDER_BITS) - 1
+
+    def pack(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) & mask
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False) & mask
+        z = np.zeros(len(p), dtype=np.int64)
+        for i in range(ZORDER_BITS):
+            z |= ((p >> i) & 1) << (2 * i)
+            z |= ((s >> i) & 1) << (2 * i + 1)
+        rowid = (
+            t["l_orderkey"].to_numpy(zero_copy_only=False) << 3
+        ) | t["l_linenumber"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "zkey": pa.array((z << 31) | rowid, type=pa.int64()),
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+            }
+        )
+
+    ranked = global_rank(
+        li.map_batches(pack, batch_format="pyarrow"), "zkey"
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False) - 1  # 0-based
+        cut = m * (q + 1)
+        tile = np.where(r < cut, r // (q + 1), m + (r - cut) // max(q, 1))
+        df = pd.DataFrame(
+            {
+                "tile": tile,
+                "p": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "s": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("tile", as_index=False).agg(
+            n=("p", "size"),
+            p_lo=("p", "min"),
+            p_hi=("p", "max"),
+            s_lo=("s", "min"),
+            s_hi=("s", "max"),
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = (
+        ranked.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("p_lo", alias_name="p_lo"),
+            Max("p_hi", alias_name="p_hi"),
+            Min("s_lo", alias_name="s_lo"),
+            Max("s_hi", alias_name="s_hi"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "tile": pc.cast(t["tile"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+                "p_lo": pc.cast(t["p_lo"], pa.int64()),
+                "p_hi": pc.cast(t["p_hi"], pa.int64()),
+                "s_lo": pc.cast(t["s_lo"], pa.int64()),
+                "s_hi": pc.cast(t["s_hi"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_zorder() -> str:
+    terms = " + ".join(
+        f"((((l_partkey & {(1 << ZORDER_BITS) - 1}) >> {i}) & 1)"
+        f" << {2 * i})"
+        f" + ((((l_suppkey & {(1 << ZORDER_BITS) - 1}) >> {i}) & 1)"
+        f" << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+    return f"""
+WITH z AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         ({terms})::BIGINT AS zval
+  FROM lineitem
+),
+t AS (
+  SELECT l_partkey, l_suppkey,
+         ntile({ZORDER_TILES}) OVER (
+           ORDER BY zval, l_orderkey, l_linenumber
+         ) - 1 AS tile
+  FROM z
+)
+SELECT tile::BIGINT AS tile, count(*)::BIGINT AS n,
+       min(l_partkey)::BIGINT AS p_lo, max(l_partkey)::BIGINT AS p_hi,
+       min(l_suppkey)::BIGINT AS s_lo, max(l_suppkey)::BIGINT AS s_hi
+FROM t GROUP BY tile
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -8255,6 +8389,7 @@ DRIVER_EXCLUDE = {
     "bm25_topk",  # IR ranked retrieval, local gate (keeps driver at 50)
     "chi2_keywords",  # keyword-association census, local gate
     "jsd_sources",  # distribution-drift score, local gate
+    "zorder_layout",  # Morton-curve layout planner, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -8324,6 +8459,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "chi2_keywords": (q_chi2_keywords, SQL_CHI2_KEYWORDS),
     "jsd_sources": (q_jsd_sources, SQL_JSD_SOURCES),
+    "zorder_layout": (q_zorder_layout, _sql_zorder()),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
