@@ -2194,6 +2194,88 @@ FROM orders WHERE o_orderkey % 7 != 2
 """
 
 
+def q_incremental_rollup(sf_dir: str):
+    """Incremental view maintenance: keep the per-custkey order-count
+    rollup current under CDC churn WITHOUT rescanning the base table
+    — base aggregate (old snapshot) ⊕ churn-sized delta adjustments
+    (+1 per inserted key, -1 per deleted key, a ±1 pair per update
+    that moved the order between custkeys) folded in ONE groupby;
+    counts that reach zero are dropped. At 100 TB the base aggregate
+    is itself a materialized view and only the delta (emission-bounded
+    by churn, cdc.py snapshot_diff) is computed per refresh.
+
+    The oracle recomputes the rollup from the NEW snapshot directly —
+    the Ray side never reads it, so a value-hash match proves the
+    maintenance algebra, not just the arithmetic."""
+    from ..functions.cdc import (
+        CHANGE_DELETE,
+        CHANGE_INSERT,
+        snapshot_diff,
+    )
+
+    old, new = _snapshot_sides(sf_dir)
+    delta = snapshot_diff(old, new, key="o_orderkey", compare=["custkey"])
+
+    old2, _ = _snapshot_sides(sf_dir)
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["old_custkey"].combine_chunks())
+        return pa.table(
+            {
+                "custkey": pc.cast(vc.field("values"), pa.int64()),
+                "partial": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def delta_partial(t: pa.Table) -> pa.Table:
+        ch = t["change"].to_numpy(zero_copy_only=False)
+        oldk = t["old_custkey"].to_numpy(zero_copy_only=False)
+        newk = t["new_custkey"].to_numpy(zero_copy_only=False)
+        minus = oldk[ch != CHANGE_INSERT]  # deletes + update-from
+        plus = newk[ch != CHANGE_DELETE]  # inserts + update-to
+        df = pd.concat(
+            [
+                pd.DataFrame({"custkey": minus, "partial": -1}),
+                pd.DataFrame({"custkey": plus, "partial": 1}),
+            ]
+        )
+        g = df.groupby("custkey", as_index=False)["partial"].sum()
+        return pa.table(
+            {
+                "custkey": pa.array(
+                    g["custkey"].to_numpy(), type=pa.int64()
+                ),
+                "partial": pa.array(
+                    g["partial"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
+    base = old2.map_batches(base_partial, batch_format="pyarrow")
+    adj = delta.map_batches(delta_partial, batch_format="pyarrow")
+    agg = base.union(adj).groupby("custkey").sum("partial")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "custkey": t["custkey"],
+                "n_orders": pc.cast(t["sum(partial)"], pa.int64()),
+            }
+        ).filter(pc.greater(t["sum(partial)"], 0)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_INCREMENTAL_ROLLUP = """
+WITH new_snap AS (
+  SELECT CASE WHEN o_orderkey % 13 = 5 THEN o_custkey + 1
+              ELSE o_custkey END AS custkey
+  FROM orders WHERE o_orderkey % 7 != 2
+)
+SELECT custkey, count(*)::BIGINT AS n_orders
+FROM new_snap GROUP BY custkey
+"""
+
+
 def q_segment_revenue(sf_dir: str):
     """orders x customer broadcast hash join -> revenue per market
     segment. customer is the small side: `ray.put` once, vectorized
@@ -8390,6 +8472,7 @@ DRIVER_EXCLUDE = {
     "chi2_keywords",  # keyword-association census, local gate
     "jsd_sources",  # distribution-drift score, local gate
     "zorder_layout",  # Morton-curve layout planner, local gate
+    "incremental_rollup",  # CDC view maintenance, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -8460,6 +8543,7 @@ REGISTRY: dict[str, tuple] = {
     "chi2_keywords": (q_chi2_keywords, SQL_CHI2_KEYWORDS),
     "jsd_sources": (q_jsd_sources, SQL_JSD_SOURCES),
     "zorder_layout": (q_zorder_layout, _sql_zorder()),
+    "incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
