@@ -850,6 +850,125 @@ FROM t GROUP BY tile
 """
 
 
+HEAPS_CHECKPOINTS = 10
+
+
+def q_heaps_curve(sf_dir: str):
+    """Vocabulary-growth (Heaps'-law) curve: distinct-token count and
+    total-token count at 10 doc_id-prefix checkpoints — the corpus
+    diagnostic that says whether a crawl's vocabulary is saturating
+    (V ~ c·nᵝ) or still exploding (OCR noise, spam, language mix).
+
+    Distributed shape: a token's FIRST document is min(doc_id) per
+    token — map-side per-batch min partials, one vocab-sized
+    groupby-min shuffle; the curve itself is then two tiny cumulative
+    histograms (first_doc ≤ d for vocab, parent doc_id ≤ d for token
+    mass), both per-batch partial vectors of length #checkpoints.
+    Nothing vocabulary-sized reaches the driver."""
+    from ..functions.textstats import _explode_tokens
+
+    docs = _docs(sf_dir)
+    n_docs = docs.count()
+    cuts = np.array(
+        [
+            (i + 1) * n_docs // HEAPS_CHECKPOINTS
+            for i in range(HEAPS_CHECKPOINTS)
+        ],
+        dtype=np.int64,
+    )
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        parent, toks = _explode_tokens(t["text"])
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        g = (
+            pd.DataFrame(
+                {"token": toks.to_numpy(zero_copy_only=False), "d": doc}
+            )
+            .groupby("token", as_index=False)["d"]
+            .min()
+        )
+        return pa.table(
+            {
+                "token": pa.array(g["token"], type=pa.string()),
+                "d": pa.array(g["d"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    first = (
+        _docs(sf_dir)
+        .map_batches(first_partial, batch_format="pyarrow")
+        .groupby("token")
+        .min("d")
+    )
+
+    def vocab_hist(t: pa.Table) -> pa.Table:
+        fd = t["min(d)"].to_numpy(zero_copy_only=False)
+        v = (fd[None, :] < cuts[:, None]).sum(axis=1)
+        return pa.table(
+            {
+                "checkpoint": pa.array(cuts, type=pa.int64()),
+                "vocab_partial": pa.array(v, type=pa.int64()),
+                "tokens_partial": pa.array(
+                    np.zeros(len(cuts), dtype=np.int64)
+                ),
+            }
+        )
+
+    def mass_hist(t: pa.Table) -> pa.Table:
+        parent, _toks = _explode_tokens(t["text"])
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        m = (doc[None, :] < cuts[:, None]).sum(axis=1)
+        return pa.table(
+            {
+                "checkpoint": pa.array(cuts, type=pa.int64()),
+                "vocab_partial": pa.array(
+                    np.zeros(len(cuts), dtype=np.int64)
+                ),
+                "tokens_partial": pa.array(m, type=pa.int64()),
+            }
+        )
+
+    parts = first.map_batches(vocab_hist, batch_format="pyarrow").union(
+        docs.map_batches(mass_hist, batch_format="pyarrow")
+    )
+    agg = parts.groupby("checkpoint").aggregate(
+        Sum("vocab_partial", alias_name="v"),
+        Sum("tokens_partial", alias_name="m"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "checkpoint": t["checkpoint"],
+                "n_tokens": pc.cast(t["m"], pa.int64()),
+                "vocab": pc.cast(t["v"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_HEAPS_CURVE = f"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{fts.TOKEN_RE}'))
+           AS token
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+cuts AS (
+  SELECT (i + 1) * n.n_docs // {HEAPS_CHECKPOINTS} AS checkpoint
+  FROM range({HEAPS_CHECKPOINTS}) t(i) CROSS JOIN n
+),
+first AS (SELECT token, min(doc_id) AS fd FROM occ GROUP BY token)
+SELECT c.checkpoint,
+       (SELECT count(*) FROM occ WHERE occ.doc_id < c.checkpoint)
+         ::BIGINT AS n_tokens,
+       (SELECT count(*) FROM first WHERE first.fd < c.checkpoint)
+         ::BIGINT AS vocab
+FROM cuts c
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -8473,6 +8592,7 @@ DRIVER_EXCLUDE = {
     "jsd_sources",  # distribution-drift score, local gate
     "zorder_layout",  # Morton-curve layout planner, local gate
     "incremental_rollup",  # CDC view maintenance, local gate
+    "heaps_curve",  # vocabulary-growth census, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -8544,6 +8664,7 @@ REGISTRY: dict[str, tuple] = {
     "jsd_sources": (q_jsd_sources, SQL_JSD_SOURCES),
     "zorder_layout": (q_zorder_layout, _sql_zorder()),
     "incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
+    "heaps_curve": (q_heaps_curve, SQL_HEAPS_CURVE),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
