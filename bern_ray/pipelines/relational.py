@@ -5564,6 +5564,119 @@ LEFT JOIN lab l ON l.doc_id = d.doc_id
 )
 
 
+CLUSTER_DEPTH_ROUNDS = 8
+
+
+def q_cluster_depth(sf_dir: str):
+    """Chain-depth census of the 0.9-jaccard near-dup clusters: per
+    multi-node cluster, the BFS eccentricity of its canonical (min-id)
+    root — the diagnostic that tells a dedup operator whether CC
+    clusters are tight near-cliques (ecc 1) or risky transitive
+    chains (ecc >> 1) where one weak edge glued unrelated docs. The
+    depth cap (CLUSTER_DEPTH_ROUNDS) is part of the contract, shared
+    verbatim with the recursive-CTE oracle: nodes deeper than the cap
+    are excluded from both sides' counts.
+
+    Shape: verified pairs -> distributed CC labels (dedup_clusters) ->
+    ONE bucket_join attaches each edge to its cluster -> per-cluster
+    exact BFS inside groupby(cluster_id).map_groups (a cluster's
+    edges co-locate; per-cluster subgraphs are block-sized — the same
+    partitioning assumption kmeans_medoids documents). Output is
+    O(#multi-node clusters)."""
+    from ..stages.join import bucket_join
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    pairs = fdedup.minhash_neardup(docs, threshold=0.9).map_batches(
+        lambda t: t.select(["doc_id_a", "doc_id_b"]),
+        batch_format="pyarrow",
+    )
+    labels = fdedup.dedup_clusters(docs, threshold=0.9).map_batches(
+        lambda t: t.select(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+    tagged = bucket_join(
+        pairs,
+        labels,
+        left_on="doc_id_a",
+        right_on="doc_id",
+        left_schema={
+            "doc_id_a": pa.int64(),
+            "doc_id_b": pa.int64(),
+        },
+        right_schema={
+            "doc_id": pa.int64(),
+            "cluster_id": pa.int64(),
+        },
+    )
+
+    def bfs_group(t: pa.Table) -> pa.Table:
+        u = t["doc_id_a"].to_numpy(zero_copy_only=False)
+        v = t["doc_id_b"].to_numpy(zero_copy_only=False)
+        cid = int(t["cluster_id"][0].as_py())
+        codes, nodes = pd.factorize(np.concatenate([u, v]))
+        n = len(nodes)
+        eu, ev = codes[: len(u)], codes[len(u) :]
+        su = np.concatenate([eu, ev])
+        sv = np.concatenate([ev, eu])
+        level = np.full(n, -1, dtype=np.int64)
+        root = int(np.argmin(nodes))  # min doc_id == cluster_id
+        level[root] = 0
+        frontier = np.array([root])
+        for d in range(1, CLUSTER_DEPTH_ROUNDS + 1):
+            hit = np.isin(su, frontier)
+            nxt = np.unique(sv[hit])
+            nxt = nxt[level[nxt] < 0]
+            if len(nxt) == 0:
+                break
+            level[nxt] = d
+            frontier = nxt
+        reached = level >= 0
+        return pa.table(
+            {
+                "cluster_id": pa.array([cid], type=pa.int64()),
+                "n_nodes": pa.array(
+                    [int(reached.sum())], type=pa.int64()
+                ),
+                "ecc": pa.array(
+                    [int(level[reached].max())], type=pa.int64()
+                ),
+            }
+        )
+
+    return tagged.groupby("cluster_id").map_groups(
+        bfs_group, batch_format="pyarrow"
+    )
+
+
+SQL_CLUSTER_DEPTH = (
+    _CLUSTERS_CTE
+    + f""",
+cl AS (
+  SELECT d.doc_id,
+         coalesce(least(d.doc_id, l.mn), d.doc_id) AS cluster_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {MINHASH_MAX_DOC}) d
+  LEFT JOIN lab l ON l.doc_id = d.doc_id
+),
+bfs(v, d) AS (
+  SELECT cluster_id, 0 FROM cl WHERE cluster_id = doc_id
+  UNION
+  SELECT e.v, b.d + 1
+  FROM bfs b JOIN e ON e.u = b.v
+  WHERE b.d < {CLUSTER_DEPTH_ROUNDS}
+),
+lev AS (SELECT v, min(d) AS depth FROM bfs GROUP BY v)
+SELECT c.cluster_id, count(*)::BIGINT AS n_nodes,
+       max(l2.depth)::BIGINT AS ecc
+FROM cl c JOIN lev l2 ON l2.v = c.doc_id
+GROUP BY c.cluster_id
+HAVING count(*) >= 2
+"""
+)
+
+
 PR_CURVE_THRESHOLDS = [0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9]
 
 
@@ -8593,6 +8706,7 @@ DRIVER_EXCLUDE = {
     "zorder_layout",  # Morton-curve layout planner, local gate
     "incremental_rollup",  # CDC view maintenance, local gate
     "heaps_curve",  # vocabulary-growth census, local gate
+    "cluster_depth",  # near-dup chain-depth census, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -8665,6 +8779,7 @@ REGISTRY: dict[str, tuple] = {
     "zorder_layout": (q_zorder_layout, _sql_zorder()),
     "incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "heaps_curve": (q_heaps_curve, SQL_HEAPS_CURVE),
+    "cluster_depth": (q_cluster_depth, SQL_CLUSTER_DEPTH),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
