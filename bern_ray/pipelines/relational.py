@@ -969,6 +969,98 @@ FROM cuts c
 """
 
 
+def q_skyline_parts(sf_dir: str):
+    """2-D skyline (Pareto frontier) of parts maximizing
+    (p_retailprice, p_size): a part survives iff no other part is >=
+    in both dimensions and > in at least one — the classic
+    multi-criteria shortlist operator (Borzsony-Kossmann-Stocker
+    2001). Distribution rests on the skyline identity
+    skyline(∪ blocks) = skyline(∪ skyline(block)): each batch emits
+    its LOCAL frontier via one descending lexsort + running-max sweep
+    (no pairwise loop), and only those few survivors reach the final
+    driver sweep — on 2-D data the frontier is ~O(log n) points, so
+    the merge input is #batches x small."""
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        price = t["p_retailprice"].to_numpy()
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        key = t["p_partkey"].to_numpy(zero_copy_only=False)
+        keep = _skyline_mask(price, size)
+        return pa.table(
+            {
+                "p_partkey": pa.array(key[keep], type=pa.int64()),
+                "p_retailprice": pa.array(
+                    price[keep], type=pa.float64()
+                ),
+                "p_size": pa.array(size[keep], type=pa.int64()),
+            }
+        )
+
+    cand = (
+        read_parquet_clean(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_retailprice", "p_size"],
+        )
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .to_pandas()
+    )
+    keep = _skyline_mask(
+        cand["p_retailprice"].to_numpy(), cand["p_size"].to_numpy()
+    )
+    out = cand[keep].sort_values("p_partkey").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Non-dominated mask for maximize-(price, size): sort by
+    (price desc, size desc); a point is dominated iff some point
+    strictly before it in (price, size) lexicographic order has
+    size >= its size AND differs in at least one dim — equivalently,
+    the running max of size over all STRICTLY higher-price points
+    reaches its size, or an equal-(price,size) twin... twins dominate
+    nobody, so only the strict-price prefix matters."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-size, -price))
+    p_s, s_s = price[order], size[order]
+    # running max of size over the strictly-higher-price prefix
+    grp_start = np.flatnonzero(
+        np.concatenate(([True], p_s[1:] != p_s[:-1]))
+    )
+    # best size among earlier price groups, per element
+    group_id = np.cumsum(
+        np.concatenate(([0], (p_s[1:] != p_s[:-1]).astype(np.int64)))
+    )
+    group_max = np.full(group_id[-1] + 1, -np.inf)
+    np.maximum.at(group_max, group_id, s_s)
+    prefix_best = np.full(len(group_max), -np.inf)
+    if len(group_max) > 1:
+        prefix_best[1:] = np.maximum.accumulate(group_max)[:-1]
+    dominated = prefix_best[group_id] >= s_s
+    # within an equal-price group, a larger size dominates a smaller
+    in_group_best = s_s[grp_start][group_id]
+    dominated |= in_group_best > s_s
+    keep_sorted = ~dominated
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+SQL_SKYLINE_PARTS = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice >= a.p_retailprice
+    AND b.p_size >= a.p_size
+    AND (b.p_retailprice > a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -8707,6 +8799,7 @@ DRIVER_EXCLUDE = {
     "incremental_rollup",  # CDC view maintenance, local gate
     "heaps_curve",  # vocabulary-growth census, local gate
     "cluster_depth",  # near-dup chain-depth census, local gate
+    "skyline_parts",  # Pareto-frontier shortlist, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -8780,6 +8873,7 @@ REGISTRY: dict[str, tuple] = {
     "incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "heaps_curve": (q_heaps_curve, SQL_HEAPS_CURVE),
     "cluster_depth": (q_cluster_depth, SQL_CLUSTER_DEPTH),
+    "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
