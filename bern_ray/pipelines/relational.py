@@ -1061,6 +1061,188 @@ WHERE NOT EXISTS (
 """
 
 
+def q_ri_violations(sf_dir: str):
+    """Referential-integrity orphan census — the data-quality check a
+    warehouse runs after every load: for each FK relation, how many
+    child rows (and distinct keys) point at a parent that is not
+    there. Parents are deterministically thinned (the CDC-family
+    partial-load rule) so the census is non-trivial:
+    orders.o_custkey -> customer minus custkey ≡3 (mod 10), and
+    lineitem.l_orderkey -> orders minus orderkey ≡2 (mod 7).
+
+    Shape per relation: map-side value_counts partials reduce the
+    child to (key, cnt) — the shuffle ships one row per DISTINCT key,
+    not per child row; a left bucket_join against the thinned parent
+    key set marks orphans in-bucket; per-batch scalar partials
+    (rows / orphan rows / orphan keys) are all that reach the driver.
+    Output is O(#relations)."""
+    from ..stages.join import bucket_join
+
+    def census(child, child_key, parent, parent_key, relation):
+        def cnt_partial(t: pa.Table) -> pa.Table:
+            vc = pc.value_counts(t[child_key].combine_chunks())
+            return pa.table(
+                {
+                    "k": pc.cast(vc.field("values"), pa.int64()),
+                    "cnt": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+
+        def parent_keys(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "pk": pc.cast(t[parent_key], pa.int64()),
+                    "present": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64)
+                    ),
+                }
+            )
+
+        # fold partials to ONE row per distinct child key before the
+        # join, so the orphan-key count is exact (not per-batch)
+        child_counts = (
+            child.map_batches(cnt_partial, batch_format="pyarrow")
+            .groupby("k")
+            .sum("cnt")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "k": t["k"],
+                        "cnt": pc.cast(t["sum(cnt)"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        joined = bucket_join(
+            child_counts,
+            parent.map_batches(parent_keys, batch_format="pyarrow"),
+            left_on="k",
+            right_on="pk",
+            left_schema={"k": pa.int64(), "cnt": pa.int64()},
+            right_schema={"pk": pa.int64(), "present": pa.int64()},
+            how="left",
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            cnt = t["cnt"].to_numpy(zero_copy_only=False)
+            orphan = pc.is_null(t["present"]).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {
+                    "relation": pa.array([relation], type=pa.string()),
+                    "n_child": pa.array(
+                        [int(cnt.sum())], type=pa.int64()
+                    ),
+                    "n_orphan_rows": pa.array(
+                        [int(cnt[orphan].sum())], type=pa.int64()
+                    ),
+                    "n_orphan_keys": pa.array(
+                        [int(orphan.sum())], type=pa.int64()
+                    ),
+                }
+            )
+
+        return joined.map_batches(partial, batch_format="pyarrow")
+
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.not_equal(
+                pc.subtract(
+                    t["c_custkey"],
+                    pc.multiply(
+                        pc.divide(t["c_custkey"], 10), 10
+                    ),
+                ),
+                3,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders_child = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    orders_parent = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.not_equal(
+                pc.subtract(
+                    t["o_orderkey"],
+                    pc.multiply(pc.divide(t["o_orderkey"], 7), 7),
+                ),
+                2,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+
+    parts = census(
+        orders_child, "o_custkey", customer, "c_custkey",
+        "orders->customer",
+    ).union(
+        census(li, "l_orderkey", orders_parent, "o_orderkey",
+               "lineitem->orders")
+    )
+    agg = parts.groupby("relation").aggregate(
+        Sum("n_child", alias_name="n_child"),
+        Sum("n_orphan_rows", alias_name="n_orphan_rows"),
+        Sum("n_orphan_keys", alias_name="n_orphan_keys"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "relation": t["relation"],
+                "n_child": pc.cast(t["n_child"], pa.int64()),
+                "n_orphan_rows": pc.cast(
+                    t["n_orphan_rows"], pa.int64()
+                ),
+                "n_orphan_keys": pc.cast(
+                    t["n_orphan_keys"], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RI_VIOLATIONS = """
+WITH cust AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 10 != 3
+),
+ord AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 != 2
+),
+r1 AS (
+  SELECT 'orders->customer' AS relation,
+         count(*)::BIGINT AS n_child,
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+           ::BIGINT AS n_orphan_rows,
+         count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                             THEN o.o_custkey END)
+           ::BIGINT AS n_orphan_keys
+  FROM orders o LEFT JOIN cust c ON c.c_custkey = o.o_custkey
+),
+r2 AS (
+  SELECT 'lineitem->orders' AS relation,
+         count(*)::BIGINT AS n_child,
+         sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END)
+           ::BIGINT AS n_orphan_rows,
+         count(DISTINCT CASE WHEN p.o_orderkey IS NULL
+                             THEN l.l_orderkey END)
+           ::BIGINT AS n_orphan_keys
+  FROM lineitem l LEFT JOIN ord p ON p.o_orderkey = l.l_orderkey
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -8800,6 +8982,7 @@ DRIVER_EXCLUDE = {
     "heaps_curve",  # vocabulary-growth census, local gate
     "cluster_depth",  # near-dup chain-depth census, local gate
     "skyline_parts",  # Pareto-frontier shortlist, local gate
+    "ri_violations",  # FK orphan census, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -8874,6 +9057,7 @@ REGISTRY: dict[str, tuple] = {
     "heaps_curve": (q_heaps_curve, SQL_HEAPS_CURVE),
     "cluster_depth": (q_cluster_depth, SQL_CLUSTER_DEPTH),
     "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
+    "ri_violations": (q_ri_violations, SQL_RI_VIOLATIONS),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
