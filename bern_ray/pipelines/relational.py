@@ -1243,6 +1243,96 @@ SELECT * FROM r1 UNION ALL SELECT * FROM r2
 """
 
 
+COMPACT_SHARD_DOCS = 50
+COMPACT_TARGET_BYTES = 5_000
+
+
+def q_compaction_plan(sf_dir: str):
+    """Small-file compaction plan — the maintenance job every
+    partitioned lake needs: fold the write-time shards
+    (source, doc_id // 50) into target-sized output files by packing
+    shards in deterministic (source, shard) order until the running
+    byte total crosses the target. Output is one row per planned
+    output file: shard span, file count and total bytes.
+
+    Shape: shard sizes are map-side partial sums folded by one
+    groupby — the only corpus-sized work; the plan itself runs over
+    the O(#shards) inventory (shards are write-granularity facts, not
+    rows), where bin = exclusive-cumsum // target, an exact integer
+    rule shared with the oracle's window cumsum."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    def shard_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "shard": t["doc_id"].to_numpy(zero_copy_only=False)
+                // COMPACT_SHARD_DOCS,
+                "partial": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["source", "shard"], as_index=False)[
+            "partial"
+        ].sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    shards = (
+        docs.map_batches(shard_partial, batch_format="pyarrow")
+        .groupby(["source", "shard"])
+        .sum("partial")
+        .to_pandas()
+        .rename(columns={"sum(partial)": "bytes"})
+        .sort_values(["source", "shard"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    csum = shards["bytes"].cumsum() - shards["bytes"]
+    shards["bin"] = (csum // COMPACT_TARGET_BYTES).astype(np.int64)
+    g = shards.groupby("bin", as_index=False).agg(
+        n_files=("bytes", "size"),
+        total_bytes=("bytes", "sum"),
+        first_source=("source", "first"),
+        first_shard=("shard", "first"),
+        last_source=("source", "last"),
+        last_shard=("shard", "last"),
+    )
+    g["n_files"] = g["n_files"].astype(np.int64)
+    return pa.Table.from_pandas(
+        g, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH shards AS (
+  SELECT source, doc_id // {COMPACT_SHARD_DOCS} AS shard,
+         sum(n_chars)::BIGINT AS bytes
+  FROM documents GROUP BY source, shard
+),
+planned AS (
+  SELECT source, shard, bytes,
+         row_number() OVER (ORDER BY source, shard) AS rn,
+         (sum(bytes) OVER (
+            ORDER BY source, shard
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+          ) // {COMPACT_TARGET_BYTES}) AS bin
+  FROM shards
+)
+SELECT coalesce(bin, 0)::BIGINT AS bin,
+       count(*)::BIGINT AS n_files,
+       sum(bytes)::BIGINT AS total_bytes,
+       min_by(source, rn) AS first_source,
+       min_by(shard, rn)::BIGINT AS first_shard,
+       max_by(source, rn) AS last_source,
+       max_by(shard, rn)::BIGINT AS last_shard
+FROM planned
+GROUP BY coalesce(bin, 0)
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -8983,6 +9073,7 @@ DRIVER_EXCLUDE = {
     "cluster_depth",  # near-dup chain-depth census, local gate
     "skyline_parts",  # Pareto-frontier shortlist, local gate
     "ri_violations",  # FK orphan census, local gate
+    "compaction_plan",  # small-file bin packing, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9058,6 +9149,7 @@ REGISTRY: dict[str, tuple] = {
     "cluster_depth": (q_cluster_depth, SQL_CLUSTER_DEPTH),
     "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
     "ri_violations": (q_ri_violations, SQL_RI_VIOLATIONS),
+    "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
