@@ -597,3 +597,132 @@ def triangle_stats_reference(
             }
         )
     return pd.DataFrame(rows).sort_values("node").reset_index(drop=True)
+
+
+LPA_PACK = 1 << 33
+
+
+def label_propagation(
+    edges: "ray.data.Dataset",
+    rounds: int = 4,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007) over an undirected (a, b) edge list, made DETERMINISTIC so
+    a recursive-CTE oracle can agree value-for-value: every node
+    starts labeled with itself; each round it adopts the most
+    frequent label among its neighbors, ties broken toward the
+    SMALLEST label; `rounds` is part of the contract (LPA oscillates
+    on bipartite structure — a fixed round count pins the output on
+    both sides instead of chasing convergence).
+
+    The (count desc, label asc) argmax is ONE packed max:
+    count * 2^33 + (2^33 - 1 - label) — labels are node ids < 2^33 —
+    so each round is two shuffles: a bucket_join shipping labels onto
+    edge sources, then a hash(t) bucket that counts (t, label) pairs
+    and takes the packed max per node in-bucket. No driver-side
+    state; round cost is O(E) shipped both shuffles.
+
+    Returns (node, community) after `rounds` rounds.
+    """
+    from ..stages.join import bucket_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([a, b]).astype(np.int64)),
+                "t": pa.array(np.concatenate([b, a]).astype(np.int64)),
+            }
+        )
+
+    dirs = edges.map_batches(
+        both_dirs, batch_format="pyarrow"
+    ).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = np.unique(t["s"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "n": pa.array(n.astype(np.int64)),
+                "lbl": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    # per-bucket unique is globally unique: bucketed on s, a node's
+    # rows co-locate
+    labels = bucketed_apply(
+        dirs, "s", init_labels, num_buckets=num_buckets
+    ).materialize()
+
+    def mode_bucket(t: pa.Table) -> pa.Table:
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        ll = t["lbl"].to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame({"t": tt, "lbl": ll})
+            .groupby(["t", "lbl"], as_index=False)
+            .size()
+        )
+        pack = (
+            df["size"].to_numpy().astype(np.int64) * LPA_PACK
+            + (LPA_PACK - 1 - df["lbl"].to_numpy())
+        )
+        df["pack"] = pack
+        best = df.groupby("t", as_index=False)["pack"].max()
+        return pa.table(
+            {
+                "n": pa.array(
+                    best["t"].to_numpy().astype(np.int64)
+                ),
+                "lbl": pa.array(
+                    (LPA_PACK - 1)
+                    - best["pack"].to_numpy() % LPA_PACK
+                ),
+            }
+        )
+
+    for _ in range(rounds):
+        contrib = bucket_join(
+            dirs,
+            labels,
+            left_on="s",
+            right_on="n",
+            left_schema={"s": pa.int64(), "t": pa.int64()},
+            right_schema={"n": pa.int64(), "lbl": pa.int64()},
+        )
+        labels = bucketed_apply(
+            contrib.map_batches(
+                lambda t: t.select(["t", "lbl"]),
+                batch_format="pyarrow",
+            ),
+            "t",
+            mode_bucket,
+            num_buckets=num_buckets,
+        ).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"node": t["n"], "community": t["lbl"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def label_propagation_reference(edge_pairs, rounds=4):
+    """Scalar synchronous LPA for tests (min-label tie-break)."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(list)
+    for a, b in edge_pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(lbl[m] for m in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lbl = new
+    return dict(sorted(lbl.items()))

@@ -1333,6 +1333,62 @@ GROUP BY coalesce(bin, 0)
 """
 
 
+LPA_ROUNDS = 4
+
+
+def q_part_communities(sf_dir: str):
+    """Label-propagation communities of the part co-purchase graph
+    (functions/graph.py label_propagation): synchronous LPA with the
+    deterministic (count desc, label asc) adoption rule and a fixed
+    round count shared verbatim with the recursive-CTE oracle —
+    completing the graph-analytics family (pagerank / k-core /
+    triangles / CC) with a community detector whose semantics differ
+    from connectivity (dense neighborhoods absorb their periphery)."""
+    from ..functions.graph import cooccurrence_edges, label_propagation
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = label_propagation(edges, rounds=LPA_ROUNDS)
+    return out.map_batches(
+        lambda t: t.rename_columns(["partkey", "community"]),
+        batch_format="pyarrow",
+    )
+
+
+_LPA_K = 1 << 33
+
+SQL_PART_COMMUNITIES = f"""
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+dir AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+lab AS (
+  SELECT 0 AS iter, s AS n, s AS l FROM (SELECT DISTINCT s FROM dir)
+  UNION ALL
+  SELECT q.iter + 1, q.n, ({_LPA_K} - 1) - (q.pk % {_LPA_K})
+  FROM (
+    SELECT cnts.iter, cnts.t AS n,
+           max(cnts.c * {_LPA_K} + ({_LPA_K} - 1 - cnts.l)) AS pk
+    FROM (
+      SELECT l.iter AS iter, d.t AS t, l.l AS l, count(*) AS c
+      FROM lab l JOIN dir d ON d.s = l.n
+      WHERE l.iter < {LPA_ROUNDS}
+      GROUP BY l.iter, d.t, l.l
+    ) cnts
+    GROUP BY cnts.iter, cnts.t
+  ) q
+)
+SELECT n AS partkey, l AS community
+FROM lab WHERE iter = {LPA_ROUNDS}
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -9074,6 +9130,7 @@ DRIVER_EXCLUDE = {
     "skyline_parts",  # Pareto-frontier shortlist, local gate
     "ri_violations",  # FK orphan census, local gate
     "compaction_plan",  # small-file bin packing, local gate
+    "part_communities",  # LPA communities, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9150,6 +9207,7 @@ REGISTRY: dict[str, tuple] = {
     "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
     "ri_violations": (q_ri_violations, SQL_RI_VIOLATIONS),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
+    "part_communities": (q_part_communities, SQL_PART_COMMUNITIES),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
