@@ -1389,6 +1389,113 @@ FROM lab WHERE iter = {LPA_ROUNDS}
 """
 
 
+PPS_SAMPLE_N = 100
+PPS_BUCKETS = 32
+
+
+def q_pps_sample(sf_dir: str):
+    """Probability-proportional-to-size systematic sample of orders
+    weighted by o_totalprice (the survey-sampling / data-audit
+    standard: a fixed grid of sample points laid over the cumulative
+    weight axis, anchor at step/2) — deterministic and EXACT in
+    integer cents, so no transcendental ranking key has to agree
+    across engines (the Efraimidis-Spirakis u^(1/w) trick would pin
+    top-k membership on last-ulp pow/log behavior).
+
+    Distributed prefix without a global sort: orders are range-
+    bucketed by orderkey (keys are near-dense, so value-range buckets
+    are balanced); per-bucket weight sums come back as O(#buckets)
+    scalars whose exclusive prefix is broadcast; each bucket then
+    cumsums locally, adds its offset, and applies the shared
+    count-of-grid-points-below rule — a row is selected iff its
+    weight interval [C_prev, C_i) contains a grid point. One narrow
+    shuffle, O(n_sample) output."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    from ray.data.aggregate import Max as AggMax
+
+    mx = orders.aggregate(AggMax("o_orderkey"))["max(o_orderkey)"]
+    span = int(mx) + 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = np.rint(t["o_totalprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, type=pa.int64()),
+                "c": pa.array(c, type=pa.int64()),
+                "rb": pa.array(
+                    k * PPS_BUCKETS // span, type=pa.int64()
+                ),
+            }
+        )
+
+    wds = orders.map_batches(
+        add_bucket, batch_format="pyarrow"
+    ).materialize()
+
+    # O(#buckets) partial sums -> exclusive prefix on the driver
+    bsum = wds.groupby("rb").sum("c").to_pandas().sort_values("rb")
+    sums = np.zeros(PPS_BUCKETS, dtype=np.int64)
+    sums[bsum["rb"].to_numpy()] = bsum["sum(c)"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    total = int(sums.sum())
+    step = total // PPS_SAMPLE_N
+    start = step // 2
+
+    def npoints(c: np.ndarray) -> np.ndarray:
+        # grid points start + j*step (j >= 0) strictly below c
+        return np.where(c <= start, 0, (c - start - 1) // step + 1)
+
+    def select_bucket(t: pa.Table) -> pa.Table:
+        rb = int(t["rb"][0].as_py())
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="mergesort")
+        k, c = k[order], c[order]
+        ci = np.cumsum(c) + offsets[rb]
+        sel = npoints(ci) > npoints(ci - c)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[sel], type=pa.int64()),
+                "weight_cents": pa.array(c[sel], type=pa.int64()),
+            }
+        )
+
+    return wds.groupby("rb").map_groups(
+        select_bucket, batch_format="pyarrow"
+    )
+
+
+SQL_PPS_SAMPLE = f"""
+WITH w AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+cum AS (
+  SELECT o_orderkey, c,
+         sum(c) OVER (ORDER BY o_orderkey) AS ci
+  FROM w
+),
+par AS (
+  SELECT (sum(c) // {PPS_SAMPLE_N}) AS step,
+         (sum(c) // {PPS_SAMPLE_N}) // 2 AS strt
+  FROM w
+)
+SELECT o_orderkey, c AS weight_cents
+FROM cum CROSS JOIN par
+WHERE (CASE WHEN ci <= strt THEN 0
+            ELSE (ci - strt - 1) // step + 1 END)
+    > (CASE WHEN ci - c <= strt THEN 0
+            ELSE (ci - c - strt - 1) // step + 1 END)
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -9131,6 +9238,7 @@ DRIVER_EXCLUDE = {
     "ri_violations",  # FK orphan census, local gate
     "compaction_plan",  # small-file bin packing, local gate
     "part_communities",  # LPA communities, local gate
+    "pps_sample",  # weighted systematic sample, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9208,6 +9316,7 @@ REGISTRY: dict[str, tuple] = {
     "ri_violations": (q_ri_violations, SQL_RI_VIOLATIONS),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "part_communities": (q_part_communities, SQL_PART_COMMUNITIES),
+    "pps_sample": (q_pps_sample, SQL_PPS_SAMPLE),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
