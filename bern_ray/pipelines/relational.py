@@ -1496,6 +1496,116 @@ WHERE (CASE WHEN ci <= strt THEN 0
 """
 
 
+ATTR_TOUCHES = ("click", "signup", "view")
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the user's most recent PRIOR touch event (click /
+    view / signup; ties by event_id), or 'direct' when no touch
+    precedes it — the canonical sessionized-analytics rollup.
+
+    Shape: one hash(user) shuffle (bucket-and-segment, the
+    running_totals idiom); inside the bucket one (user, ts, event_id)
+    lexsort + a shifted maximum.accumulate carries the last touch
+    position forward with a segment-start validity check (no per-row
+    Python); per-batch (channel, count, value) partials fold in a
+    #channels-row groupby."""
+    from ..stages.bucketed import bucketed_apply, segments
+
+    touches = set(ATTR_TOUCHES)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "channel": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "val": pa.array([], type=pa.float64()),
+                }
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ets = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        tsr = _epoch_us(t["ts"])
+        o = np.lexsort((eid, tsr, uid))
+        uid, ets, val = uid[o], ets[o], val[o]
+        starts, sizes = segments(uid)
+        pos = np.arange(n)
+        touch = np.isin(ets, list(touches))
+        marker = np.where(touch, pos, -1)
+        prior = np.concatenate(([-1], marker[:-1]))
+        prior[starts] = -1
+        carried = np.maximum.accumulate(prior)
+        seg_start = np.repeat(starts, sizes)
+        valid = carried >= seg_start
+        is_p = ets == "purchase"
+        ch = np.where(
+            is_p & valid, ets[np.maximum(carried, 0)], "direct"
+        )
+        df = pd.DataFrame(
+            {"channel": ch[is_p], "val": val[is_p]}
+        ).groupby("channel", as_index=False).agg(
+            n=("val", "size"), val=("val", "sum")
+        )
+        return pa.table(
+            {
+                "channel": pa.array(df["channel"], type=pa.string()),
+                "n": pa.array(
+                    df["n"].to_numpy().astype(np.int64)
+                ),
+                "val": pa.array(
+                    df["val"].to_numpy(), type=pa.float64()
+                ),
+            }
+        )
+
+    ev = _events(
+        sf_dir, ["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    agg = (
+        bucketed_apply(ev, "user_id", kernel)
+        .groupby("channel")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("val", alias_name="val")
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "channel": t["channel"],
+                "n_purchases": pc.cast(t["n"], pa.int64()),
+                "revenue": pc.round(t["val"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ATTRIBUTION = f"""
+WITH w AS (
+  SELECT event_type, value,
+         last_value(
+           CASE WHEN event_type IN
+             ({", ".join("'" + x + "'" for x in ATTR_TOUCHES)})
+           THEN event_type END IGNORE NULLS
+         ) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS channel
+  FROM events
+)
+SELECT coalesce(channel, 'direct') AS channel,
+       count(*)::BIGINT AS n_purchases,
+       round(sum(value), 6) AS revenue
+FROM w
+WHERE event_type = 'purchase'
+GROUP BY coalesce(channel, 'direct')
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -9239,6 +9349,7 @@ DRIVER_EXCLUDE = {
     "compaction_plan",  # small-file bin packing, local gate
     "part_communities",  # LPA communities, local gate
     "pps_sample",  # weighted systematic sample, local gate
+    "attribution",  # last-touch revenue rollup, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9317,6 +9428,7 @@ REGISTRY: dict[str, tuple] = {
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "part_communities": (q_part_communities, SQL_PART_COMMUNITIES),
     "pps_sample": (q_pps_sample, SQL_PPS_SAMPLE),
+    "attribution": (q_attribution, SQL_ATTRIBUTION),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
