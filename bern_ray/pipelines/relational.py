@@ -1606,6 +1606,144 @@ GROUP BY coalesce(channel, 'direct')
 """
 
 
+def q_gap_fill(sf_dir: str):
+    """Time-series regularization: each user's daily mean 'view'
+    value, with missing days between their first and last observation
+    filled by LINEAR INTERPOLATION — the resample-and-interpolate
+    step every downstream forecaster needs, as a distributed operator
+    (per-user series co-locate via one hash(user) shuffle; the grid
+    expansion and both interpolation anchors are vectorized
+    searchsorted, no per-day Python).
+
+    The interpolation expression pv + (nv - pv) * ((d - pd)/(nd - pd))
+    is mirrored token-for-token in the oracle (NOT np.interp, whose
+    slope-first factoring rounds differently at the last ulp), and
+    day indices are exact integers (epoch-days)."""
+    from ..stages.bucketed import bucketed_apply, segments
+
+    DAY_US = 86_400_000_000
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "day_idx": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64()),
+                    "filled": pa.array([], type=pa.bool_()),
+                }
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = _epoch_us(t["ts"]) // DAY_US
+        val = t["value"].to_numpy(zero_copy_only=False)
+        obs = (
+            pd.DataFrame({"u": uid, "d": day, "v": val})
+            .groupby(["u", "d"], as_index=False)["v"]
+            .mean()
+        )
+        obs["v"] = obs["v"].round(6)
+        u = obs["u"].to_numpy()
+        d = obs["d"].to_numpy()
+        v = obs["v"].to_numpy()
+        starts, sizes = segments(u)  # groupby output is sorted
+        lo = d[starts]
+        hi = d[starts + sizes - 1]
+        span = hi - lo + 1
+        # grid: per-user contiguous day range
+        g_user = np.repeat(u[starts], span)
+        g_day = (
+            np.arange(int(span.sum()))
+            - np.repeat(np.cumsum(span) - span, span)
+            + np.repeat(lo, span)
+        )
+        # anchors via ONE global searchsorted on the packed
+        # (user, day) key — segments are contiguous and every grid
+        # day lies within its user's observed [lo, hi], so the hit
+        # never crosses a segment boundary (fully vectorized, no
+        # per-user loop)
+        K = np.int64(1) << 32
+        obs_key = u * K + d
+        grid_key = g_user * K + g_day
+        prev_idx = np.searchsorted(obs_key, grid_key, side="right") - 1
+        next_idx = np.searchsorted(obs_key, grid_key, side="left")
+        pd_ = d[prev_idx]
+        pv_ = v[prev_idx]
+        nd_ = d[next_idx]
+        nv_ = v[next_idx]
+        observed = pd_ == g_day
+        with np.errstate(divide="ignore", invalid="ignore"):
+            interp = pv_ + (nv_ - pv_) * (
+                (g_day - pd_).astype(np.float64)
+                / (nd_ - pd_).astype(np.float64)
+            )
+        out_v = np.round(np.where(observed, pv_, interp), 6)
+        return pa.table(
+            {
+                "user_id": pa.array(g_user, type=pa.int64()),
+                "day_idx": pa.array(g_day, type=pa.int64()),
+                "value": pa.array(out_v, type=pa.float64()),
+                "filled": pa.array(~observed, type=pa.bool_()),
+            }
+        )
+
+    ev = _events(
+        sf_dir, ["user_id", "event_type", "ts", "value"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "view")),
+        batch_format="pyarrow",
+    )
+    return bucketed_apply(ev, "user_id", kernel)
+
+
+SQL_GAP_FILL = """
+WITH obs AS (
+  SELECT user_id, (epoch(ts)::BIGINT) // 86400 AS d,
+         round(avg(value), 6) AS v
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, (epoch(ts)::BIGINT) // 86400
+),
+spans AS (
+  SELECT user_id, min(d) AS lo, max(d) AS hi FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS d FROM spans
+),
+j AS (
+  SELECT g.user_id, g.d, o.v
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.d = g.d
+),
+w AS (
+  SELECT user_id, d, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS pd,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS nd
+  FROM j
+)
+SELECT user_id, d AS day_idx,
+       round(CASE WHEN v IS NOT NULL THEN pv
+                  ELSE pv + (nv - pv)
+                       * ((d - pd)::DOUBLE / (nd - pd)::DOUBLE) END,
+             6) AS value,
+       v IS NULL AS filled
+FROM w
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -9350,6 +9488,7 @@ DRIVER_EXCLUDE = {
     "part_communities",  # LPA communities, local gate
     "pps_sample",  # weighted systematic sample, local gate
     "attribution",  # last-touch revenue rollup, local gate
+    "gap_fill",  # daily interpolation resample, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9429,6 +9568,7 @@ REGISTRY: dict[str, tuple] = {
     "part_communities": (q_part_communities, SQL_PART_COMMUNITIES),
     "pps_sample": (q_pps_sample, SQL_PPS_SAMPLE),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
+    "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
