@@ -362,6 +362,20 @@ _SETSIM_MEASURES = {
         "alpha_coef": lambda t: 0.0,
         "score": lambda inter, na, nb: inter,
     },
+    # max-containment |A∩B|/min(|A|,|B|): like the overlap
+    # coefficient it admits NO sound prefix/size pruning on its own
+    # (a tiny contained set defeats any prefix), so it is offered
+    # only composed with the absolute-overlap base predicate
+    # (setsim_containment_join), which supplies the pruning.
+    "containment": {
+        "alpha_coef": lambda t: 0.0,
+        "score": lambda inter, na, nb: np.divide(
+            inter,
+            np.minimum(na, nb),
+            out=np.zeros_like(inter, dtype=float),
+            where=np.minimum(na, nb) > 0,
+        ),
+    },
 }
 
 
@@ -1996,6 +2010,48 @@ def setsim_overlap_join(
         float(min_overlap),
         sim="overlap",
         score_col="overlap",
+    )
+
+
+def setsim_containment_join(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.9,
+    min_overlap: int = 10,
+    shingle_k: int = 3,
+    posting_cap: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT max-containment self-join composed with the SSJoin base
+    predicate: all doc pairs with |A∩B| >= ``min_overlap`` AND
+    |A∩B|/min(|A|,|B|) >= ``threshold`` — the near-SUBSET detector
+    (quote inclusion, page-within-page) that jaccard misses when the
+    containing side is much larger. Max-containment alone admits no
+    sound prefix pruning (see _SETSIM_MEASURES note); the absolute
+    floor supplies it: candidate generation is the overlap join's
+    prefix p = n - T + 1 / size >= T, verification scores containment
+    via the shared distributed tail. Both predicates are part of the
+    operator contract, mirrored in the oracle."""
+    shingles = docs.map_batches(
+        lambda t: _shingle_list_rows(t, shingle_k),
+        batch_format="pyarrow",
+    ).materialize()
+    prefix = shingles.map_batches(
+        lambda t: _prefix_rows_abs(t, min_overlap),
+        batch_format="pyarrow",
+    ).map_batches(
+        _tok_bucket,
+        batch_format="pyarrow",
+        batch_size=SHUFFLE_PREP_ROWS,
+    )
+    pairs = prefix.groupby("bucket").map_groups(
+        _posting_pairs_abs_bucket(min_overlap, posting_cap),
+        batch_format="pandas",
+    )
+    return verify_setsim_pairs(
+        pairs,
+        shingles,
+        threshold,
+        sim="containment",
+        score_col="containment",
     )
 
 

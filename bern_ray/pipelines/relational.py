@@ -2478,6 +2478,22 @@ def q_setsim_overlap(sf_dir: str):
     )
 
 
+def q_setsim_containment(sf_dir: str):
+    """Max-containment near-SUBSET join (|A∩B|/min >= 0.9 composed
+    with the absolute floor |A∩B| >= 10 that makes prefix pruning
+    sound — functions/dedup.py setsim_containment_join): catches
+    quote/inclusion pairs whose jaccard is diluted by the larger
+    side. Completes the setsim measure set (jaccard / cosine / dice /
+    absolute overlap / containment)."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], MINHASH_MAX_DOC)),
+        batch_format="pyarrow",
+    )
+    return fdedup.setsim_containment_join(
+        docs, threshold=0.9, min_overlap=SETSIM_MIN_OVERLAP
+    )
+
+
 def q_setsim_dice(sf_dir: str):
     """Prefix-filtered exact DICE set-similarity self-join:
     2|A∩B|/(|A|+|B|) >= 0.9 — prefix length n - ceil(t/(2-t)*n) + 1."""
@@ -2524,6 +2540,19 @@ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        len(list_intersect(a.ss, b.ss))::BIGINT AS overlap
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.ss, b.ss)) >= {SETSIM_MIN_OVERLAP}
+"""
+)
+
+SQL_SETSIM_CONTAINMENT = (
+    _SETSIM_TOK_CTE
+    + f"""
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(len(list_intersect(a.ss, b.ss))::DOUBLE
+             / least(len(a.ss), len(b.ss)), 6) AS containment
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ss, b.ss)) >= {SETSIM_MIN_OVERLAP}
+  AND len(list_intersect(a.ss, b.ss))::DOUBLE
+      / least(len(a.ss), len(b.ss)) >= 0.9
 """
 )
 
@@ -9489,6 +9518,7 @@ DRIVER_EXCLUDE = {
     "pps_sample",  # weighted systematic sample, local gate
     "attribution",  # last-touch revenue rollup, local gate
     "gap_fill",  # daily interpolation resample, local gate
+    "setsim_containment",  # near-subset join, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9527,6 +9557,7 @@ REGISTRY: dict[str, tuple] = {
     "setsim_cosine": (q_setsim_cosine, SQL_SETSIM_COSINE),
     "setsim_dice": (q_setsim_dice, SQL_SETSIM_DICE),
     "setsim_overlap": (q_setsim_overlap, SQL_SETSIM_OVERLAP),
+    "setsim_containment": (q_setsim_containment, SQL_SETSIM_CONTAINMENT),
     "phonetic_blocking": (q_phonetic_blocking, _sql_phonetic_blocking()),
     "suffix_blocking": (q_suffix_blocking, SQL_SUFFIX_BLOCKING),
     "monge_elkan_join": (q_monge_elkan_join, SQL_MONGE_ELKAN_JOIN),
