@@ -1744,6 +1744,85 @@ FROM w
 """
 
 
+WEEK_US = 7 * 86_400_000_000
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix — the product-analytics staple: users
+    grouped by first-seen week (cohort), counted as active at each
+    later week offset. Output (cohort_week, week_offset,
+    n_active_users), O(#weeks²).
+
+    Shape: ONE hash(user) shuffle does everything — a user's events
+    co-locate, so the first-seen week, the distinct active weeks and
+    the (cohort, offset) pairs are all computed inside the bucket
+    kernel; per-bucket partial counts fold in a #cells groupby.
+    Nothing user-sized leaves the buckets."""
+    from ..stages.bucketed import bucketed_apply, segments
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], type=pa.int64()),
+                    "week_offset": pa.array([], type=pa.int64()),
+                    "partial": pa.array([], type=pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        wk = _epoch_us(t["ts"]) // WEEK_US
+        df = pd.DataFrame({"u": uid, "w": wk}).drop_duplicates()
+        df = df.sort_values(["u", "w"], kind="mergesort")
+        u = df["u"].to_numpy()
+        w = df["w"].to_numpy()
+        starts, sizes = segments(u)
+        cohort = np.repeat(w[starts], sizes)
+        off = w - cohort
+        g = (
+            pd.DataFrame({"cohort_week": cohort, "week_offset": off})
+            .groupby(["cohort_week", "week_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "partial"})
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    agg = (
+        bucketed_apply(ev, "user_id", kernel)
+        .groupby(["cohort_week", "week_offset"])
+        .sum("partial")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "cohort_week": t["cohort_week"],
+                "week_offset": t["week_offset"],
+                "n_active_users": pc.cast(
+                    t["sum(partial)"], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (epoch(ts)::BIGINT) // 604800 AS w
+  FROM events
+),
+coh AS (SELECT user_id, min(w) AS cohort FROM uw GROUP BY user_id)
+SELECT c.cohort AS cohort_week,
+       (uw.w - c.cohort) AS week_offset,
+       count(*)::BIGINT AS n_active_users
+FROM uw JOIN coh c ON c.user_id = uw.user_id
+GROUP BY c.cohort, uw.w - c.cohort
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -9519,6 +9598,7 @@ DRIVER_EXCLUDE = {
     "attribution",  # last-touch revenue rollup, local gate
     "gap_fill",  # daily interpolation resample, local gate
     "setsim_containment",  # near-subset join, local gate
+    "retention_cohorts",  # cohort retention matrix, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9600,6 +9680,7 @@ REGISTRY: dict[str, tuple] = {
     "pps_sample": (q_pps_sample, SQL_PPS_SAMPLE),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
