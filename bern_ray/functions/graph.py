@@ -726,3 +726,177 @@ def label_propagation_reference(edge_pairs, rounds=4):
             new[n] = best[0]
         lbl = new
     return dict(sorted(lbl.items()))
+
+
+def item_cosine_similarity(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    item_col: str,
+    threshold: float = 0.25,
+    min_support: int = 3,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Item-item cosine similarity from the bipartite (group, item)
+    incidence — the collaborative-filtering projection (Sarwar et al.
+    WWW 2001): sim(a, b) = co(a, b) / sqrt(deg(a) * deg(b)) with
+    co = #groups containing both items, deg = #groups containing the
+    item; emitted for pairs with co >= min_support AND sim >=
+    threshold. The support floor doubles as the skew guard — hot
+    items pair only when they co-occur repeatedly.
+
+    Shape: per-group pair fan-out + co counts are one hash(group)
+    shuffle then one packed-edge-key groupby (the cooccurrence_edges
+    shape plus counts); degrees are per-batch partials into a tiny
+    groupby; two bucket_joins attach both endpoints' degrees. The
+    cosine expression mirrors the SQL oracle token-for-token."""
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((it, g))
+        g, it = g[order], it[order]
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (g[1:] != g[:-1]) | (it[1:] != it[:-1])
+        g, it = g[keep], it[keep]
+        starts, sizes = segments(g)
+        ai, bi = segment_pairs(starts, sizes, cap=None)
+        a, b = it[ai], it[bi]
+        pk = _pack(a, b)
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "pk": pa.array(u),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    co = (
+        bucketed_apply(
+            ds.select_columns([group_col, item_col]),
+            group_col,
+            pairs_in_bucket,
+            num_buckets=num_buckets,
+        )
+        .groupby("pk")
+        .sum("partial")
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        c = t["sum(partial)"].to_numpy(zero_copy_only=False)
+        keep = c >= min_support
+        pk, c = pk[keep], c[keep]
+        return pa.table(
+            {
+                "a": pa.array(pk >> _PACK_SHIFT),
+                "b": pa.array(pk & ((np.int64(1) << _PACK_SHIFT) - 1)),
+                "co": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    co = co.map_batches(unpack, batch_format="pyarrow")
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "i": it}).drop_duplicates()
+        vc = df.groupby("i", as_index=False).size()
+        return pa.table(
+            {
+                "i": pa.array(vc["i"].to_numpy(), type=pa.int64()),
+                "partial": pa.array(
+                    vc["size"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    # exact despite per-batch dedup: a (group, item) row may repeat
+    # across batches only if the group spans batches — bucket the
+    # incidence by group first so it cannot
+    incid = bucketed_apply(
+        ds.select_columns([group_col, item_col]),
+        group_col,
+        lambda t: pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    group_col: t[group_col].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    item_col: t[item_col].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            ).drop_duplicates(),
+            preserve_index=False,
+        ).replace_schema_metadata(None),
+        num_buckets=num_buckets,
+    )
+    deg = (
+        incid.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("i")
+        .sum("partial")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "i": t["i"],
+                    "d": pc.cast(t["sum(partial)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    j1 = bucket_join(
+        co,
+        deg,
+        left_on="a",
+        right_on="i",
+        left_schema={
+            "a": pa.int64(),
+            "b": pa.int64(),
+            "co": pa.int64(),
+        },
+        right_schema={"i": pa.int64(), "d": pa.int64()},
+    ).map_batches(
+        lambda t: t.rename_columns(["a", "b", "co", "da"]),
+        batch_format="pyarrow",
+    )
+    j2 = bucket_join(
+        j1,
+        deg,
+        left_on="b",
+        right_on="i",
+        left_schema={
+            "a": pa.int64(),
+            "b": pa.int64(),
+            "co": pa.int64(),
+            "da": pa.int64(),
+        },
+        right_schema={"i": pa.int64(), "d": pa.int64()},
+    ).map_batches(
+        lambda t: t.rename_columns(["a", "b", "co", "da", "db"]),
+        batch_format="pyarrow",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        co_ = t["co"].to_numpy(zero_copy_only=False).astype(float)
+        da = t["da"].to_numpy(zero_copy_only=False).astype(float)
+        db = t["db"].to_numpy(zero_copy_only=False).astype(float)
+        s = co_ / np.sqrt(da * db)
+        keep = s >= threshold
+        return pa.table(
+            {
+                "item_a": pa.array(
+                    t["a"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "item_b": pa.array(
+                    t["b"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "co_groups": pa.array(
+                    t["co"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "cosine": pa.array(np.round(s[keep], 6)),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")

@@ -1823,6 +1823,50 @@ GROUP BY c.cohort, uw.w - c.cohort
 """
 
 
+ITEMSIM_MIN_CO = 2
+ITEMSIM_T = 0.08
+
+
+def q_item_similarity(sf_dir: str):
+    """Item-item cosine similarity from order co-purchases
+    (functions/graph.py item_cosine_similarity — the Sarwar et al.
+    collaborative-filtering projection): co(a,b)/sqrt(deg a * deg b)
+    with a support floor, the operator behind every 'customers also
+    bought' shelf."""
+    from ..functions.graph import item_cosine_similarity
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return item_cosine_similarity(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        threshold=ITEMSIM_T,
+        min_support=ITEMSIM_MIN_CO,
+    )
+
+
+SQL_ITEM_SIMILARITY = f"""
+WITH oi AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+),
+deg AS (SELECT i, count(*)::BIGINT AS d FROM oi GROUP BY i),
+co AS (
+  SELECT a.i AS ia, b.i AS ib, count(*)::BIGINT AS c
+  FROM oi a JOIN oi b ON a.o = b.o AND a.i < b.i
+  GROUP BY a.i, b.i
+  HAVING count(*) >= {ITEMSIM_MIN_CO}
+)
+SELECT ia AS item_a, ib AS item_b, c AS co_groups,
+       round(c / sqrt(da.d * db.d), 6) AS cosine
+FROM co
+JOIN deg da ON da.i = ia
+JOIN deg db ON db.i = ib
+WHERE c / sqrt(da.d * db.d) >= {ITEMSIM_T}
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -9599,6 +9643,7 @@ DRIVER_EXCLUDE = {
     "gap_fill",  # daily interpolation resample, local gate
     "setsim_containment",  # near-subset join, local gate
     "retention_cohorts",  # cohort retention matrix, local gate
+    "item_similarity",  # CF item-item cosine, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9681,6 +9726,7 @@ REGISTRY: dict[str, tuple] = {
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "item_similarity": (q_item_similarity, SQL_ITEM_SIMILARITY),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
