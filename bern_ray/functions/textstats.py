@@ -1338,3 +1338,46 @@ FROM pairs p, n
 JOIN df fa ON fa.tok = p.a
 JOIN df fb ON fb.tok = p.b
 """
+
+
+def compression_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document zlib compression ratio — the model-free
+    repetitiveness signal the Gopher/MassiveText quality filters use
+    (boilerplate and spam compress far below natural prose; random
+    or encrypted payloads don't compress at all). Output
+    (doc_id, n_bytes, n_compressed, ratio = compressed/raw, round 6).
+
+    Rows-only by design: zlib's DEFLATE output is not
+    SQL-expressible; the kernel is pinned by planted-text pytests
+    (tests/test_compression_stats.py). The per-row zlib.compress call
+    is a C-library pass over the payload (payload-bound, like the
+    multimodal codec seam) — the Python loop only dispatches."""
+    import zlib
+
+    def kernel(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            b = (s or "").encode("utf-8", "surrogatepass")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, 6))
+        ratio = np.round(
+            np.divide(
+                comp,
+                raw,
+                out=np.ones(len(texts), dtype=float),
+                where=raw > 0,
+            ),
+            6,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array(raw),
+                "n_compressed": pa.array(comp),
+                "ratio": pa.array(ratio),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -1867,6 +1867,20 @@ WHERE c / sqrt(da.d * db.d) >= {ITEMSIM_T}
 """
 
 
+def q_compression_stats(sf_dir: str):
+    """zlib compression-ratio quality signal per document
+    (functions/textstats.py compression_stats — the Gopher-style
+    repetitiveness filter). Rows-only: DEFLATE output isn't
+    SQL-expressible; kernel pytest-pinned on planted texts."""
+    from ..functions.textstats import compression_stats
+
+    return compression_stats(
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -9644,6 +9658,7 @@ DRIVER_EXCLUDE = {
     "setsim_containment",  # near-subset join, local gate
     "retention_cohorts",  # cohort retention matrix, local gate
     "item_similarity",  # CF item-item cosine, local gate
+    "compression_stats",  # zlib quality signal, local gate (rows-only)
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9727,6 +9742,7 @@ REGISTRY: dict[str, tuple] = {
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "item_similarity": (q_item_similarity, SQL_ITEM_SIMILARITY),
+    "compression_stats": (q_compression_stats, None),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
