@@ -9619,6 +9619,16 @@ DRIVER_EXCLUDE = {
     "pubtator_title_split",  # subsumed by pubtator_roundtrip
     "pubmed_roundtrip",  # S8 XML wire formats (local gate + pytest)
     "sample_docs",  # subsumed by stratified_sample
+    "species_taxid",  # r4 driver row green; fold family keeps
+    # fold_docs + blocking_keys — rotated out for bm25_topk
+    "props_extract",  # r4 driver row green — rotated out for
+    # incremental_rollup (CDC family gets its first driver row)
+    "event_pivot",  # r4 driver row green; events family keeps
+    # rollup_events/windows — rotated out for attribution
+    "range_count",  # r4 driver row green; temporal family keeps
+    # asof_last_signup — rotated out for zorder_layout
+    "user_topk",  # r4 driver row green; rank family keeps
+    # quantiles/running_totals — rotated out for cluster_depth
     "events_agg",  # plain groupby, subsumed by rollup_events
     "user_rank",  # rank window, subsumed by user_topk
     "shipping_priority",  # join+agg, subsumed by local_supplier_volume
@@ -9641,19 +9651,14 @@ DRIVER_EXCLUDE = {
     "snapshot_apply",  # diff→apply round-trip, local gate + pytest
     "state_intervals",  # SCD2 islands, local gate + tests/test_scd.py
     "inverted_index",  # IR posting lists, local gate + pytest
-    "bm25_topk",  # IR ranked retrieval, local gate (keeps driver at 50)
     "chi2_keywords",  # keyword-association census, local gate
     "jsd_sources",  # distribution-drift score, local gate
-    "zorder_layout",  # Morton-curve layout planner, local gate
-    "incremental_rollup",  # CDC view maintenance, local gate
     "heaps_curve",  # vocabulary-growth census, local gate
-    "cluster_depth",  # near-dup chain-depth census, local gate
     "skyline_parts",  # Pareto-frontier shortlist, local gate
     "ri_violations",  # FK orphan census, local gate
     "compaction_plan",  # small-file bin packing, local gate
     "part_communities",  # LPA communities, local gate
     "pps_sample",  # weighted systematic sample, local gate
-    "attribution",  # last-touch revenue rollup, local gate
     "gap_fill",  # daily interpolation resample, local gate
     "setsim_containment",  # near-subset join, local gate
     "retention_cohorts",  # cohort retention matrix, local gate
