@@ -1881,6 +1881,77 @@ def q_compression_stats(sf_dir: str):
     )
 
 
+def q_benford_digits(sf_dir: str):
+    """Benford first-significant-digit audit of o_totalprice — the
+    classic fraud/data-integrity census: observed digit frequencies
+    vs the Benford expectation log10(1 + 1/d), with each digit's
+    chi-squared contribution. Map-side per-batch digit counts (string
+    kernel on the integer cents — no float log in the digit
+    extraction) fold into one 9-row groupby; the expectation and chi2
+    arithmetic mirror the oracle token-for-token."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        first = (
+            pd.Series(cents.astype(str)).str[0].astype(np.int64)
+        )
+        vc = first.value_counts()
+        return pa.table(
+            {
+                "digit": pa.array(
+                    vc.index.to_numpy().astype(np.int64)
+                ),
+                "partial": pa.array(
+                    vc.to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .sum("partial")
+        .to_pandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    n = float(agg["sum(partial)"].sum())
+    cnt = agg["sum(partial)"].to_numpy().astype(np.int64)
+    d = agg["digit"].to_numpy().astype(np.float64)
+    expected = np.log10(1.0 + 1.0 / d) * n
+    chi2 = (cnt - expected) * (cnt - expected) / expected
+    return pa.table(
+        {
+            "digit": pa.array(agg["digit"].to_numpy(), type=pa.int64()),
+            "n": pa.array(cnt),
+            "expected": pa.array(np.round(expected, 6)),
+            "chi2_part": pa.array(np.round(chi2, 6)),
+        }
+    )
+
+
+SQL_BENFORD_DIGITS = """
+WITH d AS (
+  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1)::BIGINT AS digit
+  FROM orders
+),
+c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+tot AS (SELECT sum(n)::DOUBLE AS nn FROM c)
+SELECT digit, n,
+       round(log10(1 + 1.0 / digit) * tot.nn, 6) AS expected,
+       round((n - log10(1 + 1.0 / digit) * tot.nn)
+             * (n - log10(1 + 1.0 / digit) * tot.nn)
+             / (log10(1 + 1.0 / digit) * tot.nn), 6) AS chi2_part
+FROM c CROSS JOIN tot
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -9664,6 +9735,7 @@ DRIVER_EXCLUDE = {
     "retention_cohorts",  # cohort retention matrix, local gate
     "item_similarity",  # CF item-item cosine, local gate
     "compression_stats",  # zlib quality signal, local gate (rows-only)
+    "benford_digits",  # first-digit audit, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9748,6 +9820,7 @@ REGISTRY: dict[str, tuple] = {
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "item_similarity": (q_item_similarity, SQL_ITEM_SIMILARITY),
     "compression_stats": (q_compression_stats, None),
+    "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
