@@ -95,6 +95,11 @@ def run_bench() -> dict:
         q_token_freq,
         q_suffix_blocking,
         q_adaptive_snm,
+        q_bm25_topk,
+        q_zorder_layout,
+        q_attribution,
+        q_item_similarity,
+        q_retention_cohorts,
     )
     from bern_ray.functions.wordpiece import wordpiece_features
     from bern_ray.sources.pages import read_pages
@@ -260,6 +265,12 @@ def run_bench() -> dict:
         # them at sf0.001/0.01
         ("suffix_blocking", lambda: q_suffix_blocking(SF_DIR).count()),
         ("adaptive_snm", lambda: q_adaptive_snm(SF_DIR).count()),
+        ("bm25_topk", lambda: q_bm25_topk(SF_DIR).num_rows),
+        ("zorder_layout", lambda: q_zorder_layout(SF_DIR).count()),
+        ("attribution", lambda: q_attribution(SF_DIR).count()),
+        ("item_similarity", lambda: q_item_similarity(SF_DIR).count()),
+        ("retention_cohorts",
+         lambda: q_retention_cohorts(SF_DIR).count()),
         ("wordpiece_features", lambda: wordpiece_features(
             read_parquet_clean(
                 f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
