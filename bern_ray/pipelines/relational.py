@@ -1952,6 +1952,206 @@ FROM c CROSS JOIN tot
 """
 
 
+PSI_BINS = 10
+
+
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index between two order cohorts — THE
+    production model-monitoring drift metric: bin edges are the
+    reference cohort's exact deciles, PSI = Σ (pB - pA)·ln(pB/pA)
+    with Laplace-smoothed shares so empty bins stay finite. Cohorts
+    split by orderkey parity (even = reference A, odd = current B).
+    Output: one row per bin (edge span, both counts, PSI term) — the
+    per-bin decomposition an alert needs, not just the scalar.
+
+    Shape: exact decile edges come from the price_deciles idiom —
+    ONE global_rank shuffle of cohort A on a packed
+    (price_cents, orderkey) total order, then an O(9)-row filter; the
+    9 edges broadcast into a per-batch searchsorted histogram over
+    BOTH cohorts (partial vectors, tiny groupby). The smoothing and
+    the log expression mirror the oracle token-for-token."""
+    from ..stages.order import global_rank
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def side(par):
+        return orders.map_batches(
+            lambda t: t.filter(
+                pc.equal(
+                    pc.subtract(
+                        t["o_orderkey"],
+                        pc.multiply(
+                            pc.divide(t["o_orderkey"], 2), 2
+                        ),
+                    ),
+                    par,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    ref, cur = side(0), side(1)
+    n_a = ref.count()
+    n_b = cur.count()
+
+    def pack(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(cents * (1 << 33) + okey),
+                "cents": pa.array(cents),
+            }
+        )
+
+    ranked = global_rank(
+        ref.map_batches(pack, batch_format="pyarrow"), "k"
+    )
+    targets = {
+        (k * n_a) // PSI_BINS + 1 for k in range(1, PSI_BINS)
+    }
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        keep = np.isin(r, list(targets))
+        return pa.table(
+            {
+                "rank": pa.array(r[keep]),
+                "cents": pa.array(
+                    t["cents"].to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    ed = (
+        ranked.map_batches(edge_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("rank")
+    )
+    edges = ed["cents"].to_numpy()  # 9 ascending cent values
+    assert len(edges) == PSI_BINS - 1, (
+        "duplicate decile ranks — reference cohort too small for "
+        f"{PSI_BINS} bins"
+    )
+
+    def hist(which):
+        def fn(t: pa.Table) -> pa.Table:
+            cents = np.rint(
+                t["o_totalprice"].to_numpy() * 100
+            ).astype(np.int64)
+            # side="right": a value equal to an edge goes to the
+            # UPPER bin, matching the oracle's x >= lo AND x < hi
+            b = np.searchsorted(edges, cents, side="right")
+            cnt = np.bincount(b, minlength=PSI_BINS).astype(np.int64)
+            return pa.table(
+                {
+                    "bin": pa.array(
+                        np.arange(PSI_BINS, dtype=np.int64)
+                    ),
+                    "cohort": pa.array([which] * PSI_BINS),
+                    "partial": pa.array(cnt),
+                }
+            )
+
+        return fn
+
+    parts = (
+        ref.map_batches(hist("a"), batch_format="pyarrow")
+        .union(cur.map_batches(hist("b"), batch_format="pyarrow"))
+        .groupby(["bin", "cohort"])
+        .sum("partial")
+        .to_pandas()
+    )
+    piv = (
+        parts.pivot(index="bin", columns="cohort", values="sum(partial)")
+        .reindex(range(PSI_BINS))
+        .fillna(0)
+    )
+    ca = piv["a"].to_numpy().astype(np.float64)
+    cb = piv["b"].to_numpy().astype(np.float64)
+    pa_ = (ca + 0.5) / (n_a + 0.5 * PSI_BINS)
+    pb_ = (cb + 0.5) / (n_b + 0.5 * PSI_BINS)
+    term = (pb_ - pa_) * np.log(pb_ / pa_)
+    lo = np.concatenate(([np.iinfo(np.int64).min], edges))
+    hi = np.concatenate((edges, [np.iinfo(np.int64).max]))
+    return pa.table(
+        {
+            "bin": pa.array(np.arange(PSI_BINS, dtype=np.int64)),
+            "lo_cents": pa.array(lo, type=pa.int64()),
+            "hi_cents": pa.array(hi, type=pa.int64()),
+            "n_ref": pa.array(ca.astype(np.int64)),
+            "n_cur": pa.array(cb.astype(np.int64)),
+            "psi_term": pa.array(np.round(term, 6)),
+        }
+    )
+
+
+SQL_PSI_DRIFT = f"""
+WITH a AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+b AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+na AS (SELECT count(*) AS n FROM a),
+nb AS (SELECT count(*) AS n FROM b),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+  FROM a
+),
+edges AS (
+  SELECT rn, cents,
+         row_number() OVER (ORDER BY rn) AS e
+  FROM ranked CROSS JOIN na
+  WHERE rn IN (
+    SELECT (k * na.n) // {PSI_BINS} + 1
+    FROM range(1, {PSI_BINS}) t(k) CROSS JOIN na
+  )
+),
+bins AS (
+  SELECT i AS bin,
+         coalesce((SELECT cents FROM edges WHERE e = i),
+                  -9223372036854775808) AS lo_cents,
+         coalesce((SELECT cents FROM edges WHERE e = i + 1),
+                  9223372036854775807) AS hi_cents
+  FROM range({PSI_BINS}) t(i)
+),
+ha AS (
+  SELECT bins.bin, count(a.cents) AS n_ref
+  FROM bins LEFT JOIN a
+    ON a.cents >= bins.lo_cents AND a.cents < bins.hi_cents
+  GROUP BY bins.bin
+),
+hb AS (
+  SELECT bins.bin, count(b.cents) AS n_cur
+  FROM bins LEFT JOIN b
+    ON b.cents >= bins.lo_cents AND b.cents < bins.hi_cents
+  GROUP BY bins.bin
+)
+SELECT bins.bin, bins.lo_cents, bins.hi_cents,
+       ha.n_ref::BIGINT AS n_ref, hb.n_cur::BIGINT AS n_cur,
+       round(
+         ((hb.n_cur + 0.5) / (nb.n + 0.5 * {PSI_BINS})
+          - (ha.n_ref + 0.5) / (na.n + 0.5 * {PSI_BINS}))
+         * ln(((hb.n_cur + 0.5) / (nb.n + 0.5 * {PSI_BINS}))
+              / ((ha.n_ref + 0.5) / (na.n + 0.5 * {PSI_BINS}))),
+         6
+       ) AS psi_term
+FROM bins
+JOIN ha USING (bin) JOIN hb USING (bin)
+CROSS JOIN na CROSS JOIN nb
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -9736,6 +9936,7 @@ DRIVER_EXCLUDE = {
     "item_similarity",  # CF item-item cosine, local gate
     "compression_stats",  # zlib quality signal, local gate (rows-only)
     "benford_digits",  # first-digit audit, local gate
+    "psi_drift",  # population-stability drift, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -9821,6 +10022,7 @@ REGISTRY: dict[str, tuple] = {
     "item_similarity": (q_item_similarity, SQL_ITEM_SIMILARITY),
     "compression_stats": (q_compression_stats, None),
     "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
