@@ -2152,6 +2152,81 @@ CROSS JOIN na CROSS JOIN nb
 """
 
 
+HILL_DMIN = 32
+
+
+def q_degree_powerlaw(sf_dir: str):
+    """Hill estimator of the power-law exponent of the part
+    order-frequency distribution (alpha = 1 + n / Σ ln(d/d_min) over
+    the tail d >= d_min — the continuous MLE of Clauset-Shalizi-Newman
+    2009): the one-number heavy-tail diagnostic that tells a blocking
+    or partitioning design how bad its hot keys are. Output: one row
+    (d_min, n_tail, alpha).
+
+    Shape: per-batch (part, count) partials -> one groupby; the tail
+    reduction is a per-batch pair of scalars (n, Σ ln(d/d_min)) — the
+    log-sum's float associativity error is ~9 orders below the shared
+    round-6 rule."""
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["l_partkey"].combine_chunks())
+        return pa.table(
+            {
+                "i": pc.cast(vc.field("values"), pa.int64()),
+                "partial": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def tail_partial(t: pa.Table) -> pa.Table:
+        d = t["sum(partial)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        d = d[d >= HILL_DMIN]
+        return pa.table(
+            {
+                "n": pa.array([len(d)], type=pa.int64()),
+                "s": pa.array(
+                    [float(np.log(d / HILL_DMIN).sum())],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+    )
+    parts = (
+        li.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("i")
+        .sum("partial")
+        .map_batches(tail_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    s = float(parts["s"].sum())
+    alpha = round(1.0 + n / s, 6) if s > 0 else None
+    return pa.table(
+        {
+            "d_min": pa.array([HILL_DMIN], type=pa.int64()),
+            "n_tail": pa.array([n], type=pa.int64()),
+            "alpha": pa.array([alpha], type=pa.float64()),
+        }
+    )
+
+
+SQL_DEGREE_POWERLAW = f"""
+WITH deg AS (
+  SELECT l_partkey, count(*)::DOUBLE AS d
+  FROM lineitem GROUP BY l_partkey
+),
+tail AS (SELECT d FROM deg WHERE d >= {HILL_DMIN})
+SELECT {HILL_DMIN}::BIGINT AS d_min,
+       count(*)::BIGINT AS n_tail,
+       round(1.0 + count(*) / sum(ln(d / {HILL_DMIN})), 6) AS alpha
+FROM tail
+"""
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -9937,6 +10012,7 @@ DRIVER_EXCLUDE = {
     "compression_stats",  # zlib quality signal, local gate (rows-only)
     "benford_digits",  # first-digit audit, local gate
     "psi_drift",  # population-stability drift, local gate
+    "degree_powerlaw",  # Hill heavy-tail estimator, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -10023,6 +10099,7 @@ REGISTRY: dict[str, tuple] = {
     "compression_stats": (q_compression_stats, None),
     "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "degree_powerlaw": (q_degree_powerlaw, SQL_DEGREE_POWERLAW),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
