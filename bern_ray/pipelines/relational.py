@@ -1607,14 +1607,18 @@ GROUP BY coalesce(channel, 'direct')
 
 
 def q_gap_fill(sf_dir: str):
-    """Time-series regularization: each user's daily mean 'view'
-    value, with missing days between their first and last observation
+    """Time-series regularization: each user's daily 'view' value
+    TOTAL, with missing days between their first and last observation
     filled by LINEAR INTERPOLATION — the resample-and-interpolate
     step every downstream forecaster needs, as a distributed operator
     (per-user series co-locate via one hash(user) shuffle; the grid
     expansion and both interpolation anchors are vectorized
     searchsorted, no per-day Python).
 
+    The observed value is an exact integer-cents day total divided by
+    100 once — NOT a float mean, whose arrival-order summation is
+    nondeterministic and whose rational midpoints can flip the shared
+    round-6 rule against the oracle (caught by a full-gate rerun).
     The interpolation expression pv + (nv - pv) * ((d - pd)/(nd - pd))
     is mirrored token-for-token in the oracle (NOT np.interp, whose
     slope-first factoring rounds differently at the last ulp), and
@@ -1635,13 +1639,15 @@ def q_gap_fill(sf_dir: str):
             )
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         day = _epoch_us(t["ts"]) // DAY_US
-        val = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
         obs = (
-            pd.DataFrame({"u": uid, "d": day, "v": val})
+            pd.DataFrame({"u": uid, "d": day, "v": cents})
             .groupby(["u", "d"], as_index=False)["v"]
-            .mean()
+            .sum()
         )
-        obs["v"] = obs["v"].round(6)
+        obs["v"] = obs["v"].to_numpy() / 100.0
         u = obs["u"].to_numpy()
         d = obs["d"].to_numpy()
         v = obs["v"].to_numpy()
@@ -1698,7 +1704,7 @@ def q_gap_fill(sf_dir: str):
 SQL_GAP_FILL = """
 WITH obs AS (
   SELECT user_id, (epoch(ts)::BIGINT) // 86400 AS d,
-         round(avg(value), 6) AS v
+         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS v
   FROM events WHERE event_type = 'view'
   GROUP BY user_id, (epoch(ts)::BIGINT) // 86400
 ),

@@ -1,5 +1,5 @@
 """gap_fill: hand-built series — exact interpolated values across a
-multi-day gap, same-day means, no extrapolation beyond the observed
+multi-day gap, same-day totals, no extrapolation beyond the observed
 span, and single-observation users emitting one unfilled row."""
 
 import pyarrow as pa
@@ -35,7 +35,7 @@ def test_interpolation_and_spans(tmp_path):
         # user 1: day 0 -> 10.0, day 3 -> 40.0; gap days 1, 2
         (1, "view", 0 * DAY + 5, 10.0),
         (1, "view", 3 * DAY + 7, 40.0),
-        # user 1 day 0 has a second view: mean (10+20)/2 = 15
+        # user 1 day 0 has a second view: day TOTAL 10+20 = 30
         (1, "view", 0 * DAY + 9, 20.0),
         # user 2: single observation -> one row, no fill
         (2, "view", 5 * DAY, 7.0),
@@ -52,10 +52,10 @@ def test_interpolation_and_spans(tmp_path):
     )
     u1 = got[got["user_id"] == 1]
     assert list(u1["day_idx"]) == [0, 1, 2, 3]
-    # linear from 15 (day 0) to 40 (day 3)
+    # linear from 30 (day-0 total) to 40 (day 3)
     assert list(u1["value"]) == [
         pytest.approx(x, abs=1e-6)
-        for x in (15.0, 23.333333, 31.666667, 40.0)
+        for x in (30.0, 33.333333, 36.666667, 40.0)
     ]
     assert list(u1["filled"]) == [False, True, True, False]
 
