@@ -2233,6 +2233,102 @@ FROM tail
 """
 
 
+CORR_CENTERS = {
+    "l_quantity": 25.0,
+    "l_extendedprice": 30000.0,
+    "l_discount": 0.05,
+    "l_tax": 0.04,
+}
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pearson correlation census over the lineitem numeric columns —
+    the feature-profiling step before any model touches the table.
+    One streaming pass: each batch emits a single row of 15 mergeable
+    moment partials (n, per-column Σx and Σx², per-pair Σxy), all
+    computed around FIXED per-column centers (the segment_trend
+    idiom) so the (nΣxy − ΣxΣy) numerator never cancels two huge
+    near-equal sums; the driver folds O(#batches) rows and evaluates
+    the shared closed form. Output: 6 (col_a, col_b, corr) rows."""
+    cols = list(CORR_CENTERS)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=cols
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = {
+            c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            - CORR_CENTERS[c]
+            for c in cols
+        }
+        row: dict = {"n": pa.array([float(t.num_rows)])}
+        for c in cols:
+            row[f"s_{c}"] = pa.array([float(X[c].sum())])
+            row[f"ss_{c}"] = pa.array([float((X[c] * X[c]).sum())])
+        for i, a in enumerate(cols):
+            for b in cols[i + 1 :]:
+                row[f"p_{a}__{b}"] = pa.array(
+                    [float((X[a] * X[b]).sum())]
+                )
+        return pa.table(row)
+
+    m = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    n = m["n"]
+    out_a, out_b, out_c = [], [], []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            num = n * m[f"p_{a}__{b}"] - m[f"s_{a}"] * m[f"s_{b}"]
+            den = math.sqrt(
+                (n * m[f"ss_{a}"] - m[f"s_{a}"] * m[f"s_{a}"])
+                * (n * m[f"ss_{b}"] - m[f"s_{b}"] * m[f"s_{b}"])
+            )
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(round(num / den, 6))
+    return pa.table(
+        {
+            "col_a": pa.array(out_a, type=pa.string()),
+            "col_b": pa.array(out_b, type=pa.string()),
+            "corr": pa.array(out_c, type=pa.float64()),
+        }
+    )
+
+
+def _sql_corr_matrix() -> str:
+    cols = list(CORR_CENTERS)
+    sel = ["count(*)::DOUBLE AS n"]
+    for c in cols:
+        cc = CORR_CENTERS[c]
+        sel.append(f"sum({c} - {cc}) AS s_{c}")
+        sel.append(f"sum(({c} - {cc}) * ({c} - {cc})) AS ss_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sel.append(
+                f"sum(({a} - {CORR_CENTERS[a]})"
+                f" * ({b} - {CORR_CENTERS[b]})) AS p_{a}__{b}"
+            )
+    branches = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            branches.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
+                f"  round((n * p_{a}__{b} - s_{a} * s_{b})\n"
+                f"        / sqrt((n * ss_{a} - s_{a} * s_{a})\n"
+                f"               * (n * ss_{b} - s_{b} * s_{b})), 6)\n"
+                f"    AS corr FROM m"
+            )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(sel)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
 def q_blocking_keys(sf_dir: str):
     """Key-gen (M13 tmchem fold of a text prefix) + group sizes —
     the blocking-cardinality profile. Partial-combines per batch."""
@@ -10019,6 +10115,7 @@ DRIVER_EXCLUDE = {
     "benford_digits",  # first-digit audit, local gate
     "psi_drift",  # population-stability drift, local gate
     "degree_powerlaw",  # Hill heavy-tail estimator, local gate
+    "corr_matrix",  # feature-correlation census, local gate
     "price_outliers",  # z-score anomaly flags, local gate + pytest
     "fd_violations",  # FD/g3 census, local gate + tests/test_fd.py
     "kmeans_silhouette",  # cluster-quality score, local gate + pytest
@@ -10106,6 +10203,7 @@ REGISTRY: dict[str, tuple] = {
     "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "degree_powerlaw": (q_degree_powerlaw, SQL_DEGREE_POWERLAW),
+    "corr_matrix": (q_corr_matrix, _sql_corr_matrix()),
     "price_outliers": (q_price_outliers, SQL_PRICE_OUTLIERS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
